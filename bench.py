@@ -1,0 +1,71 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop datasource (full
+materialization, no driver collect)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pangenomesasgraphdatabases_spark.queries.registry import all_queries
+from pangenomesasgraphdatabases_spark.session import get_spark
+
+HEADLINE = [
+    "gi_scan_flagship",
+    "multiway_join_revenue",
+    "lag_adjacency_edges",
+    "interval_path_counts",
+    "rolling_mean_min_periods",
+    "group_collect_list",
+    "canonical_pair_dedup",
+    "dice_similarity_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("pangenome-bench")
+    registry = all_queries()
+
+    # Warm the JVM + parquet footers so per-query numbers measure the
+    # plan, not first-touch overhead.
+    registry["genome_ordinal"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Flagship query: the GIsInStrain genome scan, star-schema isomorph.
+
+Reference: 03_analyses/GIsInStrain.ipynb:45-111 (cells 3-4) joins
+feature -> cluster -> strain stats, z-scores CAI/GC against per-strain
+aggregates (cell 3 :64-65), orders features along the genome, then runs
+trailing rolling windows (cells 8+: rolling(10) mean at :157/:165,
+rolling(20) sum of deviation flags > 5 at :160/:168, rolling(5) max of
+number_genomes <= 600 at :176).
+
+Star-schema isomorphism (FIXTURES.md section 5): lineitem rows per
+supplier ordered by shipdate play the role of features per strain
+ordered by feature_start; l_extendedprice plays GC/CAI; l_quantity
+plays number_genomes.
+
+Operators exercised: W2 (genome ordinal), W3-W5 (trailing rolling
+frames with pandas min_periods parity), W6 (z-score vs group stats),
+P8 (absolute-deviation flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.queries.registry import register
+
+_ORACLE = """
+WITH base AS (
+    SELECT
+        l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        avg(l_extendedprice) OVER (PARTITION BY l_suppkey) AS sup_avg,
+        stddev_samp(l_extendedprice) OVER (PARTITION BY l_suppkey) AS sup_std
+    FROM lineitem
+), z AS (
+    SELECT *,
+        (l_extendedprice - sup_avg) / sup_std AS zval,
+        CASE WHEN abs((l_extendedprice - sup_avg) / sup_std) >= 1.5
+             THEN 1 ELSE 0 END AS deviating
+    FROM base
+), w AS (
+    SELECT
+        l_suppkey, l_orderkey, l_linenumber, zval, deviating,
+        row_number() OVER win AS pos,
+        CASE WHEN count(*) OVER (win ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) = 10
+             THEN avg(zval) OVER (win ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        END AS roll_mean_z,
+        CASE WHEN sum(deviating) OVER (win ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 5
+             THEN 1 ELSE 0 END AS dev_run,
+        CASE WHEN max(l_quantity) OVER (win ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) <= 10
+             THEN 1 ELSE 0 END AS low_qty_run
+    FROM z
+    WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber,
+                   l_extendedprice, l_quantity)
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, pos,
+       round(zval, 4) AS z,
+       deviating,
+       round(roll_mean_z, 4) AS roll_mean_z,
+       dev_run, low_qty_run
+FROM w
+"""
+
+
+@register("gi_scan_flagship", oracle=_ORACLE, tags=("flagship", "W2", "W3", "W4", "W5", "W6", "P8"))
+def gi_scan_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # Genome order == per-partition sort; ties broken on the unique
+    # (orderkey, linenumber) key so Spark and the oracle agree exactly.
+    win = Window.partitionBy("l_suppkey").orderBy(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    part = Window.partitionBy("l_suppkey")
+    roll10 = win.rowsBetween(-9, 0)
+    roll20 = win.rowsBetween(-19, 0)
+    roll5 = win.rowsBetween(-4, 0)
+
+    z = (F.col("l_extendedprice") - F.avg("l_extendedprice").over(part)) / F.stddev_samp(
+        "l_extendedprice"
+    ).over(part)
+    df = (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .withColumn("zval", z)
+        .withColumn("deviating", F.when(F.abs(F.col("zval")) >= 1.5, 1).otherwise(0))
+    )
+    df = (
+        df.withColumn("pos", F.row_number().over(win))
+        # pandas rolling(10) parity: null until the frame holds 10 rows.
+        .withColumn(
+            "roll_mean_z",
+            F.when(F.count(F.lit(1)).over(roll10) == 10, F.avg("zval").over(roll10)),
+        )
+        .withColumn("dev_run", (F.sum("deviating").over(roll20) > 5).cast("int"))
+        .withColumn("low_qty_run", (F.max("l_quantity").over(roll5) <= 10).cast("int"))
+    )
+    return df.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "pos",
+        F.round("zval", 4).alias("z"),
+        "deviating",
+        F.round("roll_mean_z", 4).alias("roll_mean_z"),
+        "dev_run",
+        "low_qty_run",
+    )

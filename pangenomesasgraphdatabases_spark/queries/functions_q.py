@@ -1,0 +1,200 @@
+"""Scalar function surface (SURVEY.md section 2.8) as oracle-backed queries.
+
+Everything here stays JVM-side (built-in pyspark.sql.functions inside
+whole-stage codegen); the genuinely-Python functions (delta encode,
+CAI) live in pangenomesasgraphdatabases_spark.functions.sequence as
+pandas_udfs and are exercised by pytest (not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.queries.registry import register
+
+
+@register(
+    "split_filter_hof",
+    oracle="""
+    SELECT p_partkey,
+           list_filter(string_split(p_type, ' '), x -> x != 'PLATED') AS type_words,
+           len(list_filter(string_split(p_type, ' '), x -> x != 'PLATED')) AS n_words
+    FROM part
+    """,
+    tags=("F1", "F12"),
+)
+def split_filter_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: split + filtered comprehension
+    (`[x in split(feature,";") WHERE not x="0"]`,
+    01_creatingDatabase.cypher:39) via higher-order functions."""
+    p = table(spark, sf_dir, "part")
+    words = F.filter(F.split("p_type", " "), lambda x: x != F.lit("PLATED"))
+    return p.select(
+        "p_partkey", words.alias("type_words"), F.size(words).alias("n_words")
+    )
+
+
+@register(
+    "replace_chains",
+    oracle="""
+    SELECT p_partkey,
+           replace(replace(p_name, ' ', '_'), 'green', 'GREEN') AS cleaned,
+           regexp_replace(p_brand, '#[0-9]+$', '', 'g') AS brand_stem
+    FROM part
+    """,
+    tags=("F2",),
+)
+def replace_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: replace chains (cypher-escaping replaces,
+    pirateToDatabase.py:88, 120-123)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(
+            F.regexp_replace("p_name", " ", "_"), "green", "GREEN"
+        ).alias("cleaned"),
+        F.regexp_replace("p_brand", "#[0-9]+$", "").alias("brand_stem"),
+    )
+
+
+@register(
+    "header_field_extraction",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_type, ' ')[1] AS finish,
+           string_split(p_type, ' ')[-1] AS material,
+           replace(p_brand, 'Brand#', '') AS brand_num
+    FROM part
+    """,
+    tags=("F3", "F4"),
+)
+def header_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: delimited field extraction (FASTA header split
+    `line.split(";")[0].replace(">","")`, pirateToDatabase.py:46-48)."""
+    p = table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(words, 1).alias("finish"),
+        F.element_at(words, -1).alias("material"),
+        F.regexp_replace("p_brand", "Brand#", "").alias("brand_num"),
+    )
+
+
+@register(
+    "substring_by_coordinates",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 3, 8) AS sub,
+           substr(p_name, 1, CAST(p_size AS INTEGER)) AS prefix_by_size
+    FROM part
+    """,
+    tags=("F5",),
+)
+def substring_by_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: 1-based coordinate substring (fullSequence[start-1:end],
+    pirateToDatabase.py:269)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 3, 8).alias("sub"),
+        F.expr("substring(p_name, 1, CAST(p_size AS INT))").alias("prefix_by_size"),
+    )
+
+
+@register(
+    "gc_content_translate",
+    oracle="""
+    SELECT p_partkey,
+           round(100.0 * (length(p_name)
+                 - length(translate(upper(p_name), 'AEIOU', '')))
+                 / length(p_name), 4) AS vowel_pct
+    FROM part
+    WHERE length(p_name) > 0
+    """,
+    tags=("F8",),
+)
+def gc_content_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: GC-content formula 100*(G+C+S)/len via translate — the exact
+    UDF-free pattern used for Bio.SeqUtils.GC
+    (extendingDB_FeatureAndStrainMetrics.py:51), applied to vowels of
+    p_name on the star schema."""
+    p = table(spark, sf_dir, "part")
+    name_u = F.upper("p_name")
+    pct = (
+        100.0
+        * (F.length("p_name") - F.length(F.translate(name_u, "AEIOU", "")))
+        / F.length("p_name")
+    )
+    return p.filter(F.length("p_name") > 0).select(
+        "p_partkey", F.round(pct, 4).alias("vowel_pct")
+    )
+
+
+@register(
+    "array_transform_aggregate",
+    oracle="""
+    SELECT p_partkey,
+           list_transform(string_split(p_type, ' '), x -> length(x)) AS word_lens,
+           CAST(list_sum(list_transform(string_split(p_type, ' '), x -> length(x)))
+                AS BIGINT) AS total_len
+    FROM part
+    """,
+    tags=("F12",),
+)
+def array_transform_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: array comprehension + reduce
+    (`[f in nodes(path)[1..-1] | f.GC]`, RGPs.ipynb:484-488) via
+    transform + aggregate higher-order functions."""
+    p = table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    lens = F.transform(words, lambda x: F.length(x))
+    total = F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return p.select("p_partkey", lens.alias("word_lens"), total.alias("total_len"))
+
+
+@register(
+    "welch_ttest_from_stats",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS m1,
+               stddev_samp(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS s1,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n1,
+               avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS m2,
+               stddev_samp(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS s2,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n2
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((m1 - m2) / sqrt(s1*s1/n1 + s2*s2/n2), 4) AS t_stat
+    FROM stats
+    WHERE n1 > 1 AND n2 > 1
+    """,
+    tags=("F14",),
+)
+def welch_ttest_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: Welch two-sample t statistic from summary stats
+    (ttest_ind_from_stats, RGPs.ipynb:1033-1077) as pure column math."""
+    o = table(spark, sf_dir, "orders")
+    f = F.col("o_orderstatus") == "F"
+    ofl = F.col("o_orderstatus") == "O"
+    stats = o.groupBy("o_orderpriority").agg(
+        F.avg(F.when(f, F.col("o_totalprice"))).alias("m1"),
+        F.stddev_samp(F.when(f, F.col("o_totalprice"))).alias("s1"),
+        F.count(F.when(f, 1)).alias("n1"),
+        F.avg(F.when(ofl, F.col("o_totalprice"))).alias("m2"),
+        F.stddev_samp(F.when(ofl, F.col("o_totalprice"))).alias("s2"),
+        F.count(F.when(ofl, 1)).alias("n2"),
+    )
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(
+        F.col("s1") * F.col("s1") / F.col("n1") + F.col("s2") * F.col("s2") / F.col("n2")
+    )
+    return (
+        stats.filter((F.col("n1") > 1) & (F.col("n2") > 1))
+        .select("o_orderpriority", "n1", "n2", F.round(t, 4).alias("t_stat"))
+    )

@@ -1,0 +1,574 @@
+"""Core relational operators (SURVEY.md sections 2.2, 2.3, 2.4, 2.6, 2.7)
+mapped onto the driver's star schema.
+
+Each query cites the reference operator id it re-expresses; the domain
+-shaped implementations live in pangenomesasgraphdatabases_spark.graph,
+these star-schema isomorphs provide the DuckDB-oracle correctness gate
+(FIXTURES.md section 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.queries.registry import register
+
+
+# --------------------------------------------------------------------------
+# Projections / filters (P1-P7)
+# --------------------------------------------------------------------------
+
+@register(
+    "typed_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           upper(l_returnflag) AS flag,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price
+    FROM lineitem
+    """,
+    tags=("P1", "P2"),
+)
+def typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: column projection + rename + explicit casts.
+
+    Reference: pirateToDatabase.py:25-28 (usecols + rename),
+    01_creatingDatabase.cypher:4-14 (toInteger/toString cast blocks).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.upper("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double").alias("net_price"),
+    )
+
+
+@register(
+    "threshold_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_size
+    FROM part
+    WHERE p_size > 40 OR p_retailprice > 1200.0
+    """,
+    tags=("P3",),
+)
+def threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: numeric threshold filter (c.number_genomes > 0.95*770,
+    RGPs.ipynb:452)."""
+    p = table(spark, sf_dir, "part")
+    return p.filter((F.col("p_size") > 40) | (F.col("p_retailprice") > 1200.0)).select(
+        "p_partkey", "p_name", "p_size"
+    )
+
+
+@register(
+    "contains_predicate",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name LIKE '%green%' OR p_name LIKE '%red%'
+    """,
+    tags=("P6",),
+)
+def contains_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: string-contains predicate (name CONTAINS 'integrase' OR
+    'transposase', RGPs.ipynb:466)."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").contains("green") | F.col("p_name").contains("red")
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "null_predicate_backfill",
+    oracle="""
+    SELECT c.c_custkey, coalesce(o.order_count, 0) AS order_count,
+           CASE WHEN o.order_count IS NULL THEN 1 ELSE 0 END AS is_orderless
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("P5", "J4", "J5"),
+)
+def null_predicate_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J4/J5: left outer join with null-indicator + coalesce backfill.
+
+    Reference: pirateToDatabase.py:238-240 (left merge with indicator),
+    01_creatingDatabase.cypher:131 (IS NULL backfill).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        F.when(F.col("order_count").isNull(), 1).otherwise(0).alias("is_orderless"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J1, J7, J8, semi, self-join J3, J16)
+# --------------------------------------------------------------------------
+
+@register(
+    "multiway_join_revenue",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("J1", "J7", "A1"),
+)
+def multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: graph pattern as multi-way equi-join (feature-cluster-strain
+    chains, 01_creatingDatabase.cypher:61-68, RGPs.ipynb:470).
+
+    nation/region are tiny dims -> broadcast (SURVEY.md section 4).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "anti_join_orderless",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("J8",),
+)
+def anti_join_orderless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: anti-join (features without ORTHOLOG edge,
+    01_creatingDatabase.cypher:71-72) — customers with no urgent order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "semi_join_active_parts",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    tags=("J8", "J15"),
+)
+def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join / point-lookup-join batch form (J15: N point lookups
+    collapse to one join, RGPs.ipynb:3381-3402)."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+@register(
+    "self_join_adjacent",
+    oracle="""
+    SELECT a.l_orderkey AS okey,
+           a.l_linenumber AS src_line, b.l_linenumber AS dst_line,
+           a.l_partkey AS src_part, b.l_partkey AS dst_part
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+    """,
+    tags=("J3",),
+)
+def self_join_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: self-join with aliases (alignedSeq x alignedSeq,
+    pirateToDatabase.py:131-132); adjacency within a group."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("okey"),
+        F.col("a.l_linenumber").alias("src_line"),
+        F.col("b.l_linenumber").alias("dst_line"),
+        F.col("a.l_partkey").alias("src_part"),
+        F.col("b.l_partkey").alias("dst_part"),
+    )
+
+
+@register(
+    "merge_distinct_membership",
+    oracle="""
+    SELECT DISTINCT c.c_nationkey AS nationkey, o.o_orderpriority AS priority
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("J16", "A6"),
+)
+def merge_distinct_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: MERGE-as-distinct-join (CLUSTER_IN_STRAIN membership edges,
+    01_creatingDatabase.cypher:148-153)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_nationkey").alias("nationkey"), F.col("o_orderpriority").alias("priority"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1, A2, A3/P4, A5-A8, A11, A12, A13)
+# --------------------------------------------------------------------------
+
+@register(
+    "group_avg_stddev",
+    oracle="""
+    SELECT c_nationkey,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(stddev_samp(c_acctbal), 4) AS std_bal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("A1",),
+)
+def group_avg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-group avg + sample stddev (per-strain GC/CAI stats,
+    02_addNucleotideCompositionMetrics.cypher:14-28; Neo4j stDev is the
+    sample stddev -> stddev_samp)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "group_collect_list",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS number_of_members,
+           list(l_partkey ORDER BY l_partkey) AS members
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("A2", "A14"),
+)
+def group_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A14: count + collect_list per group (cluster NEIGHBOUR edge
+    aggregation keeps duplicate members, 01_creatingDatabase.cypher:
+    97-106).  Lists are sorted so both engines hash identically."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("number_of_members"),
+        F.sort_array(F.collect_list("l_partkey")).alias("members"),
+    )
+
+
+@register(
+    "ratio_filter_on_aggregate",
+    oracle="""
+    WITH sup AS (
+        SELECT l_suppkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l.l_suppkey, CAST(count(*) AS BIGINT) AS n_big_items
+    FROM lineitem l JOIN sup s ON l.l_suppkey = s.l_suppkey
+    WHERE l.l_quantity > 0.0015 * s.total_qty
+    GROUP BY l.l_suppkey
+    """,
+    tags=("A3", "P4"),
+)
+def ratio_filter_on_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+P4: aggregate per node, join back, ratio filter
+    (nb_out = sum of edge members then 0.7*nb_out < members,
+    RGPs.ipynb:456-462)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
+    return (
+        li.join(sup, "l_suppkey")
+        .filter(F.col("l_quantity") > 0.0015 * F.col("total_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_big_items"))
+    )
+
+
+@register(
+    "histogram_binned",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("A8",),
+)
+def histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: histogram as binned groupBy-count (plt.hist over insertion
+    sizes etc., RGPs.ipynb cells 14-16)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_extendedprice") / 500.0).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "having_core_selection",
+    oracle="""
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_uses
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) > 35
+    """,
+    tags=("A11",),
+)
+def having_core_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: HAVING-style core selection (clusters in >95% of insertions,
+    RGPs.ipynb:3358-3373)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_uses"))
+        .filter(F.col("n_uses") > 35)
+    )
+
+
+@register(
+    "pivot_presence_matrix",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS status_o,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS status_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A12",),
+)
+def pivot_presence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: presence/pivot matrix (insertion x cluster occurrence counts,
+    RGPs.ipynb:2156-2185).  Expressed as conditional aggregation so the
+    wide-column names are controlled on both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("status_o"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("status_f"),
+    )
+
+
+@register(
+    "scalar_aggregates",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(l_extendedprice), 4) AS max_price,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    """,
+    tags=("A13", "A6"),
+)
+def scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: scalar aggregates (shape[0], max(), std(), RGPs.ipynb:910+)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "group_min_mean_max",
+    oracle="""
+    SELECT o_orderpriority,
+           round(min(o_totalprice), 4) AS min_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A7",),
+)
+def group_min_mean_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: min/mean/max per group (distance stats per anchor pair,
+    RGPs.ipynb:1707-1724)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k (O1-O4)
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_parts_by_revenue",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY sum(l_extendedprice) DESC, l_partkey ASC
+    LIMIT 10
+    """,
+    tags=("O3",),
+)
+def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-k (10 largest insertion clusters, RGPs.ipynb:2840-2845).
+    Deterministic tie-break on the key."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("rev_raw"))
+        .orderBy(F.desc("rev_raw"), F.asc("l_partkey"))
+        .limit(10)
+        .select("l_partkey", F.round("rev_raw", 2).alias("revenue"))
+    )
+
+
+@register(
+    "argmax_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_bal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    """,
+    tags=("O4", "P11"),
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/P11: argmax row selection (strain achieving max distance,
+    RGPs.ipynb cells 54-66) via row_number window."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_custkey").alias("top_custkey"),
+            F.col("c_acctbal").alias("top_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1-U5)
+# --------------------------------------------------------------------------
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_brand FROM (
+        SELECT p_partkey, p_brand FROM part WHERE p_size > 45
+        UNION ALL
+        SELECT p_partkey, p_brand FROM part WHERE p_retailprice > 1800.0
+    )
+    """,
+    tags=("U1", "U2"),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: union-all then distinct (concat of per-strain frames,
+    pirateToDatabase.py:27; accumulated set union, RGPs.ipynb:2156)."""
+    p = table(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") > 45).select("p_partkey", "p_brand")
+    b = p.filter(F.col("p_retailprice") > 1800.0).select("p_partkey", "p_brand")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "canonical_pair_dedup",
+    oracle="""
+    SELECT least(a.l_partkey, b.l_partkey) AS part_lo,
+           greatest(a.l_partkey, b.l_partkey) AS part_hi,
+           CAST(count(*) AS BIGINT) AS n_cooccur
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    tags=("U4",),
+)
+def canonical_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: symmetric-pair canonicalization ((min,max) anchor tuples,
+    RGPs.ipynb:1464-1474) — co-occurring part pairs within orders."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.select(
+            F.least(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("part_lo"),
+            F.greatest(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("part_hi"),
+        )
+        .groupBy("part_lo", "part_hi")
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= 2)
+    )
+
+
+@register(
+    "collect_set_membership",
+    oracle="""
+    SELECT l_suppkey,
+           list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    tags=("U5",),
+)
+def collect_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: membership set per group (anchor-pair -> set(strains),
+    RGPs.ipynb:1522-1543).  collect_set sorted for stable hashing."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
