@@ -1,1 +1,199 @@
-"""Placeholder — populated in a later milestone."""
+"""Windowed/sessionized analytics over the `events` table.
+
+Engine extension (the reference is batch-only, SURVEY.md section 2.9):
+the batch forms of the streaming operators — tumbling/sliding window
+aggregation, gap-based sessionization, JSON prop extraction.  The
+Structured Streaming forms (readStream + watermark) live in
+pangenomesasgraphdatabases_spark.streaming.events and are tested for
+batch-parity in tests/test_streaming.py.
+
+Timestamps are compared as epoch seconds (bigint) so Spark/DuckDB
+session-timezone differences cannot skew the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.queries.registry import register
+
+
+@register(
+    "events_tumbling_counts",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream", "tumbling"),
+)
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window counts per event type — the batch form
+    of the streaming aggregation (extension)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_avg",
+    oracle="""
+    WITH buckets AS (
+        SELECT e.*,
+               CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+                   - offs AS window_start
+        FROM events e, (SELECT unnest([0, 300]) AS offs)
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM buckets
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream", "sliding"),
+)
+def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    two windows) — batch form of the sliding streaming agg (extension)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch(ts) AS es,
+               lag(epoch(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_es
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, event_id, es,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY es, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(min(es)) AS BIGINT) AS session_start,
+           CAST(floor(max(es)) AS BIGINT) AS session_end
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    tags=("ext-stream", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session starts — the classic distributed sessionizer
+    (extension; streaming twin = session_window in streaming/events.py).
+    """
+    e = table(spark, sf_dir, "events")
+    # Epoch seconds from the exact nanos column (sub-second ordering
+    # parity with DuckDB's TIMESTAMP_NS).
+    es = F.col("ts_ns") / 1e9
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    marked = e.select("user_id", "event_id", es.alias("es")).withColumn(
+        "new_session",
+        F.when(
+            F.lag("es").over(w).isNull() | (F.col("es") - F.lag("es").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("session_no", F.sum("new_session").over(wsum))
+    return sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.min("es")).cast("bigint").alias("session_start"),
+        F.floor(F.max("es")).cast("bigint").alias("session_end"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS total_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext-stream", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (extension; the reference
+    has no JSON surface, SURVEY.md section 2.8 note)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("total_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream", "streaming", "watermark"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution (readStream -> watermark ->
+    window agg -> AvailableNow -> memory sink); with the full file as
+    one micro-batch the complete-mode result equals the batch
+    aggregation, so the batch oracle applies (extension)."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        tumbling_counts_stream,
+    )
+
+    return run_available_now(tumbling_counts_stream(events_stream(spark, sf_dir)), spark)

@@ -1,1 +1,387 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis + deduplication extensions over the `documents` table.
+
+Engine extensions beyond the reference (SURVEY.md section 7.2 step 7):
+the LLM-training-data-pipeline operators — exact dedup, fingerprinting,
+token counting, quality scoring, language-ID heuristic, MinHash
+signatures, LSH candidate generation with exact-Jaccard verification,
+and SimHash — each expressed JVM-side (no Python UDFs) with a DuckDB
+oracle.
+
+MinHash uses lexicographic min over md5(seed || shingle): md5 is
+identical in both engines, so signatures are byte-equal and the
+band-bucket join is reproducible.  At 100 TB the LSH path shuffles on
+(band hash) buckets instead of the O(n^2) pair space; the exact-Jaccard
+verify join runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.queries.registry import register
+
+_N_MINHASH = 4
+
+
+@register(
+    "doc_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+               AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           n_chars
+    FROM documents
+    """,
+    tags=("ext-text", "tokens"),
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (extension: token accounting for a
+    training-data pipeline)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    tags=("ext-text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (extension: content-defined identity for dedup)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@register(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("ext-text", "dedup"),
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy with min-id canonical choice
+    (extension).  Scale path: shuffle on content hash only."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(length(tok)), 4) AS avg_tok_len,
+               round(count(*) FILTER (WHERE tok IN ('the', 'a', 'of', 'and'))
+                     * 1.0 / count(*), 4) AS stopword_ratio,
+               round(count(DISTINCT tok) * 1.0 / count(*), 4) AS distinct_ratio
+        FROM toks GROUP BY doc_id
+    )
+    SELECT * FROM agg
+    """,
+    tags=("ext-text", "quality"),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token stats, stopword ratio, lexical diversity
+    (extension: heuristic quality scoring)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("tok")), 4).alias("avg_tok_len"),
+        F.round(
+            F.count(F.when(F.col("tok").isin("the", "a", "of", "and"), 1))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(F.countDistinct("tok") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle="""
+    WITH sc AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(' ' || text || ' ', ' '),
+                   x -> x IN ('the', 'a', 'of'))) AS en_score,
+               len(list_filter(string_split(' ' || text || ' ', ' '),
+                   x -> x IN ('le', 'la', 'et'))) AS fr_score,
+               len(list_filter(string_split(' ' || text || ' ', ' '),
+                   x -> x IN ('der', 'die', 'und'))) AS de_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score, fr_score, de_score,
+           CASE WHEN en_score >= fr_score AND en_score >= de_score
+                     AND en_score > 0 THEN 'en'
+                WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+                WHEN de_score > 0 THEN 'de'
+                ELSE 'unknown' END AS lang_pred
+    FROM sc
+    """,
+    tags=("ext-text", "lang-id"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic (extension).  The fixed
+    priority order breaks score ties identically in both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " ")
+
+    def score(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    sc = d.select(
+        "doc_id",
+        "lang",
+        score(("the", "a", "of")).alias("en_score"),
+        score(("le", "la", "et")).alias("fr_score"),
+        score(("der", "die", "und")).alias("de_score"),
+    )
+    return sc.withColumn(
+        "lang_pred",
+        F.when(
+            (F.col("en_score") >= F.col("fr_score"))
+            & (F.col("en_score") >= F.col("de_score"))
+            & (F.col("en_score") > 0),
+            "en",
+        )
+        .when((F.col("fr_score") >= F.col("de_score")) & (F.col("fr_score") > 0), "fr")
+        .when(F.col("de_score") > 0, "de")
+        .otherwise("unknown"),
+    )
+
+
+# --- MinHash / LSH near-duplicate detection --------------------------------
+
+_SHINGLES_SQL = """
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents
+        ), generate_series(1, 2000) t(i)
+        WHERE i + 2 <= len(toks)
+    )
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document, built JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return grams.distinct()
+
+
+@register(
+    "doc_minhash_signature",
+    oracle=f"""
+    WITH {_SHINGLES_SQL}
+    SELECT doc_id,
+           min(md5('0' || shingle)) AS h0,
+           min(md5('1' || shingle)) AS h1,
+           min(md5('2' || shingle)) AS h2,
+           min(md5('3' || shingle)) AS h3
+    FROM shingles
+    GROUP BY doc_id
+    """,
+    tags=("ext-text", "dedup", "minhash"),
+)
+def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (k=4) over word 3-gram shingles: min of
+    md5(seed || shingle) per seed — engine-portable minhash (extension;
+    the scale path for J11/J12-style similarity)."""
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(s)), F.col("shingle")))).alias(f"h{s}")
+            for s in range(_N_MINHASH)
+        ]
+    )
+
+
+@register(
+    "doc_lsh_near_dup_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id, min(md5('0' || shingle)) AS h0
+        FROM shingles GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN shingles s1 ON c.doc1 = s1.doc_id
+        JOIN shingles s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+        GROUP BY c.doc1, c.doc2
+    )
+    SELECT i.doc1, i.doc2, i.n_common,
+           round(CAST(i.n_common AS DOUBLE) / (z1.sz + z2.sz - i.n_common), 4)
+               AS jaccard
+    FROM inter i
+    JOIN sizes z1 ON i.doc1 = z1.doc_id
+    JOIN sizes z2 ON i.doc2 = z2.doc_id
+    """,
+    tags=("ext-text", "dedup", "lsh"),
+)
+def doc_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: band join on a minhash bucket
+    generates candidates, exact shingle-Jaccard verifies them
+    (extension).  Only candidate pairs pay the verification join."""
+    sh = _shingles(spark, sf_dir).cache()
+    sig = sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("0"), F.col("shingle")))).alias("h0")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = a.join(
+        b, (F.col("a.h0") == F.col("b.h0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    return (
+        inter.join(z1, "doc1")
+        .join(z2, "doc2")
+        .select("doc1", "doc2", "n_common", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _simhash_sql_bits() -> str:
+    terms = []
+    for i in range(16):
+        terms.append(
+            f"CASE WHEN sum(CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) >> {i}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "doc_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    )
+    SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash16
+    FROM toks
+    GROUP BY doc_id
+    """,
+    tags=("ext-text", "dedup", "simhash"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, sign of the sum of
+    +/-1 votes from each token's md5 (extension).  Near-dup docs end up
+    at small Hamming distance."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).distinct()
+    h = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    bits = None
+    for i in range(16):
+        vote = F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        )
+        term = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return toks.groupBy("doc_id").agg(bits.cast("bigint").alias("simhash16"))
+
+
+@register(
+    "media_feature_extract",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, i, ascii(substr(text, i, 1)) AS code, length(text) AS n
+        FROM documents, generate_series(1, 256) t(i)
+        WHERE i <= length(text)
+    )
+    SELECT doc_id AS media_id,
+           CAST(max(n) AS INTEGER) AS n_bytes,
+           CAST(sum(CASE WHEN i <= 64 THEN code ELSE 0 END) AS BIGINT) AS checksum,
+           round(sum(code) * 1.0 / least(max(n), 256), 4) AS feat_mean
+    FROM chars
+    GROUP BY doc_id
+    """,
+    tags=("ext-multimodal",),
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents wrapped as binary
+    media payloads, features extracted via mapInPandas Arrow batches
+    (operators/multimodal.py); byte-level oracle works because the
+    corpus is ASCII (extension)."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(d))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.round("feat_mean", 4).alias("feat_mean"),
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming surface over the events table.
+
+Engine extension — the reference is strictly batch (SURVEY.md section
+2.9).  The same logical aggregations as queries/events_q.py, expressed
+as readStream -> withWatermark -> window agg -> writeStream, runnable
+with Trigger.AvailableNow against the static parquet so batch parity
+is testable offline.  On a live cluster the identical code points at a
+directory/Kafka source.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos->micros
+    conversion applied (same surface as data.table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Streaming file source needs a directory: point at sf_dir and
+    # glob-filter to the events file.
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.select(
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming 5-minute tumbling counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming gap-based sessionization via session_window — the
+    built-in stateful operator twin of events_q.events_sessionize."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming DataFrame to completion with AvailableNow
+    into a memory sink; returns the materialized batch result."""
+    name = "snk_" + uuid.uuid4().hex[:8]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -1,0 +1,44 @@
+"""Structured Streaming parity: AvailableNow streaming result equals
+the batch aggregation (labeled engine extension, SURVEY.md 2.9)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_df(spark):
+    from pangenomesasgraphdatabases_spark.streaming.events import events_stream
+
+    return events_stream(spark, SF)
+
+
+def test_tumbling_stream_matches_batch(spark, stream_df):
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_tumbling_counts,
+    )
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        run_available_now,
+        tumbling_counts_stream,
+    )
+
+    got = run_available_now(tumbling_counts_stream(stream_df), spark)
+    want = events_tumbling_counts(spark, SF)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+
+
+def test_session_window_stream_runs(spark, stream_df):
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        run_available_now,
+        session_window_stream,
+    )
+
+    out = run_available_now(session_window_stream(stream_df), spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+    assert all(r.n_events >= 1 for r in rows)
