@@ -149,3 +149,79 @@ def to_spark(spark, fixture: Fixture):
         spark.createDataFrame(fixture.cluster_nodes),
         spark.createDataFrame(fixture.composition),
     )
+
+
+def write_raw_pirate_dir(out_dir: str) -> None:
+    """Materialize the fixture as a raw PIRATE-shaped directory tree
+    (FIXTURES.md section 1) for exercising the source parsers + ETL:
+    co-ords/<Strain>.tsv, PIRATE.gene_families.tsv,
+    representative_sequences.ffn, feature_sequences/<cluster>.fasta,
+    modified_gffs/<Strain>.gff."""
+    import pathlib
+
+    out = pathlib.Path(out_dir)
+    fx = build_fixture()
+    feats = fx.feature_nodes
+
+    (out / "co-ords").mkdir(parents=True, exist_ok=True)
+    for strain, grp in feats.groupby("Strain"):
+        with open(out / "co-ords" / f"{strain}.tsv", "w") as fh:
+            fh.write("Name\tGene\tStart\tEnd\tLength\tType\tStrand\tProduct\n")
+            for _, r in grp.iterrows():
+                fh.write(
+                    f"{r.Name}\tgene\t{r.Start}\t{r.End}\t{r.Length}"
+                    f"\t{r.FeatureType}\t{r.Strand}\t{r.Product}\n"
+                )
+
+    members: dict[str, list[str]] = {}
+    for _, r in feats.iterrows():
+        cl = None
+        for _, c in fx.cluster_nodes.iterrows():
+            if r.Name in c.feature.split(";"):
+                cl = c.allele_name
+                break
+        if cl:
+            members.setdefault(cl, []).append(r.Name)
+
+    strains = sorted(feats.Strain.unique())
+    with open(out / "PIRATE.gene_families.tsv", "w") as fh:
+        cols = [
+            "allele_name", "gene_family", "consensus_product", "threshold",
+            "number_genomes", "average_length",
+        ] + strains
+        fh.write("\t".join(cols) + "\n")
+        for _, c in fx.cluster_nodes.iterrows():
+            per_strain = {f.split("_")[0]: f for f in members.get(c.allele_name, [])}
+            row = [
+                c.allele_name, c.allele_name, c.consensus_product,
+                str(c.threshold), str(c.number_genomes), str(c.average_length),
+            ] + [per_strain.get(s, "") for s in strains]
+            fh.write("\t".join(row) + "\n")
+
+    with open(out / "representative_sequences.ffn", "w") as fh:
+        for _, c in fx.cluster_nodes.iterrows():
+            ref = members[c.allele_name][0]
+            fh.write(f">{c.allele_name};len=900;locus_tag={ref}\n")
+            fh.write(_seq(c.allele_name) + "\n")
+
+    (out / "feature_sequences").mkdir(exist_ok=True)
+    for cl, fids in members.items():
+        with open(out / "feature_sequences" / f"{cl}.nucleotide.fasta", "w") as fh:
+            for fid in fids:
+                fh.write(f">{fid}\n{_seq(fid)}\n")
+
+    (out / "modified_gffs").mkdir(exist_ok=True)
+    for strain, grp in feats.groupby("Strain"):
+        genome_len = int(grp.End.max()) + 10
+        genome = list(_seq(strain + "_genome", genome_len))
+        for _, r in grp.iterrows():
+            if r.FullSequences:
+                genome[r.Start - 1 : r.End] = list(r.FullSequences[: r.End - r.Start + 1])
+        with open(out / "modified_gffs" / f"{strain}.gff", "w") as fh:
+            fh.write("##gff-version 3\n")
+            fh.write(f"{strain}\ttool\tregion\t1\t{genome_len}\t.\t+\t.\tID=chr\n")
+            fh.write("##FASTA\n")
+            fh.write(">chr1\n")
+            seq = "".join(genome)
+            for i in range(0, len(seq), 80):
+                fh.write(seq[i : i + 80] + "\n")
