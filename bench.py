@@ -27,6 +27,11 @@ HEADLINE = [
     "group_collect_list",
     "canonical_pair_dedup",
     "dice_similarity_pairs",
+    "doc_minhash_signature",
+    "doc_lsh_near_dup_pairs",
+    "ann_bruteforce_topk",
+    "events_sessionize",
+    "pangenome_rgp",
 ]
 
 

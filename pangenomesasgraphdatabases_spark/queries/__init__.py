@@ -20,6 +20,7 @@ def _load_all() -> None:
         vectors_q,
         events_q,
         graph_q,
+        analytics_q,
     )
 
     _LOADED = True

@@ -1,0 +1,122 @@
+"""Enrichment flows: decode round-trip, composition metrics, BLAST
+writeback, Newick distances, RGP post-analytics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.graph import fixtures as fx
+from pangenomesasgraphdatabases_spark.graph.enrich import (
+    blast_hits_from_xml,
+    composition_metrics,
+    enrich_clusters_with_blast,
+    enrich_features_with_composition,
+    reconstruct_full_sequences,
+)
+from pangenomesasgraphdatabases_spark.graph.fixtures import _seq
+from pangenomesasgraphdatabases_spark.sources.newick import (
+    leaf_distances,
+    parse_newick,
+    tree_distance_table,
+)
+
+
+def test_reconstruct_full_sequences_roundtrip(spark, pangenome):
+    """decode(variation, ref) must reproduce the member's aligned seq
+    (fixture encoded variation = encode(_seq(fid), _seq(cluster)))."""
+    seqs = reconstruct_full_sequences(pangenome)
+    rows = {r.feature_id: r.full_seq for r in seqs.collect()}
+    # Clustered CDS member in a non-shifted strain:
+    assert rows["S03_00012"] == _seq("S03_00012").replace("-", "")
+    # Representative members decode to themselves too.
+    assert len(rows) > 0
+
+
+def test_composition_and_writeback(spark, pangenome):
+    seqs = reconstruct_full_sequences(pangenome)
+    comp = composition_metrics(seqs)
+    r = comp.filter(F.col("featureID") == "S03_00012").collect()[0]
+    seq = _seq("S03_00012")
+    expect_gc = 100.0 * sum(c in "GCS" for c in seq) / len(seq)
+    assert math.isclose(r.GC, expect_gc, rel_tol=1e-9)
+    assert r.CAI is not None and 0 < r.CAI <= 1
+
+    g2 = enrich_features_with_composition(pangenome, comp)
+    strains = {s.name: s for s in g2.strains.collect()}
+    assert set(strains) == set(fx.STRAINS)
+    assert all(s.avg_GC is not None for s in strains.values())
+
+
+def test_blast_parse_and_enrich(spark, pangenome):
+    xml = """<BlastOutput><Iteration><Hit>
+      <Hit_def>Pseudomonas phage X</Hit_def>
+      <Hsp_bit-score>123.4</Hsp_bit-score>
+      <Hsp_evalue>1e-30</Hsp_evalue>
+    </Hit><Hit>
+      <Hit_def>Phage Y</Hit_def>
+      <Hsp_bit-score>50.1</Hsp_bit-score>
+      <Hsp_evalue>0.002</Hsp_evalue>
+    </Hit></Iteration></BlastOutput>"""
+    hits_in = spark.createDataFrame([("CORE_10", xml)], ["cluster_id", "xml"])
+    hits = blast_hits_from_xml(hits_in)
+    got = hits.collect()
+    assert {(r.title, r.score) for r in got} == {
+        ("Pseudomonas phage X", 123.4),
+        ("Phage Y", 50.1),
+    }
+    enriched = enrich_clusters_with_blast(pangenome.clusters, hits)
+    r = enriched.filter(F.col("cluster_id") == "CORE_10").collect()[0]
+    assert r.hasBlastVirusHit is True
+    assert r.blastTitlesVirus == ["Phage Y", "Pseudomonas phage X"]
+    other = enriched.filter(F.col("cluster_id") == "CORE_11").collect()[0]
+    assert other.hasBlastVirusHit is False
+
+
+def test_newick_distances(spark):
+    tree = "((A:1,B:2):0.5,(C:1.5,D:0.5):1);"
+    d = leaf_distances(parse_newick(tree))
+    assert math.isclose(d[("A", "B")], 3.0)
+    assert math.isclose(d[("A", "C")], 1 + 0.5 + 1 + 1.5)
+    df = tree_distance_table(spark, tree)
+    assert df.count() == 12  # 6 pairs x 2 orientations
+    row = df.filter("strain1 = 'B' and strain2 = 'D'").collect()[0]
+    assert math.isclose(row.distance, 2 + 0.5 + 1 + 0.5)
+
+
+def test_rgp_analysis(spark, pangenome):
+    from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        anchor_pair_distance_stats,
+        complete_linkage_clusters,
+        insertion_dice_similarity,
+        insertion_ttests,
+    )
+
+    rgps = find_rgps(pangenome).cache()
+
+    t = insertion_ttests(rgps).collect()
+    assert len(t) == 2
+    for r in t:
+        # Accessory GC ~70 vs strain bg ~50.x => strongly positive t.
+        assert r.insertion_avg_GC > 69
+        assert r.t_GC > 3
+
+    tree = "((S01:1,S02:1):2,(S03:1,(S04:1,S05:1):1):1,(S06:1,S07:1,S08:1):1);"
+    dist = tree_distance_table(spark, tree)
+    stats = anchor_pair_distance_stats(rgps, dist).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    assert s.n_pairs == 1  # S01-S02 only
+    assert math.isclose(s.min_dist, 2.0)
+
+    sim = insertion_dice_similarity(rgps).collect()
+    assert len(sim) == 1  # identical cluster sets in S01 & S02
+    assert math.isclose(sim[0].dice, 1.0)
+
+    labels = complete_linkage_clusters(
+        [("i1", "i2", 0.1), ("i1", "i3", 0.9), ("i2", "i3", 0.8)], threshold=0.3
+    )
+    assert labels["i1"] == labels["i2"]
+    assert labels["i1"] != labels["i3"]
