@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 _DIFF_RE = re.compile(r"(\d+)(\D)")
 
@@ -107,3 +107,58 @@ def cai(seq: pd.Series) -> pd.Series:
     # Weight table constructed once per Arrow batch, mirroring the
     # reference's construct-once CodonAdaptationIndex object.
     return pd.Series([cai_py(s) for s in seq], dtype="float64")
+
+
+# --- Translation / CDS sanity (F10) ----------------------------------------
+
+_CODON_TABLE = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L",
+    "CTT": "L", "CTC": "L", "CTA": "L", "CTG": "L",
+    "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V",
+    "TCT": "S", "TCC": "S", "TCA": "S", "TCG": "S",
+    "CCT": "P", "CCC": "P", "CCA": "P", "CCG": "P",
+    "ACT": "T", "ACC": "T", "ACA": "T", "ACG": "T",
+    "GCT": "A", "GCC": "A", "GCA": "A", "GCG": "A",
+    "TAT": "Y", "TAC": "Y", "TAA": "*", "TAG": "*",
+    "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q",
+    "AAT": "N", "AAC": "N", "AAA": "K", "AAG": "K",
+    "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "TGT": "C", "TGC": "C", "TGA": "*", "TGG": "W",
+    "CGT": "R", "CGC": "R", "CGA": "R", "CGG": "R",
+    "AGT": "S", "AGC": "S", "AGA": "R", "AGG": "R",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G",
+}
+_COMPLEMENT = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def reverse_complement_py(seq: str) -> str:
+    return seq.translate(_COMPLEMENT)[::-1]
+
+
+def translate_py(seq: str) -> str:
+    """Standard-table DNA->protein translation ('X' for unknown codons,
+    '*' for stops) — the Biopython translate() stand-in for the CDS
+    sanity check (convert_refseq_to_prokka_gff.py:84-88)."""
+    s = seq.upper()
+    return "".join(
+        _CODON_TABLE.get(s[i : i + 3], "X") for i in range(0, len(s) - 2, 3)
+    )
+
+
+def has_premature_stop_py(seq: str | None, strand: str | None) -> bool:
+    """True if the strand-oriented translation contains an internal
+    stop ('*' anywhere except the final codon,
+    convert_refseq_to_prokka_gff.py:84-88)."""
+    if not seq:
+        return False
+    oriented = reverse_complement_py(seq) if strand == "-" else seq
+    return "*" in translate_py(oriented)[:-1]
+
+
+@pandas_udf(BooleanType())
+def has_premature_stop(seq: pd.Series, strand: pd.Series) -> pd.Series:
+    return pd.Series(
+        [has_premature_stop_py(s, st) for s, st in zip(seq, strand)],
+        dtype="bool",
+    )

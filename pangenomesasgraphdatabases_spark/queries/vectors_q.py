@@ -180,3 +180,54 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
         )
     )
+
+
+@register(
+    "emb_cosine_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    d AS (
+        SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+               sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                 / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+                 AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id, generate_series(1, 64) t(i)
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec1, vec2, round(cosine, 4) AS cosine
+    FROM d WHERE cosine >= 0.35
+    """,
+    tags=("ext-vector", "dedup", "near-dup"),
+)
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (extension): exact
+    all-pairs baseline with cosine >= 0.35; the hyperplane-LSH bucket
+    variant (ann_lsh_buckets) is the candidate-generation scale path
+    that avoids the O(n^2) pair space."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("vec1") < F.col("vec2"))
+    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+    return (
+        pairs.select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec1", "vec2", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+@register(
+    "approx_distinct_extension",
+    oracle=None,  # HLL sketches differ across engines -> rows-only check
+    tags=("ext-olap", "approx"),
+)
+def approx_distinct_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per group — approximate
+    aggregate extension (SURVEY.md section 2.4 note); sketch values are
+    engine-specific so the driver records the weaker rows-only check."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -1,0 +1,173 @@
+"""GFF3 cleanup/filter converter (SURVEY.md S9/P10/F10).
+
+Reference: 01_fileConversion/convert_refseq_to_prokka_gff.py:20-112 —
+keep only CDS/tRNA/pseudogene features (:67), skip features
+overlapping the previously *kept* feature (:69-70, sequential
+cascade), drop CDS whose genomic sequence has len%3>0, len<34, or an
+internal stop codon after strand-aware translation (:73-89), then
+de-duplicate IDs by suffixing .1/.2/... (:91-95), emitting in
+(seqid, start) order.
+
+Spark shape: the type filter and CDS sequence checks are declarative
+(filter + join + pandas_udf); the overlap cascade and ID numbering are
+order-dependent per genome, so they run in applyInPandas with one
+group per input file — the same unit of sequential work as the
+reference (one process per GFF), but distributed across files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pangenomesasgraphdatabases_spark.functions.sequence import has_premature_stop
+
+_STEM = r"([^/]+?)\.[^/]*$"
+
+GFF_COLS = [
+    "file",
+    "seqid",
+    "source",
+    "feature_type",
+    "start",
+    "end",
+    "score",
+    "strand",
+    "phase",
+    "attributes",
+    "feature_id",
+]
+
+
+def parse_gff_features(spark: SparkSession, path: str) -> DataFrame:
+    """GFF body (before ##FASTA) -> one row per feature.  Commas are
+    stripped file-wide as the reference does (:24), ##-directives and
+    the FASTA tail dropped."""
+    lines = (
+        spark.read.text(path)
+        .withColumn("file", F.regexp_extract(F.input_file_name(), _STEM, 1))
+        .withColumn("value", F.regexp_replace("value", ",", ""))
+    )
+    # Mark FASTA-tail lines per file: a running max over the ##FASTA
+    # marker; everything after it is sequence data.
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("file")
+        .orderBy(F.monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lines = lines.withColumn(
+        "in_fasta", F.max((F.col("value") == "##FASTA").cast("int")).over(w)
+    )
+    body = lines.filter(
+        (F.col("in_fasta") == 0)
+        & ~F.col("value").startswith("#")
+        & (F.length(F.trim("value")) > 0)
+    )
+    c = F.split("value", "\t")
+    return body.select(
+        "file",
+        F.split(F.element_at(c, 1), " ")[0].alias("seqid"),
+        F.element_at(c, 2).alias("source"),
+        F.element_at(c, 3).alias("feature_type"),
+        F.element_at(c, 4).cast("int").alias("start"),
+        F.element_at(c, 5).cast("int").alias("end"),
+        F.element_at(c, 6).alias("score"),
+        F.element_at(c, 7).alias("strand"),
+        F.element_at(c, 8).alias("phase"),
+        F.element_at(c, 9).alias("attributes"),
+        F.regexp_extract(F.element_at(c, 9), r"ID=([^;]+)", 1).alias("feature_id"),
+    ).filter(F.col("start").isNotNull())
+
+
+def read_gff_scaffolds(spark: SparkSession, path: str) -> DataFrame:
+    """FASTA tail -> one row per scaffold: (file, seqid, seq)."""
+    whole = (
+        spark.read.text(path, wholetext=True)
+        .withColumn("file", F.regexp_extract(F.input_file_name(), _STEM, 1))
+        .withColumn("value", F.regexp_replace("value", ",", ""))
+    )
+    tail = whole.select(
+        "file", F.substring_index("value", "##FASTA", -1).alias("fasta")
+    )
+    recs = tail.select(
+        "file", F.explode(F.split("fasta", ">")).alias("rec")
+    ).filter(F.length(F.trim("rec")) > 0)
+    return recs.select(
+        "file",
+        F.split(F.trim(F.substring_index("rec", "\n", 1)), " ")[0].alias("seqid"),
+        F.regexp_replace(
+            F.expr("substring(rec, instr(rec, '\n') + 1)"), "\n", ""
+        ).alias("seq"),
+    ).filter(F.length("seq") > 0)
+
+
+_CLEAN_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("seqid", T.StringType()),
+        T.StructField("feature_type", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("strand", T.StringType()),
+        T.StructField("feature_id", T.StringType()),
+    ]
+)
+
+
+def clean_gff(spark: SparkSession, path: str, ignore_overlapping: bool = True) -> DataFrame:
+    """Full S9 pipeline -> cleaned feature table."""
+    feats = parse_gff_features(spark, path)
+    scaffolds = read_gff_scaffolds(spark, path)
+
+    # P10 type whitelist (:67) — substring containment as in reference.
+    keep = (
+        F.col("feature_type").contains("CDS")
+        | F.col("feature_type").contains("pseudogene")
+        | F.col("feature_type").contains("tRNA")
+    )
+    feats = feats.filter(keep)
+
+    # CDS sequence checks (:73-89): substring the scaffold, then
+    # length%3 / min-length declaratively + translation check in a
+    # pandas_udf (F10).
+    j = feats.join(scaffolds, ["file", "seqid"], "left")
+    gene_seq = F.substring("seq", F.col("start"), F.col("end") - F.col("start") + 1)
+    j = j.withColumn("gene_seq", gene_seq).drop("seq")
+    is_cds = F.col("feature_type").contains("CDS")
+    bad_len = (F.length("gene_seq") % 3 > 0) | (F.length("gene_seq") < 34)
+    j = j.filter(~(is_cds & bad_len))
+    j = j.withColumn(
+        "premature", is_cds & has_premature_stop("gene_seq", "strand")
+    ).filter(~F.col("premature"))
+
+    # Sequential per-file stage: overlap cascade + ID numbering.
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["seqid", "start"], kind="mergesort")
+        out_rows = []
+        prev_chrom, prev_end = "", -1
+        ids: set[str] = set()
+        for r in pdf.itertuples(index=False):
+            if ignore_overlapping and r.seqid == prev_chrom and r.start < prev_end:
+                continue
+            fid = r.feature_id
+            c = 1
+            while fid in ids:
+                fid = fid + "." + str(c)
+                c += 1
+            ids.add(fid)
+            prev_chrom, prev_end = r.seqid, r.end
+            out_rows.append(
+                (r.file, r.seqid, r.feature_type, r.start, r.end, r.strand, fid)
+            )
+        return pd.DataFrame(out_rows, columns=[f.name for f in _CLEAN_SCHEMA.fields])
+
+    proj = j.select(
+        "file", "seqid", "feature_type", "start", "end", "strand", "feature_id"
+    )
+    return proj.groupBy("file").applyInPandas(finalize, _CLEAN_SCHEMA)

@@ -1,0 +1,26 @@
+"""Graph persistence round-trip + RGP equivalence on the reloaded graph."""
+
+from __future__ import annotations
+
+
+def test_save_load_roundtrip(spark, pangenome, tmp_path_factory):
+    from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
+    from pangenomesasgraphdatabases_spark.graph.storage import load_graph, save_graph
+
+    path = str(tmp_path_factory.mktemp("graph_store"))
+    save_graph(pangenome, path, strain_buckets=4)
+    g2 = load_graph(spark, path)
+
+    assert g2.features.count() == pangenome.features.count()
+    assert sorted(g2.features.columns) == sorted(pangenome.features.columns)
+    assert g2.cluster_neighbour.count() == pangenome.cluster_neighbour.count()
+
+    before = {
+        (r.StrainName, r.Anchor1ID, r.Anchor2ID, r.InsertionStart)
+        for r in find_rgps(pangenome).collect()
+    }
+    after = {
+        (r.StrainName, r.Anchor1ID, r.Anchor2ID, r.InsertionStart)
+        for r in find_rgps(g2).collect()
+    }
+    assert before == after and before
