@@ -21,6 +21,7 @@ def _load_all() -> None:
         events_q,
         graph_q,
         analytics_q,
+        sources_q,
     )
 
     _LOADED = True
