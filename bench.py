@@ -58,6 +58,31 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Reference-scale graph build: 770 strains x 6000 features = 4.62M
+    # feature nodes — the dataset behind BASELINE.md's ~2072 s Neo4j
+    # build.  Synthetic inputs are generated distributively, the whole
+    # vertex/edge DAG is forced end-to-end.
+    from pangenomesasgraphdatabases_spark.graph.build import build_graph
+    from pangenomesasgraphdatabases_spark.graph.fixtures import (
+        synthetic_feature_tables,
+    )
+
+    t0 = time.time()
+    f, c, comp = synthetic_feature_tables(spark, 770, 6000)
+    g = build_graph(spark, f, c, comp, persist=True)
+    for tbl in (
+        "features",
+        "clusters",
+        "ortholog",
+        "feature_neighbour",
+        "cluster_neighbour",
+        "feature_in_strain",
+        "cluster_in_strain",
+        "strains",
+    ):
+        getattr(g, tbl).write.format("noop").mode("overwrite").save()
+    timings["graph_build_770x6000"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

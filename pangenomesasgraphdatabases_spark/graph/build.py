@@ -244,11 +244,19 @@ def build_graph(
     feature_nodes: DataFrame,
     cluster_nodes: DataFrame,
     composition: DataFrame | None = None,
+    persist: bool = False,
 ) -> PangenomeGraph:
     """End-to-end graph build — one Catalyst DAG replacing the whole
-    hand-sequenced Cypher script (SURVEY.md section 3.2)."""
+    hand-sequenced Cypher script (SURVEY.md section 3.2).
+
+    persist=True caches the frames shared by several output tables
+    (features, ortholog) — use it when materializing the whole graph in
+    one pass (build job / save_graph); leave off when only one output
+    is consumed and Catalyst should fuse end-to-end."""
     features = load_feature_nodes(feature_nodes, composition)
     base_clusters = load_cluster_nodes(cluster_nodes)
+    if persist:
+        features = features.persist()
 
     ortho_base = ortholog_edges(features, base_clusters)
     lonely = lonely_clusters(features, ortho_base)
@@ -267,6 +275,9 @@ def build_graph(
             F.col("full_sequence")
         ),
     ).drop("_is_lonely")
+    if persist:
+        features = features.persist()
+        ortholog = ortholog.persist()
 
     clusters = base_clusters.unionByName(lonely)
     clusters = cluster_feature_types(clusters, ortholog, features)

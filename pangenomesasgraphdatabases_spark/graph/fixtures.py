@@ -225,3 +225,59 @@ def write_raw_pirate_dir(out_dir: str) -> None:
             seq = "".join(genome)
             for i in range(0, len(seq), 80):
                 fh.write(seq[i : i + 80] + "\n")
+
+
+def synthetic_feature_tables(spark, n_strains: int, features_per_strain: int):
+    """Spark-native scaled synthetic inputs for graph-build benchmarks:
+    generated distributively with spark.range (no driver loop), same
+    shape as the fixture tables.  Clusters: one per backbone ordinal
+    (present in every strain), every 97th feature lonely."""
+    from pyspark.sql import functions as F
+
+    n = n_strains * features_per_strain
+    base = spark.range(n).select(
+        (F.col("id") / features_per_strain).cast("int").alias("si"),
+        F.pmod(F.col("id"), features_per_strain).cast("int").alias("pos"),
+    )
+    feats = base.select(
+        F.format_string("T%04d_%05d", "si", "pos").alias("Name"),
+        (F.col("pos") * 1000 + 1).alias("Start"),
+        (F.col("pos") * 1000 + 900).alias("End"),
+        F.lit(900).alias("Length"),
+        F.when(F.pmod("pos", 2) == 0, "1").otherwise("-1").alias("Strand"),
+        F.when(F.pmod("pos", 3) == 0, "hypothetical protein")
+        .when(F.pmod("pos", 571) == 17, "putative phage integrase")
+        .otherwise(F.format_string("enzyme %d", "pos"))
+        .alias("Product"),
+        F.format_string("T%04d", "si").alias("Strain"),
+        F.when(F.pmod("pos", 29) == 5, "tRNA").otherwise("CDS").alias("FeatureType"),
+        F.lit("").alias("Variation"),
+        F.when(F.pmod(F.col("pos"), 97) == 3, F.lit("ACGTACGTACGT"))
+        .otherwise(F.lit(""))
+        .alias("FullSequences"),
+        F.pmod("pos", 97).alias("_lonely_mark"),
+        F.col("pos").alias("_pos"),
+    )
+    clustered = feats.filter(F.col("_lonely_mark") != 3)
+    clusters = clustered.groupBy(F.col("_pos").alias("ordinal")).agg(
+        F.sort_array(F.collect_list("Name")).alias("_fids"),
+        F.count(F.lit(1)).alias("number_genomes"),
+    )
+    cluster_nodes = clusters.select(
+        F.format_string("CL_%05d", "ordinal").alias("allele_name"),
+        F.format_string("consensus %d", "ordinal").alias("consensus_product"),
+        F.lit(50).alias("threshold"),
+        F.col("number_genomes").cast("int"),
+        F.lit(900).alias("min_length"),
+        F.lit(900).alias("max_length"),
+        F.lit(900.0).alias("average_length"),
+        F.concat_ws(";", "_fids").alias("feature"),
+        F.element_at("_fids", 1).alias("reference_locus"),
+        F.lit("ACGTACGTACGT").alias("Seq"),
+    )
+    composition = feats.select(
+        F.col("Name").alias("featureID"),
+        (50.0 + F.pmod("_pos", 100) / 10.0).alias("GC"),
+        (0.5 + F.pmod("_pos", 10) / 100.0).alias("CAI"),
+    )
+    return feats.drop("_lonely_mark", "_pos"), cluster_nodes, composition
