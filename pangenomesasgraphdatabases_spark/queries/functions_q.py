@@ -198,3 +198,36 @@ def welch_ttest_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n1") > 1) & (F.col("n2") > 1))
         .select("o_orderpriority", "n1", "n2", F.round(t, 4).alias("t_stat"))
     )
+
+
+@register(
+    "array_intersect_union",
+    oracle="""
+    WITH arrs AS (
+        SELECT p_partkey,
+               string_split(p_type, ' ') AS words,
+               string_split(p_name, ' ') AS name_words
+        FROM part
+    )
+    SELECT p_partkey,
+           list_sort(list_intersect(words, name_words)) AS common,
+           CAST(len(list_intersect(words, name_words)) AS INTEGER) AS n_common,
+           CAST(len(list_distinct(list_concat(words, name_words))) AS INTEGER)
+               AS n_union
+    FROM arrs
+    """,
+    tags=("U3", "F12"),
+)
+def array_intersect_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set intersection/union on array columns (common clusters of
+    two insertions, RGPs.ipynb:2087) via array_intersect/array_union."""
+    p = table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    name_words = F.split("p_name", " ")
+    inter = F.array_intersect(words, name_words)
+    return p.select(
+        "p_partkey",
+        F.array_sort(inter).alias("common"),
+        F.size(inter).alias("n_common"),
+        F.size(F.array_union(words, name_words)).alias("n_union"),
+    )
