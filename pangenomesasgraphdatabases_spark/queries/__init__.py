@@ -22,6 +22,7 @@ def _load_all() -> None:
         graph_q,
         analytics_q,
         sources_q,
+        sql_surface_q,
     )
 
     _LOADED = True
