@@ -157,3 +157,52 @@ def complete_linkage_clusters(
         clusters[i] |= clusters[j]
         del clusters[j]
     return {x: idx for idx, c in enumerate(clusters) for x in c}
+
+
+def core_clusters_per_group(
+    insertion_groups: DataFrame,
+    rgps: DataFrame,
+    clusters: DataFrame,
+    frac: float = 0.95,
+) -> DataFrame:
+    """A9-A11 + J15 (RGPs.ipynb cells 107-114): per insertion group,
+    the clusters present in more than `frac` of the group's insertions,
+    enriched with cluster metadata.
+
+    The reference pivots to a dense insertion x cluster matrix, prunes
+    zero columns (A9), counts non-zeros (A10), selects >95% columns
+    (A11) and then point-looks-up each cluster (J15 loop).  Long form
+    here: explode + distinct -> group counts -> having filter -> one
+    metadata join.
+
+    insertion_groups: (ins_id, group_id) — e.g. from
+    complete_linkage_clusters over insertion_dice_similarity output.
+    """
+    ins = rgps.select(
+        F.concat_ws(
+            "|", "StrainName", "Anchor1ID", "Anchor2ID", F.col("InsertionStart")
+        ).alias("ins_id"),
+        F.explode(F.array_distinct("InsertionListClusterID")).alias("cluster_id"),
+    )
+    with_groups = ins.join(insertion_groups, "ins_id")
+    sizes = (
+        with_groups.select("group_id", "ins_id")
+        .distinct()
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    counts = with_groups.groupBy("group_id", "cluster_id").agg(
+        F.countDistinct("ins_id").alias("n_insertions")
+    )
+    core = counts.join(sizes, "group_id").filter(
+        F.col("n_insertions") > frac * F.col("group_size")
+    )
+    meta = clusters.select("cluster_id", "description", "number_genomes")
+    return core.join(F.broadcast(meta), "cluster_id", "left").select(
+        "group_id",
+        "cluster_id",
+        "n_insertions",
+        "group_size",
+        "description",
+        "number_genomes",
+    )

@@ -120,3 +120,32 @@ def test_rgp_analysis(spark, pangenome):
     )
     assert labels["i1"] == labels["i2"]
     assert labels["i1"] != labels["i3"]
+
+
+def test_core_clusters_per_group(spark, pangenome):
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        core_clusters_per_group,
+    )
+
+    rgps = find_rgps(pangenome)
+    ins_ids = [
+        r.ins_id
+        for r in rgps.select(
+            F.concat_ws(
+                "|", "StrainName", "Anchor1ID", "Anchor2ID", F.col("InsertionStart")
+            ).alias("ins_id")
+        ).collect()
+    ]
+    groups = spark.createDataFrame([(i, 0) for i in ins_ids], ["ins_id", "group_id"])
+    core = core_clusters_per_group(groups, rgps, pangenome.clusters).collect()
+    # Both fixture insertions share the identical cluster set: anchors
+    # + 6 accessory clusters, all present in 2/2 insertions.
+    got = {r.cluster_id for r in core}
+    assert got == {"CORE_10", "CORE_11"} | {f"ACC_{k}" for k in range(1, 7)}
+    by_id = {r.cluster_id: r for r in core}
+    assert by_id["ACC_1"].group_size == 2
+    assert by_id["CORE_10"].number_genomes == 8
+    assert by_id["ACC_3"].description == "consensus ACC_3"
