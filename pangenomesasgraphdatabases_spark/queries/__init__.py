@@ -1,8 +1,82 @@
-"""Query modules self-register into the registry on import."""
+"""Query modules self-register into the registry on import.
+
+Registration ORDER matters: the driver's correctness gate checks the
+first 50 registered queries (VERDICT r1).  ``PRIORITY`` pins the
+highest-information queries — the domain layer (pangenome_*), raw-file
+ETL (etl_*), events, vectors, the LLM-pipeline text suite, and the
+operators whose §2 IDs are not already covered by an in-window query —
+into that window.  Queries not listed keep module order after the
+prioritized block (their r1 driver rows and pytest coverage stand).
+"""
 
 from __future__ import annotations
 
 _LOADED = False
+
+# First-50 driver window, in check order.  Names registered later (new
+# queries) may be listed here ahead of time; unknown names are skipped.
+PRIORITY = (
+    # flagship + domain layer (RGPs.ipynb / 01_creatingDatabase.cypher)
+    "gi_scan_flagship",
+    "pangenome_cluster_neighbour",
+    "pangenome_strain_stats",
+    "pangenome_build_summary",
+    "pangenome_rgp",
+    "pangenome_gi_scan",
+    # raw PIRATE-file ETL scans (pirateToDatabase.py)
+    "etl_coords_scan",
+    "etl_repr_headers",
+    "etl_neighbour_edges",
+    # events / streaming parity
+    "events_tumbling_counts",
+    "events_sliding_avg",
+    "events_sessionize",
+    "events_json_props",
+    "stream_tumbling_counts",
+    # vectors / ANN
+    "emb_norms",
+    "emb_label_stats",
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "emb_cosine_near_dup",
+    # LLM-data-pipeline text suite
+    "doc_token_count",
+    "doc_fingerprint",
+    "doc_exact_dedup",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_minhash_signature",
+    "doc_lsh_near_dup_pairs",
+    "doc_simhash",
+    "media_feature_extract",
+    "doc_tfidf_top_terms",
+    # r1 parity-bug fixes (stringified arrays, exact-accumulator z)
+    "zscore_vs_group",
+    "group_collect_list",
+    "collect_set_membership",
+    "split_filter_hof",
+    "array_transform_aggregate",
+    "array_intersect_union",
+    # statistics
+    "welch_ttest_pvalue",
+    "welch_ttest_from_stats",
+    # similarity trio (J10/J11/J12)
+    "dice_similarity_pairs",
+    "jaccard_distance_pairs",
+    "pairwise_distance_within_group",
+    # operator IDs not covered by any in-window query above
+    "multiway_join_revenue",       # J1
+    "anti_join_orderless",         # J8
+    "self_join_adjacent",          # J2/J3
+    "null_predicate_backfill",     # P5/J4
+    "argmax_per_group",            # P11/O4
+    "rolling_mean_min_periods",    # W3
+    "histogram_binned",            # A8
+    "having_core_selection",       # A11
+    "topk_parts_by_revenue",       # O3
+    "union_distinct",              # U1/U2
+)
 
 
 def _load_all() -> None:

@@ -26,16 +26,28 @@ from pangenomesasgraphdatabases_spark.data import table
 from pangenomesasgraphdatabases_spark.queries.registry import register
 
 _ORACLE = """
-WITH base AS (
-    SELECT
-        l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-        avg(l_extendedprice) OVER (PARTITION BY l_suppkey) AS sup_avg,
-        stddev_samp(l_extendedprice) OVER (PARTITION BY l_suppkey) AS sup_std
+WITH cents AS (
+    -- Engine-order-independent group stats: prices have 2 decimals, so
+    -- integer-cent sums and sums-of-squares are EXACT and Spark/DuckDB
+    -- agree bitwise regardless of aggregation order (double avg/stddev
+    -- accumulate in partition order and diverge in the last ulp,
+    -- flipping round(z, 4) — VERDICT r1).  z is scale-invariant, so
+    -- computing it in the cents domain changes nothing.
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS xi
     FROM lineitem
+), base AS (
+    SELECT *,
+        CAST(sum(xi) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS sup_s,
+        CAST(sum(xi * xi) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS sup_ss,
+        CAST(count(*) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS sup_n
+    FROM cents
 ), z AS (
     SELECT *,
-        (l_extendedprice - sup_avg) / sup_std AS zval,
-        CASE WHEN abs((l_extendedprice - sup_avg) / sup_std) >= 1.5
+        (CAST(xi AS DOUBLE) - sup_s / sup_n)
+            / sqrt((sup_ss - sup_s * sup_s / sup_n) / (sup_n - 1.0)) AS zval,
+        CASE WHEN abs((CAST(xi AS DOUBLE) - sup_s / sup_n)
+                 / sqrt((sup_ss - sup_s * sup_s / sup_n) / (sup_n - 1.0))) >= 1.5
              THEN 1 ELSE 0 END AS deviating
     FROM base
 ), w AS (
@@ -75,9 +87,14 @@ def gi_scan_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll20 = win.rowsBetween(-19, 0)
     roll5 = win.rowsBetween(-4, 0)
 
-    z = (F.col("l_extendedprice") - F.avg("l_extendedprice").over(part)) / F.stddev_samp(
-        "l_extendedprice"
-    ).over(part)
+    # Group stats from exact integer-cent accumulators (order-
+    # independent; see _ORACLE header) — then identical double math on
+    # both engines.  z is scale-invariant so the cents domain is exact.
+    xi = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("bigint")
+    s = F.sum(xi).over(part).cast("double")
+    ss = F.sum(xi * xi).over(part).cast("double")
+    n = F.count(F.lit(1)).over(part).cast("double")
+    z = (xi.cast("double") - s / n) / F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
     df = (
         li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .withColumn("zval", z)

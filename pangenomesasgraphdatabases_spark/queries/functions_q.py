@@ -19,7 +19,9 @@ from pangenomesasgraphdatabases_spark.queries.registry import register
     "split_filter_hof",
     oracle="""
     SELECT p_partkey,
-           list_filter(string_split(p_type, ' '), x -> x != 'PLATED') AS type_words,
+           coalesce(array_to_string(list_filter(string_split(p_type, ' '),
+                                                x -> x != 'PLATED'), ';'), '')
+               AS type_words,
            len(list_filter(string_split(p_type, ' '), x -> x != 'PLATED')) AS n_words
     FROM part
     """,
@@ -28,11 +30,15 @@ from pangenomesasgraphdatabases_spark.queries.registry import register
 def split_filter_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: split + filtered comprehension
     (`[x in split(feature,";") WHERE not x="0"]`,
-    01_creatingDatabase.cypher:39) via higher-order functions."""
+    01_creatingDatabase.cypher:39) via higher-order functions.  Output
+    stringified (split order kept — it IS the semantics); ArrayType
+    output crashes the driver's canonicalizer (VERDICT r1)."""
     p = table(spark, sf_dir, "part")
     words = F.filter(F.split("p_type", " "), lambda x: x != F.lit("PLATED"))
     return p.select(
-        "p_partkey", words.alias("type_words"), F.size(words).alias("n_words")
+        "p_partkey",
+        F.array_join(words, ";").alias("type_words"),
+        F.size(words).alias("n_words"),
     )
 
 
@@ -137,7 +143,8 @@ def gc_content_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_transform_aggregate",
     oracle="""
     SELECT p_partkey,
-           list_transform(string_split(p_type, ' '), x -> length(x)) AS word_lens,
+           array_to_string(list_transform(string_split(p_type, ' '),
+                                          x -> length(x)), ';') AS word_lens,
            CAST(list_sum(list_transform(string_split(p_type, ' '), x -> length(x)))
                 AS BIGINT) AS total_len
     FROM part
@@ -147,12 +154,19 @@ def gc_content_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_transform_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: array comprehension + reduce
     (`[f in nodes(path)[1..-1] | f.GC]`, RGPs.ipynb:484-488) via
-    transform + aggregate higher-order functions."""
+    transform + aggregate higher-order functions.  Lens list stringified
+    in split order (driver canonicalizer rejects ArrayType, VERDICT r1)."""
     p = table(spark, sf_dir, "part")
     words = F.split("p_type", " ")
     lens = F.transform(words, lambda x: F.length(x))
     total = F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    return p.select("p_partkey", lens.alias("word_lens"), total.alias("total_len"))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.transform(lens, lambda x: x.cast("string")), ";").alias(
+            "word_lens"
+        ),
+        total.alias("total_len"),
+    )
 
 
 @register(
@@ -210,7 +224,8 @@ def welch_ttest_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
     )
     SELECT p_partkey,
-           list_sort(list_intersect(words, name_words)) AS common,
+           coalesce(array_to_string(list_sort(list_intersect(words, name_words)),
+                                    ';'), '') AS common,
            CAST(len(list_intersect(words, name_words)) AS INTEGER) AS n_common,
            CAST(len(list_distinct(list_concat(words, name_words))) AS INTEGER)
                AS n_union
@@ -220,14 +235,16 @@ def welch_ttest_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_intersect_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: set intersection/union on array columns (common clusters of
-    two insertions, RGPs.ipynb:2087) via array_intersect/array_union."""
+    two insertions, RGPs.ipynb:2087) via array_intersect/array_union.
+    Intersection sorted + stringified (driver canonicalizer rejects
+    ArrayType, VERDICT r1); both engines dedupe the intersection."""
     p = table(spark, sf_dir, "part")
     words = F.split("p_type", " ")
     name_words = F.split("p_name", " ")
     inter = F.array_intersect(words, name_words)
     return p.select(
         "p_partkey",
-        F.array_sort(inter).alias("common"),
+        F.array_join(F.array_sort(inter), ";").alias("common"),
         F.size(inter).alias("n_common"),
         F.size(F.array_union(words, name_words)).alias("n_union"),
     )

@@ -69,6 +69,31 @@ _GRAPH_CTES = f"""
         JOIN cl c1 ON e.src = c1.feature_id
         JOIN cl c2 ON e.dst = c2.feature_id
         GROUP BY 1, 2
+    ),
+    stats_acc AS (  -- exact fixed-point accumulators (build._STAT_SCALE)
+        SELECT f.strain,
+               CAST(sum(CAST(round(c.GC * 100000.0) AS BIGINT)) AS DOUBLE) AS s_gc,
+               CAST(sum(CAST(round(c.GC * 100000.0) AS BIGINT)
+                        * CAST(round(c.GC * 100000.0) AS BIGINT)) AS DOUBLE) AS ss_gc,
+               CAST(count(c.GC) AS DOUBLE) AS n_gc,
+               CAST(sum(CAST(round(c.CAI * 100000.0) AS BIGINT)) AS DOUBLE) AS s_cai,
+               CAST(sum(CAST(round(c.CAI * 100000.0) AS BIGINT)
+                        * CAST(round(c.CAI * 100000.0) AS BIGINT)) AS DOUBLE) AS ss_cai,
+               CAST(count(c.CAI) AS DOUBLE) AS n_cai
+        FROM raw_features f JOIN comp c ON f.feature_id = c.feature_id
+        GROUP BY 1
+    ),
+    strain_stats AS (  -- identical double math to build._stat_select
+        SELECT strain,
+               CASE WHEN n_gc > 0 THEN s_gc / n_gc / 100000.0 END AS avg_GC,
+               CASE WHEN n_gc > 1
+                    THEN sqrt((ss_gc - s_gc * s_gc / n_gc) / (n_gc - 1.0))
+                         / 100000.0 END AS sd_GC,
+               CASE WHEN n_cai > 0 THEN s_cai / n_cai / 100000.0 END AS avg_CAI,
+               CASE WHEN n_cai > 1
+                    THEN sqrt((ss_cai - s_cai * s_cai / n_cai) / (n_cai - 1.0))
+                         / 100000.0 END AS sd_CAI
+        FROM stats_acc
     )
 """
 
@@ -86,28 +111,33 @@ def _fixture_graph(spark: SparkSession) -> PangenomeGraph:
     "pangenome_cluster_neighbour",
     oracle=f"""
     WITH {_GRAPH_CTES}
-    SELECT * FROM cedges
+    SELECT src_cluster_id, dst_cluster_id, number_of_members,
+           array_to_string(members, ';') AS members
+    FROM cedges
     """,
     tags=("W1", "A2", "J7", "graph-build"),
 )
 def pangenome_cluster_neighbour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER-NEIGHBOUR aggregated adjacency on the domain fixture —
     the reference's slowest build step (898 s of Neo4j MERGE churn,
-    01_creatingDatabase.cypher:91-106) as one groupBy."""
-    return _fixture_graph(spark).cluster_neighbour
+    01_creatingDatabase.cypher:91-106) as one groupBy.  members list
+    stringified for the driver gate (ArrayType crashes its
+    canonicalizer, VERDICT r1); the PangenomeGraph API keeps the array."""
+    return _fixture_graph(spark).cluster_neighbour.withColumn(
+        "members", F.array_join("members", ";")
+    )
 
 
 @register(
     "pangenome_strain_stats",
     oracle=f"""
     WITH {_GRAPH_CTES}
-    SELECT f.strain AS name,
-           round(avg(c.GC), 4) AS avg_GC,
-           round(stddev_samp(c.GC), 4) AS stDev_GC,
-           round(avg(c.CAI), 4) AS avg_CAI,
-           round(stddev_samp(c.CAI), 4) AS stDev_CAI
-    FROM raw_features f JOIN comp c ON f.feature_id = c.feature_id
-    GROUP BY 1
+    SELECT strain AS name,
+           round(avg_GC, 4) AS avg_GC,
+           round(sd_GC, 4) AS stDev_GC,
+           round(avg_CAI, 4) AS avg_CAI,
+           round(sd_CAI, 4) AS stDev_CAI
+    FROM strain_stats
     """,
     tags=("A1", "graph-build"),
 )
@@ -206,44 +236,62 @@ def pangenome_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN cl ON p.feature_id = cl.feature_id
     ),
     agg AS (
+        -- GC/CAI lists stringified as fixed-point 1e-4 ints; string
+        -- lists joined as-is (ArrayType output crashes the driver's
+        -- canonicalizer, VERDICT r1).  Genome-position order kept.
         SELECT strain, c1, c2, pos1, pos2,
                max(CASE WHEN mobile THEN 1 ELSE 0 END) AS has_mobile,
                min(CASE WHEN interior THEN feature_start END) AS InsertionStart,
                max(CASE WHEN interior THEN feature_end END) AS InsertionEnd,
                CAST(pos2 - pos1 - 1 AS INTEGER) AS InsertionNbFeatures,
-               list(GC ORDER BY pos) FILTER (WHERE interior) AS InsertionListGC,
-               list(CAI ORDER BY pos) FILTER (WHERE interior) AS InsertionListCAI,
-               list(node_cluster_id ORDER BY pos) AS InsertionListClusterID,
-               list(name ORDER BY pos) FILTER (WHERE mobile) AS InsertionListMobileNames,
+               coalesce(array_to_string(list_transform(
+                   list(GC ORDER BY pos) FILTER (WHERE interior),
+                   x -> CAST(round(x * 10000.0) AS BIGINT)), ';'), '')
+                   AS InsertionListGC,
+               coalesce(array_to_string(list_transform(
+                   list(CAI ORDER BY pos) FILTER (WHERE interior),
+                   x -> CAST(round(x * 10000.0) AS BIGINT)), ';'), '')
+                   AS InsertionListCAI,
+               coalesce(array_to_string(list(node_cluster_id ORDER BY pos), ';'),
+                        '') AS InsertionListClusterID,
+               coalesce(array_to_string(list(name ORDER BY pos)
+                        FILTER (WHERE mobile), ';'), '')
+                   AS InsertionListMobileNames,
                CAST(sum(CASE WHEN feature_type = 'tRNA' THEN 1 ELSE 0 END)
                     AS BIGINT) AS InsertionNbTRNAs
         FROM nodes
         GROUP BY strain, c1, c2, pos1, pos2
-    ),
-    stats AS (
-        SELECT f.strain,
-               round(avg(c.GC), 4) AS StrainAvgGC,
-               round(stddev_samp(c.GC), 4) AS StrainStDevGC,
-               round(avg(c.CAI), 4) AS StrainAvgCAI,
-               round(stddev_samp(c.CAI), 4) AS StrainStDevCAI
-        FROM raw_features f JOIN comp c ON f.feature_id = c.feature_id
-        GROUP BY 1
     )
     SELECT a.strain AS StrainName,
-           s.StrainAvgGC, s.StrainStDevGC, s.StrainAvgCAI, s.StrainStDevCAI,
+           round(s.avg_GC, 4) AS StrainAvgGC,
+           round(s.sd_GC, 4) AS StrainStDevGC,
+           round(s.avg_CAI, 4) AS StrainAvgCAI,
+           round(s.sd_CAI, 4) AS StrainStDevCAI,
            a.c1 AS Anchor1ID, a.c2 AS Anchor2ID,
            a.InsertionStart, a.InsertionEnd, a.InsertionNbFeatures,
            a.InsertionListGC, a.InsertionListCAI, a.InsertionListClusterID,
            a.InsertionListMobileNames, a.InsertionNbTRNAs
-    FROM agg a JOIN stats s ON a.strain = s.strain
+    FROM agg a JOIN strain_stats s ON a.strain = s.strain
     WHERE a.has_mobile = 1
     """,
     tags=("flagship", "J13", "A4", "W7", "F12", "rgp"),
 )
 def pangenome_rgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full RGP query (RGPs.ipynb cell 8) on the domain fixture;
-    see graph/rgp.py for the interval-join formulation."""
+    see graph/rgp.py for the interval-join formulation.  List columns
+    stringified for the driver gate (GC/CAI as fixed-point 1e-4 ints,
+    genome order kept); find_rgps itself keeps real arrays."""
     out = find_rgps(_fixture_graph(spark), n_strains=8)
+
+    def _fp(col: str):
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda x: F.round(x * F.lit(10000.0)).cast("bigint").cast("string"),
+            ),
+            ";",
+        )
+
     return out.select(
         "StrainName",
         F.round("StrainAvgGC", 4).alias("StrainAvgGC"),
@@ -255,10 +303,10 @@ def pangenome_rgp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "InsertionStart",
         "InsertionEnd",
         "InsertionNbFeatures",
-        "InsertionListGC",
-        "InsertionListCAI",
-        "InsertionListClusterID",
-        "InsertionListMobileNames",
+        _fp("InsertionListGC").alias("InsertionListGC"),
+        _fp("InsertionListCAI").alias("InsertionListCAI"),
+        F.array_join("InsertionListClusterID", ";").alias("InsertionListClusterID"),
+        F.array_join("InsertionListMobileNames", ";").alias("InsertionListMobileNames"),
         F.col("InsertionNbTRNAs").cast("bigint").alias("InsertionNbTRNAs"),
     )
 
@@ -271,20 +319,13 @@ def pangenome_rgp(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cl.feature_id, k.number_genomes
         FROM cl JOIN clusters_nm k ON cl.cluster_id = k.cluster_id
     ),
-    stats AS (
-        SELECT f.strain,
-               avg(c.GC) AS avg_GC, stddev_samp(c.GC) AS sd_GC,
-               avg(c.CAI) AS avg_CAI, stddev_samp(c.CAI) AS sd_CAI
-        FROM raw_features f JOIN comp c ON f.feature_id = c.feature_id
-        GROUP BY 1
-    ),
     z AS (
         SELECT p.feature_id, p.strain, p.feature_start, p.pos,
                (p.GC - s.avg_GC) / s.sd_GC AS z_gc,
                (p.CAI - s.avg_CAI) / s.sd_CAI AS z_cai,
                n.number_genomes
         FROM fpos p
-        JOIN stats s ON p.strain = s.strain
+        JOIN strain_stats s ON p.strain = s.strain
         JOIN nm n ON p.feature_id = n.feature_id
     )
     SELECT feature_id, strain, pos,

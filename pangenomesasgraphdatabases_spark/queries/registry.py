@@ -38,8 +38,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def all_queries() -> dict[str, Query]:
+    """Registry in driver-check order: PRIORITY names first (the driver
+    gate checks the first 50 registered), then module order."""
     # Import side-effect modules lazily to avoid cycles.
-    from pangenomesasgraphdatabases_spark.queries import _load_all
+    from pangenomesasgraphdatabases_spark.queries import PRIORITY, _load_all
 
     _load_all()
-    return dict(_REGISTRY)
+    ordered = {n: _REGISTRY[n] for n in PRIORITY if n in _REGISTRY}
+    ordered.update({n: q for n, q in _REGISTRY.items() if n not in ordered})
+    return ordered

@@ -281,7 +281,7 @@ def group_avg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            CAST(count(*) AS BIGINT) AS number_of_members,
-           list(l_partkey ORDER BY l_partkey) AS members
+           array_to_string(list_sort(list(l_partkey)), ';') AS members
     FROM lineitem
     GROUP BY l_orderkey
     """,
@@ -290,11 +290,18 @@ def group_avg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 def group_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A14: count + collect_list per group (cluster NEIGHBOUR edge
     aggregation keeps duplicate members, 01_creatingDatabase.cypher:
-    97-106).  Lists are sorted so both engines hash identically."""
+    97-106).  Lists are sorted, then stringified — ArrayType output
+    crashes the driver's canonicalizer (VERDICT r1)."""
     li = table(spark, sf_dir, "lineitem")
+    members = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("l_partkey")), lambda x: x.cast("string")
+        ),
+        ";",
+    )
     return li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("number_of_members"),
-        F.sort_array(F.collect_list("l_partkey")).alias("members"),
+        members.alias("members"),
     )
 
 
@@ -557,7 +564,7 @@ def canonical_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_set_membership",
     oracle="""
     SELECT l_suppkey,
-           list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ';') AS flags,
            CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
     FROM lineitem
     GROUP BY l_suppkey
@@ -566,9 +573,10 @@ def canonical_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def collect_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5: membership set per group (anchor-pair -> set(strains),
-    RGPs.ipynb:1522-1543).  collect_set sorted for stable hashing."""
+    RGPs.ipynb:1522-1543).  collect_set sorted + stringified — ArrayType
+    output crashes the driver's canonicalizer (VERDICT r1)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
-        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ";").alias("flags"),
         F.countDistinct("l_returnflag").alias("n_flags"),
     )

@@ -101,21 +101,37 @@ def genome_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zscore_vs_group",
     oracle="""
+    WITH cents AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100.0) AS BIGINT) AS xi
+        FROM lineitem
+    ), base AS (
+        SELECT *,
+               CAST(sum(xi) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS s,
+               CAST(sum(xi * xi) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS ss,
+               CAST(count(*) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS n
+        FROM cents
+    )
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           round((l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_suppkey))
-                 / stddev_samp(l_extendedprice) OVER (PARTITION BY l_suppkey), 4) AS z
-    FROM lineitem
+           round((CAST(xi AS DOUBLE) - s / n)
+                 / sqrt((ss - s * s / n) / (n - 1.0)), 4) AS z
+    FROM base
     """,
     tags=("W6",),
 )
 def zscore_vs_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: z-score against group stats ((CAI - avg)/stDev,
-    GIsInStrain.ipynb:64-65)."""
+    GIsInStrain.ipynb:64-65).  Group stats come from exact integer-cent
+    accumulators so both engines produce bitwise-identical doubles —
+    double avg/stddev accumulate in partition order and can flip the
+    4th decimal of round(z, 4) (VERDICT r1)."""
     li = table(spark, sf_dir, "lineitem")
     part = Window.partitionBy("l_suppkey")
-    z = (F.col("l_extendedprice") - F.avg("l_extendedprice").over(part)) / F.stddev_samp(
-        "l_extendedprice"
-    ).over(part)
+    xi = F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("bigint")
+    s = F.sum(xi).over(part).cast("double")
+    ss = F.sum(xi * xi).over(part).cast("double")
+    n = F.count(F.lit(1)).over(part).cast("double")
+    z = (xi.cast("double") - s / n) / F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
     return li.select("l_suppkey", "l_orderkey", "l_linenumber", F.round(z, 4).alias("z"))
 
 

@@ -25,6 +25,12 @@ from pangenomesasgraphdatabases_spark.data import TABLES  # noqa: E402
 from pangenomesasgraphdatabases_spark.session import get_spark  # noqa: E402
 
 
+class ArrayOutput(Exception):
+    """A list/array value reached the final projection — the driver's
+    canonicalizer crashes on these (pandas 'unhashable type: list',
+    VERDICT r1).  The local gate must be at least as strict."""
+
+
 def norm_val(v):
     if v is None:
         return None
@@ -35,12 +41,14 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round defensively; queries already round, this catches dust
-        return round(v, 6)
+        # EXACT — the driver hash-compares values; round(…, 6) here
+        # masked the r1 z-score failures (ADVICE r1).
+        return v
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(norm_val(x) for x in v)
+        raise ArrayOutput("array-typed output column (stringify it: "
+                          "array_join/array_to_string)")
     if hasattr(v, "tolist"):  # numpy
         return norm_val(v.tolist())
     return v
@@ -97,10 +105,14 @@ def main():
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
-            ns, nd = norm_rows(srows, scols), norm_rows(drows, dcols)
-            if ns != nd:
-                diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-                problems.append(f"values differ, e.g. {diff}")
+            try:
+                ns, nd = norm_rows(srows, scols), norm_rows(drows, dcols)
+            except ArrayOutput as e:
+                problems.append(str(e))
+            else:
+                if ns != nd:
+                    diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                    problems.append(f"values differ, e.g. {diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
