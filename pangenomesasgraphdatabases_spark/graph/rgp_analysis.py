@@ -128,10 +128,12 @@ def complete_linkage_clusters(
     insertion matrix into scipy linkage/fcluster, RGPs.ipynb:2671/2712;
     scipy is not in this container, so this is a small pure-python
     equivalent for the same O(n^2) input — gated to stay a boundary for
-    provably small n)."""
+    provably small n).  The naive best-pair loop is O(n^3)-ish, so the
+    gate admits only sizes it actually finishes in seconds (the r1
+    gate of 20000 allowed inputs it could never complete)."""
     items = sorted({x for p in pair_distances for x in p[:2]})
-    if len(items) > 20000:
-        raise ValueError("driver-side clustering gated to n<=20000 items")
+    if len(items) > 2000:
+        raise ValueError("driver-side clustering gated to n<=2000 items")
     dist = {}
     for a, b, d in pair_distances:
         dist[(a, b)] = d

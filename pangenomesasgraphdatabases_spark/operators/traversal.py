@@ -87,7 +87,7 @@ def expand_paths(
         )
         if depth % checkpoint_every == 0:
             frontier = frontier.localCheckpoint(eager=True)
-            if frontier.rdd.isEmpty():
+            if frontier.isEmpty():
                 break
         if depth >= min_hops:
             results.append(frontier)

@@ -140,7 +140,13 @@ def clean_gff(spark: SparkSession, path: str, ignore_overlapping: bool = True) -
     gene_seq = F.substring("seq", F.col("start"), F.col("end") - F.col("start") + 1)
     j = j.withColumn("gene_seq", gene_seq).drop("seq")
     is_cds = F.col("feature_type").contains("CDS")
-    bad_len = (F.length("gene_seq") % 3 > 0) | (F.length("gene_seq") < 34)
+    # Sequence checks apply only when the scaffold matched: the
+    # reference keeps a CDS whose seqid has no FASTA scaffold
+    # (convert_refseq_to_prokka_gff.py:73-89 — premature_stop stays
+    # False); an ungated NULL gene_seq made the filter drop the row.
+    bad_len = F.col("gene_seq").isNotNull() & (
+        (F.length("gene_seq") % 3 > 0) | (F.length("gene_seq") < 34)
+    )
     j = j.filter(~(is_cds & bad_len))
     j = j.withColumn(
         "premature", is_cds & has_premature_stop("gene_seq", "strand")

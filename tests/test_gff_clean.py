@@ -51,6 +51,10 @@ def gff_dir(tmp_path_factory):
         + _gff_line("chr1", "tRNA", 161, 196, "+", "trna1")
         + _gff_line("chr1", "gene", 201, 236, "+", "gene1")
         + _gff_line("chr1", "CDS", 241, 276, "+", "ok1")
+        # CDS on a seqid with no FASTA scaffold: sequence checks are
+        # skipped and the row is KEPT (convert_refseq_to_prokka_gff.py
+        # :73-89 — premature_stop stays False without a scaffold).
+        + _gff_line("chrX", "CDS", 1, 10, "+", "noscaffold")
         + "##FASTA\n>chr1 description\n"
     )
     fasta = "\n".join(seq[i : i + 60] for i in range(0, len(seq), 60))
@@ -70,7 +74,7 @@ def test_translate_helpers():
 def test_clean_gff(spark, gff_dir):
     out = clean_gff(spark, f"{gff_dir}/*.gff")
     rows = {r.feature_id: r for r in out.collect()}
-    assert set(rows) == {"ok1", "ok2", "trna1", "ok1.1"}
+    assert set(rows) == {"ok1", "ok2", "trna1", "ok1.1", "noscaffold"}
     assert rows["ok2"].strand == "-"
     assert rows["ok1.1"].start == 241
     # emitted in (seqid, start) order with overlap cascade applied
