@@ -78,28 +78,72 @@ def delta_decode(variation: pd.Series, ref: pd.Series) -> pd.Series:
     )
 
 
-def cai_py(seq: str | None, codon_weights: dict[str, float] | None = None) -> float | None:
-    """Codon adaptation index: geometric mean of codon weights.
+# Sharp & Li (1987) E. coli relative-adaptiveness (w) table — the
+# default index of Biopython's CodonAdaptationIndex, which the
+# reference instantiates bare (extendingDB_FeatureAndStrainMetrics.py:
+# 48, 67: `CU.CodonAdaptationIndex()` then `cai_for_gene(...)`).
+# Public data: Sharp & Li, NAR 15(3):1281-1295 (1987), table 1.
+SHARP_ECOLI_INDEX: dict[str, float] = {
+    "GCA": 0.586, "GCC": 0.122, "GCG": 0.424, "GCT": 1.0,
+    "AGA": 0.004, "AGG": 0.002, "CGA": 0.004, "CGC": 0.356,
+    "CGG": 0.004, "CGT": 1.0,
+    "AAC": 1.0, "AAT": 0.051,
+    "GAC": 1.0, "GAT": 0.434,
+    "TGC": 1.0, "TGT": 0.5,
+    "CAA": 0.124, "CAG": 1.0,
+    "GAA": 1.0, "GAG": 0.259,
+    "GGA": 0.01, "GGC": 0.724, "GGG": 0.019, "GGT": 1.0,
+    "CAC": 1.0, "CAT": 0.291,
+    "ATA": 0.003, "ATC": 1.0, "ATT": 0.185,
+    "CTA": 0.007, "CTC": 0.037, "CTG": 1.0, "CTT": 0.042,
+    "TTA": 0.02, "TTG": 0.02,
+    "AAA": 1.0, "AAG": 0.253,
+    "ATG": 1.0,
+    "TTC": 1.0, "TTT": 0.296,
+    "CCA": 0.135, "CCC": 0.012, "CCG": 1.0, "CCT": 0.07,
+    "AGC": 0.41, "AGT": 0.085, "TCA": 0.077, "TCC": 0.744,
+    "TCG": 0.017, "TCT": 1.0,
+    "ACA": 0.076, "ACC": 1.0, "ACG": 0.099, "ACT": 0.965,
+    "TGG": 1.0,
+    "TAC": 1.0, "TAT": 0.239,
+    "GTA": 0.495, "GTC": 0.066, "GTG": 0.221, "GTT": 1.0,
+}
 
-    The reference wraps Biopython's CodonAdaptationIndex
-    (extendingDB_FeatureAndStrainMetrics.py:45-68) with N-containing
-    codon filtering and frame truncation; Biopython is not available in
-    this container, so this is a deterministic stand-in with the same
-    shape: truncate to a multiple of 3, drop codons containing N,
-    geometric-mean a weight table (uniform weights when none given),
-    None on empty/failed input — mirroring the NaN-on-failure path.
+_STOP_CODONS = ("TGA", "TAA", "TAG")
+
+
+def cai_py(seq: str | None, codon_weights: dict[str, float] | None = None) -> float | None:
+    """Codon adaptation index, faithful to the reference's call path
+    (extendingDB_FeatureAndStrainMetrics.py:48-68 -> Biopython
+    CodonUsage.cai_for_gene with the default Sharp E. coli index):
+
+    - uppercase only when the whole sequence is lowercase;
+    - walk the UNFILTERED sequence in frame steps of 3 (the
+      reference's N-filter builds `filteredSeq` but never passes it —
+      dead code — so an N codon, or a trailing partial codon, raises
+      and the except-path records NaN -> None here);
+    - ATG/TGG contribute nothing (always w=1 by construction);
+      stop codons are skipped;
+    - geometric mean uses Biopython's n - 0.5 denominator (so an
+      empty/all-skipped sequence yields exp(0 / -0.5) = 1.0).
     """
     import math
 
-    if not seq:
+    if seq is None:
         return None
-    seq = seq.upper()[: (len(seq) // 3) * 3]
-    codons = [seq[i : i + 3] for i in range(0, len(seq), 3) if "N" not in seq[i : i + 3]]
-    if not codons:
-        return None
-    weights = codon_weights or {}
-    logs = [math.log(weights.get(c, 0.5)) for c in codons]
-    return math.exp(sum(logs) / len(logs))
+    if seq.islower():
+        seq = seq.upper()
+    weights = SHARP_ECOLI_INDEX if codon_weights is None else codon_weights
+    cai_value, cai_length = 0.0, 0
+    for i in range(0, len(seq), 3):
+        codon = seq[i : i + 3]
+        if codon in weights:
+            if codon not in ("ATG", "TGG"):
+                cai_value += math.log(weights[codon])
+                cai_length += 1
+        elif codon not in _STOP_CODONS:
+            return None  # illegal codon -> reference's NaN path
+    return math.exp(cai_value / (cai_length - 0.5))
 
 
 @pandas_udf(DoubleType())

@@ -28,20 +28,34 @@ def _arr_std(col):
 
 
 def insertion_ttests(rgps: DataFrame, n_strain: int = 5000) -> DataFrame:
-    """F14: Welch t of each insertion's GC/CAI list against the strain
-    background from summary stats (ttest_ind_from_stats with the
-    strain n hardcoded to 5000, RGPs.ipynb:1033-1077 cell 19).  Pure
-    column math over the array columns — no scipy, no collect."""
+    """F14: two-sample t + two-sided p of each insertion's GC/CAI list
+    against the strain background from summary stats (RGPs.ipynb cell
+    19, :1033-1077: scipy ttest_ind_from_stats with its DEFAULT
+    equal_var=True — pooled Student's t, not Welch — nobs1 =
+    InsertionNbFeatures, nobs2 hardcoded to 5000).  Pure column math
+    over the array columns — no scipy, no collect; the p-value uses the
+    shared approximation in functions/stats.py (error < 1e-4 at these
+    df).  Reference quirks kept: list means/stdevs skip None elements
+    while nobs1 stays InsertionNbFeatures, and an insertion too short
+    for a stdev (n<2) yields NULL (the reference's NaN except-path)."""
+    from pangenomesasgraphdatabases_spark.functions.stats import t_pvalue_col
+
     gc, cai = F.col("InsertionListGC"), F.col("InsertionListCAI")
+    n1 = F.col("InsertionNbFeatures").cast("double")
+    n2 = F.lit(float(n_strain))
 
-    def welch(list_col, mu_col, sd_col):
-        n1 = F.size(list_col)
-        m1 = _arr_mean(list_col)
-        s1 = _arr_std(list_col)
-        return (m1 - F.col(mu_col)) / F.sqrt(
-            s1 * s1 / n1 + F.col(sd_col) * F.col(sd_col) / F.lit(n_strain)
-        )
+    def pooled(list_col, mu_col, sd_col):
+        vals = F.filter(list_col, lambda x: x.isNotNull())
+        m1 = _arr_mean(vals)
+        s1 = _arr_std(vals)
+        v1, v2 = s1 * s1, F.col(sd_col) * F.col(sd_col)
+        sp2 = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+        t = (m1 - F.col(mu_col)) / F.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+        t = F.when((F.size(vals) > 1) & (n1 > 1), t)
+        return t, t_pvalue_col(t, n1 + n2 - 2.0)
 
+    t_gc, p_gc = pooled(gc, "StrainAvgGC", "StrainStDevGC")
+    t_cai, p_cai = pooled(cai, "StrainAvgCAI", "StrainStDevCAI")
     return rgps.select(
         "StrainName",
         "Anchor1ID",
@@ -50,9 +64,11 @@ def insertion_ttests(rgps: DataFrame, n_strain: int = 5000) -> DataFrame:
         "InsertionEnd",
         F.size(gc).alias("n_features"),
         _arr_mean(gc).alias("insertion_avg_GC"),
-        welch(gc, "StrainAvgGC", "StrainStDevGC").alias("t_GC"),
+        t_gc.alias("t_GC"),
+        p_gc.alias("p_GC"),
         _arr_mean(cai).alias("insertion_avg_CAI"),
-        welch(cai, "StrainAvgCAI", "StrainStDevCAI").alias("t_CAI"),
+        t_cai.alias("t_CAI"),
+        p_cai.alias("p_CAI"),
     )
 
 

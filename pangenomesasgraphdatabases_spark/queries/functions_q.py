@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.functions import stats as st
 from pangenomesasgraphdatabases_spark.queries.registry import register
 
 
@@ -248,3 +249,84 @@ def array_intersect_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(inter).alias("n_common"),
         F.size(F.array_union(words, name_words)).alias("n_union"),
     )
+
+
+_TTEST_FINAL = f"""
+    SELECT o_orderpriority,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(t_pooled, 4) AS t_pooled,
+           round({st.t_pvalue_sql('t_pooled', 'df_pooled')}, 6) AS p_pooled,
+           round(t_welch, 4) AS t_welch,
+           round({st.t_pvalue_sql('t_welch', 'df_welch')}, 6) AS p_welch
+    FROM (
+        SELECT o_orderpriority, n1, n2,
+               {st.T_POOLED_SQL} AS t_pooled, {st.DF_POOLED_SQL} AS df_pooled,
+               {st.T_WELCH_SQL} AS t_welch, {st.DF_WELCH_SQL} AS df_welch
+        FROM moments
+    ) tstats
+"""
+
+
+@register(
+    "welch_ttest_pvalue",
+    oracle=f"""
+    WITH acc AS (
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+                    AS DOUBLE) AS s1,
+               CAST(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(round(o_totalprice * 100.0) AS BIGINT)
+                           * CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+                    AS DOUBLE) AS ss1,
+               CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) AS n1,
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+                    AS DOUBLE) AS s2,
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(round(o_totalprice * 100.0) AS BIGINT)
+                           * CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+                    AS DOUBLE) AS ss2,
+               CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE) AS n2
+        FROM orders
+        GROUP BY o_orderpriority
+    ),
+    moments AS (
+        SELECT o_orderpriority, n1, n2, {', '.join(st.MOMENTS_SQL)}
+        FROM acc WHERE n1 > 1.0 AND n2 > 1.0
+    )
+    {_TTEST_FINAL}
+    """,
+    tags=("F14",),
+)
+def welch_ttest_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 complete: two-sample t *and* two-sided p-value from summary
+    stats — the reference's ttest_ind_from_stats call (RGPs.ipynb cell
+    19, :1033-1077; scipy default equal_var=True = pooled Student's t,
+    plus the Welch variant).  Group stats come from exact integer-cent
+    accumulators and the t/p math is the SAME SQL fragment text
+    (functions/stats.py) evaluated by both engines, so the driver's
+    exact hash compare holds; p-value approximation error vs scipy's
+    betainc is < 1e-4 at these df (documented in functions/stats.py).
+
+    Note: the cents domain does NOT cancel in t (unlike the z-score),
+    but both engines see identical cent-domain stats, and t is reported
+    in the cents scale consistently with df — the statistic is
+    scale-free because numerator and denominator share the scale."""
+    o = table(spark, sf_dir, "orders")
+    xi = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+    f = F.when(F.col("o_orderstatus") == "F", xi)
+    ofl = F.when(F.col("o_orderstatus") == "O", xi)
+    acc = o.groupBy("o_orderpriority").agg(
+        F.sum(f).cast("double").alias("s1"),
+        F.sum(f * f).cast("double").alias("ss1"),
+        F.count(f).cast("double").alias("n1"),
+        F.sum(ofl).cast("double").alias("s2"),
+        F.sum(ofl * ofl).cast("double").alias("ss2"),
+        F.count(ofl).cast("double").alias("n2"),
+    )
+    moments = acc.where("n1 > 1.0 AND n2 > 1.0").selectExpr(
+        "o_orderpriority", "n1", "n2", *st.MOMENTS_SQL
+    )
+    moments.createOrReplaceTempView("moments")
+    return spark.sql(_TTEST_FINAL)

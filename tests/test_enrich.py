@@ -102,6 +102,8 @@ def test_rgp_analysis(spark, pangenome):
         # Accessory GC ~70 vs strain bg ~50.x => strongly positive t.
         assert r.insertion_avg_GC > 69
         assert r.t_GC > 3
+        # ...and a correspondingly significant two-sided p-value.
+        assert 0.0 <= r.p_GC < 0.05
 
     tree = "((S01:1,S02:1):2,(S03:1,(S04:1,S05:1):1):1,(S06:1,S07:1,S08:1):1);"
     dist = tree_distance_table(spark, tree)

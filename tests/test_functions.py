@@ -73,8 +73,98 @@ def test_gc_content_expr(spark):
     assert vals == [100.0, 0.0, 50.0, 75.0]
 
 
-def test_cai_stub():
+def test_cai_sharp_ecoli():
+    import math
+
     assert cai_py(None) is None
+    # illegal codon (the reference's N-filter is dead code; an N codon
+    # raises inside cai_for_gene -> NaN path)
     assert cai_py("NNN") is None
-    v = cai_py("ATGGCC")
-    assert v is not None and 0 < v <= 1
+    # trailing partial codon -> illegal -> None
+    assert cai_py("GCTGC") is None
+    # hand-computed against Sharp & Li w-values with Biopython's n-0.5
+    # denominator: GCT (w=1) alone -> exp(log(1)/0.5) = 1
+    assert cai_py("GCT") == 1.0
+    # GCT+GCA -> exp((log 1 + log 0.586) / 1.5) = 0.586**(2/3)
+    assert math.isclose(cai_py("GCTGCA"), 0.586 ** (2.0 / 3.0), rel_tol=1e-12)
+    # ATG excluded, GCC w=0.122 -> exp(log 0.122 / 0.5) = 0.122**2
+    assert math.isclose(cai_py("ATGGCC"), 0.122**2, rel_tol=1e-12)
+    # all-excluded sequence hits Biopython's exp(0 / -0.5) = 1.0 quirk
+    assert cai_py("ATGTGGTAA") == 1.0
+    # lowercase input is uppercased only when fully lowercase
+    assert cai_py("gctgca") == cai_py("GCTGCA")
+
+
+def test_t_pvalue_approximation_error_bound():
+    """The documented error bound of functions/stats.py's t->p
+    approximation, checked against an exact Student-t CDF computed via
+    the regularized incomplete beta continued fraction (Numerical
+    Recipes 6.4 betacf; pure python, no scipy)."""
+    import math
+
+    def betacf(a, b, x):
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c, d = 1.0, 1.0 - qab * x / qap
+        if abs(d) < 1e-30:
+            d = 1e-30
+        d = 1.0 / d
+        h = d
+        for m in range(1, 200):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < 1e-30:
+                d = 1e-30
+            c = 1.0 + aa / c
+            if abs(c) < 1e-30:
+                c = 1e-30
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < 1e-30:
+                d = 1e-30
+            c = 1.0 + aa / c
+            if abs(c) < 1e-30:
+                c = 1e-30
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 1e-12:
+                break
+        return h
+
+    def betainc_reg(a, b, x):
+        if x <= 0:
+            return 0.0
+        if x >= 1:
+            return 1.0
+        ln_front = (
+            math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+            + a * math.log(x) + b * math.log(1.0 - x)
+        )
+        front = math.exp(ln_front)
+        if x < (a + 1.0) / (a + b + 2.0):
+            return front * betacf(a, b, x) / a
+        return 1.0 - front * betacf(b, a, 1.0 - x) / b
+
+    def p_exact(t, df):
+        return betainc_reg(df / 2.0, 0.5, df / (df + t * t))
+
+    def p_approx(t, df):  # python twin of stats.t_pvalue_sql / _col
+        zt = abs(t) * (1.0 - 1.0 / (4.0 * df)) / math.sqrt(1.0 + t * t / (2.0 * df))
+        x = zt / math.sqrt(2.0)
+        u = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            (((1.061405429 * u - 1.453152027) * u + 1.421413741) * u - 0.284496736)
+            * u
+            + 0.254829592
+        ) * u
+        return poly * math.exp(-x * x)
+
+    # sanity: the exact CDF reproduces the normal limit
+    assert abs(p_exact(1.959964, 1e8) - 0.05) < 1e-6
+
+    for t in (0.0, 0.5, 1.0, 2.0, 3.0, 5.0):
+        for df, bound in ((10, 2e-3), (30, 2e-4), (100, 2e-5), (5000, 2e-7)):
+            assert abs(p_approx(t, df) - p_exact(t, df)) < bound, (t, df)
