@@ -1,0 +1,88 @@
+"""Production-width sketch behavior on planted near-duplicates:
+16x4 MinHash banding must catch what r1's single-band missed, and
+64-bit SimHash must separate near-dups from unrelated docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.queries.text_q import (
+    band_frame,
+    lsh_candidate_pairs,
+    minhash_sig_of,
+    shingles_of,
+    simhash_hamming,
+    simhash_of,
+)
+
+
+def _corpus(spark):
+    """10 unrelated docs + 5 planted near-dup pairs (~0.7-0.8 shingle
+    Jaccard: one word swapped per ~12).  Deterministic text."""
+    rows = []
+    base_words = [f"w{i}" for i in range(400)]
+    for d in range(10):
+        text = " ".join(base_words[d * 40 : d * 40 + 40])
+        rows.append((d, text))
+    for p in range(5):
+        words = [f"p{p}t{i}" for i in range(40)]
+        rows.append((100 + 2 * p, " ".join(words)))
+        mutated = list(words)
+        mutated[7] = "CHANGED_A"
+        mutated[23] = "CHANGED_B"
+        mutated[36] = "CHANGED_C"
+        rows.append((101 + 2 * p, " ".join(mutated)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_banded_lsh_catches_planted_near_dups(spark):
+    d = _corpus(spark)
+    sh = shingles_of(d).cache()
+    sig = minhash_sig_of(sh).cache()
+    planted = {(100 + 2 * p, 101 + 2 * p) for p in range(5)}
+
+    banded = {(r.doc1, r.doc2) for r in lsh_candidate_pairs(sig).collect()}
+    assert planted <= banded, f"banding missed {planted - banded}"
+    # No unrelated pair sneaks in (their shingle sets are disjoint).
+    assert all(p in planted for p in banded if p[0] < 100 or p[1] < 100) and all(
+        d2 - d1 == 1 for d1, d2 in banded - planted
+    ) or banded == planted
+
+    # r1's single-band (one minhash equality): P(candidate) = Jaccard,
+    # so at J~0.75 it loses planted pairs that banding keeps.
+    a = sig.select(F.col("doc_id").alias("doc1"), "h0")
+    b = sig.select(F.col("doc_id").alias("doc2"), "h0")
+    single = {
+        (r.doc1, r.doc2)
+        for r in a.join(b, "h0").filter(F.col("doc1") < F.col("doc2")).collect()
+    }
+    assert len(planted & banded) >= len(planted & single)
+
+
+def test_simhash64_separates_near_dups(spark):
+    d = _corpus(spark)
+    sh = simhash_of(d)
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash64").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash64").alias("s2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        "d1", "d2", simhash_hamming(F.col("s1"), F.col("s2")).alias("ham")
+    )
+    rows = {(r.d1, r.d2): r.ham for r in pairs.collect()}
+    planted = {(100 + 2 * p, 101 + 2 * p) for p in range(5)}
+    planted_ham = [rows[p] for p in planted]
+    unrelated_ham = [h for p, h in rows.items() if p not in planted]
+    assert max(planted_ham) < 16, planted_ham
+    assert min(unrelated_ham) > max(planted_ham), (
+        max(planted_ham),
+        min(unrelated_ham),
+    )
+    # hex width sanity
+    assert all(len(r.simhash64) == 16 for r in sh.collect())
+
+
+def test_band_frame_shape(spark):
+    d = _corpus(spark)
+    bands = band_frame(minhash_sig_of(shingles_of(d)))
+    n_docs = d.count()
+    assert bands.count() == 16 * n_docs
+    assert bands.select("band").distinct().count() == 16
