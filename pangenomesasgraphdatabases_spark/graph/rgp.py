@@ -122,8 +122,27 @@ def find_rgps(
     )
 
     # Expand each candidate interval over the strain's ordinal chain.
-    nodes = cand.join(pos, "strain").filter(
-        F.col("pos").between(F.col("pos1"), F.col("pos2"))
+    # Joining on strain alone materializes |candidates-per-strain| x
+    # |features-per-strain| rows before the range filter (VERDICT r1
+    # scale watch-item; OSS Spark has no range-join optimization).
+    # Block-bucket instead: with block width > max interval span, an
+    # interval overlaps at most 2 blocks, so the equi-join on
+    # (strain, block) prunes the expansion to ~2 blocks of features
+    # per candidate regardless of genome length.
+    block = max_hops + 1
+    cand_b = cand.withColumn(
+        "pos_block",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("pos1") / block), F.floor(F.col("pos2") / block)
+            )
+        ),
+    )
+    pos_b = pos.withColumn("pos_block", F.floor(F.col("pos") / block))
+    nodes = (
+        cand_b.join(pos_b, ["strain", "pos_block"])
+        .filter(F.col("pos").between(F.col("pos1"), F.col("pos2")))
+        .drop("pos_block")
     )
 
     mobile = F.col("name").contains("integrase") | F.col("name").contains("transposase")

@@ -56,3 +56,19 @@ def test_bucketed_join_has_no_shuffle(spark, pangenome, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP DATABASE IF EXISTS pg_test CASCADE")
+
+
+def test_rgp_interval_expansion_is_block_bucketed(spark, pangenome):
+    from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
+
+    plan = _plan(find_rgps(pangenome))
+    # The candidate-interval expansion must equi-join on
+    # (strain, pos_block) — never on strain alone with the range as the
+    # only residual, which materializes a strain-wide cross product
+    # before filtering (VERDICT r1 scale watch-item).
+    range_joins = [
+        ln for ln in plan.splitlines() if ">= pos1" in ln and "Join" in ln
+    ]
+    assert range_joins, "interval-expansion join not found in plan"
+    for ln in range_joins:
+        assert "pos_block" in ln, f"range join not block-bucketed: {ln.strip()}"
