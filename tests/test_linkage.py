@@ -1,0 +1,97 @@
+"""NN-chain complete linkage vs a brute-force reference cut, plus the
+gates on driver-side analysis boundaries."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+    complete_linkage_clusters,
+)
+
+
+def _brute_force_cut(pairs, threshold):
+    """Greedy best-pair complete linkage stopped at the threshold (the
+    r1 reference implementation, kept here as the test oracle)."""
+    items = sorted({x for p in pairs for x in p[:2]})
+    dist = {}
+    for a, b, d in pairs:
+        dist[(a, b)] = d
+        dist[(b, a)] = d
+    inf = float("inf")
+    clusters = [{x} for x in items]
+    while len(clusters) > 1:
+        best = None
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                dmax = max(
+                    dist.get((x, y), inf) for x in clusters[i] for y in clusters[j]
+                )
+                if best is None or dmax < best[0]:
+                    best = (dmax, i, j)
+        if best is None or best[0] > threshold:
+            break
+        _, i, j = best
+        clusters[i] |= clusters[j]
+        del clusters[j]
+    return {x: k for k, c in enumerate(clusters) for x in c}
+
+
+def _partition(labels):
+    groups = {}
+    for x, lbl in labels.items():
+        groups.setdefault(lbl, set()).add(x)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_nn_chain_matches_brute_force():
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.randint(4, 25)
+        items = [f"x{i}" for i in range(n)]
+        pairs = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if rng.random() < 0.7:  # sparse: some pairs missing
+                    pairs.append((items[i], items[j], round(rng.random(), 3)))
+        if not pairs:
+            continue
+        t = rng.choice([0.1, 0.3, 0.5, 0.8])
+        got = _partition(complete_linkage_clusters(pairs, t))
+        want = _partition(_brute_force_cut(pairs, t))
+        assert got == want, (trial, n, t)
+
+
+def test_nn_chain_known_instance():
+    labels = complete_linkage_clusters(
+        [("i1", "i2", 0.1), ("i1", "i3", 0.9), ("i2", "i3", 0.8)], threshold=0.3
+    )
+    assert labels["i1"] == labels["i2"] != labels["i3"]
+
+
+def test_nn_chain_isolated_and_gate():
+    # isolated pair groups + a no-finite-neighbor singleton path
+    labels = complete_linkage_clusters(
+        [("a", "b", 0.05), ("c", "d", 0.05), ("a", "c", 5.0)], threshold=0.3
+    )
+    assert labels["a"] == labels["b"]
+    assert labels["c"] == labels["d"]
+    assert labels["a"] != labels["c"]
+
+    with pytest.raises(ValueError, match="gated"):
+        complete_linkage_clusters(
+            [(f"x{i}", f"x{i+1}", 0.1) for i in range(25_000)], threshold=1.0
+        )
+
+
+def test_dice_fanout_gate(spark, pangenome):
+    from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        insertion_dice_similarity,
+    )
+
+    rgps = find_rgps(pangenome)
+    with pytest.raises(ValueError, match="fan-out"):
+        insertion_dice_similarity(rgps, max_pair_fanout=1)
