@@ -17,8 +17,10 @@ from pangenomesasgraphdatabases_spark.queries.text_q import (
 
 
 def _corpus(spark):
-    """10 unrelated docs + 5 planted near-dup pairs (~0.7-0.8 shingle
-    Jaccard: one word swapped per ~12).  Deterministic text."""
+    """10 unrelated docs + 5 planted near-dup pairs (two words swapped
+    per 40 -> 3-gram shingle Jaccard ~0.73, above the 16x4 banding
+    s-curve threshold of ~0.5 where P(candidate) > 0.99).
+    Deterministic text."""
     rows = []
     base_words = [f"w{i}" for i in range(400)]
     for d in range(10):
@@ -30,7 +32,6 @@ def _corpus(spark):
         mutated = list(words)
         mutated[7] = "CHANGED_A"
         mutated[23] = "CHANGED_B"
-        mutated[36] = "CHANGED_C"
         rows.append((101 + 2 * p, " ".join(mutated)))
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
