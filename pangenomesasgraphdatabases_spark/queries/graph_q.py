@@ -99,11 +99,16 @@ _GRAPH_CTES = f"""
 
 
 def _fixture_graph(spark: SparkSession) -> PangenomeGraph:
+    # persist=True: the RGP/GI queries read features/ortholog several
+    # times; caching the shared frames halves the fixture query time
+    # (12.7s -> 4.6s cold for pangenome_rgp).  The fixture is 332 rows
+    # — cache pressure is nil.
     return build_graph(
         spark,
         spark.read.parquet(f"{FIX}/feature_nodes.parquet"),
         spark.read.parquet(f"{FIX}/cluster_nodes.parquet"),
         spark.read.parquet(f"{FIX}/composition.parquet"),
+        persist=True,
     )
 
 
