@@ -48,6 +48,7 @@ PRIORITY = (
     "doc_lang_id",
     "doc_minhash_signature",
     "doc_lsh_near_dup_pairs",
+    "doc_ngram_jaccard_dedup",
     "doc_simhash",
     "media_feature_extract",
     "doc_tfidf_top_terms",

@@ -476,6 +476,123 @@ def simhash_hamming(a, b):
     return dist
 
 
+# Exact n-gram-Jaccard dedup parameters: candidate pairs must share a
+# shingle with document frequency in [2, _NGRAM_DF_CAP] (df=1 cannot
+# produce a pair; df>cap are boilerplate stop-shingles that would make
+# hot shuffle keys — a J>=0.8 pair whose every common shingle is that
+# common does not occur in practice).  0.8 Jaccard is the usual
+# near-dup cutoff for training-data pipelines.
+_NGRAM_DF_CAP = 50
+_NGRAM_J_MIN = 0.8
+
+
+@register(
+    "doc_ngram_jaccard_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        FROM shingles GROUP BY doc_id
+    ),
+    keepsh AS (
+        SELECT shingle FROM shingles
+        GROUP BY shingle HAVING count(*) BETWEEN 2 AND {_NGRAM_DF_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT s1.doc_id AS doc1, s2.doc_id AS doc2
+        FROM shingles s1
+        JOIN keepsh k ON s1.shingle = k.shingle
+        JOIN shingles s2 ON s1.shingle = s2.shingle
+                        AND s1.doc_id < s2.doc_id
+    ),
+    inter AS (
+        SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN shingles s1 ON c.doc1 = s1.doc_id
+        JOIN shingles s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+        GROUP BY c.doc1, c.doc2
+    ),
+    pairs AS (
+        SELECT i.doc1, i.doc2
+        FROM inter i
+        JOIN sizes z1 ON i.doc1 = z1.doc_id
+        JOIN sizes z2 ON i.doc2 = z2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) / (z1.sz + z2.sz - i.n_common)
+              >= {_NGRAM_J_MIN}
+    ),
+    edges AS (
+        SELECT doc1 AS s, doc2 AS d FROM pairs
+        UNION ALL
+        SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id,
+           CAST(min(root) AS BIGINT) AS dup_group,
+           CAST(CASE WHEN node = min(root) THEN 1 ELSE 0 END AS INTEGER)
+               AS is_canonical
+    FROM reach
+    GROUP BY node
+    """,
+    tags=("ext-text", "dedup", "jaccard"),
+)
+def doc_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard dedup (extension): full-recall
+    complement to the MinHash-LSH path.  Candidates come from a
+    docfreq-pruned inverted index (shared shingle with df in
+    [2, cap]) — the shuffle key is the shingle, never the pair space;
+    exact Jaccard >= 0.8 over full shingle sets verifies; qualifying
+    pairs collapse to dedup groups via distributed connected
+    components (operators/components.py), so transitive chains
+    A~B~C land in one group even when A and C never paired.  Output:
+    one row per near-duplicate document with its group's canonical
+    (minimum) doc_id."""
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    sh = _shingles(spark, sf_dir).cache()
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, _NGRAM_DF_CAP))
+        .select("shingle")
+    )
+    inv = sh.join(keep, "shingle")
+    cand = (
+        inv.select(F.col("doc_id").alias("doc1"), "shingle")
+        .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
+        .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2")), "doc2")
+        .filter(jac >= _NGRAM_J_MIN)
+        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("dup_group"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )
+
+
 @register(
     "media_feature_extract",
     oracle="""

@@ -87,3 +87,53 @@ def test_band_frame_shape(spark):
     n_docs = d.count()
     assert bands.count() == 16 * n_docs
     assert bands.select("band").distinct().count() == 16
+
+
+def test_connected_components_transitive_chain(spark):
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (one component), pair 10-11, isolated-by-edge 20-20
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_ngram_jaccard_dedup_groups_planted_chain(spark, tmp_path):
+    """A~B~C edit chain must land in ONE dup group (exact Jaccard +
+    connected components), even though A and C differ twice as much."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_ngram_jaccard_dedup,
+    )
+
+    words = [f"c{i}" for i in range(60)]
+    rows = [(1, " ".join(words))]
+    chain_b = list(words)
+    chain_b[10] = "EDIT_B"
+    rows.append((2, " ".join(chain_b)))
+    chain_c = list(chain_b)
+    chain_c[40] = "EDIT_C"
+    rows.append((3, " ".join(chain_c)))
+    # unrelated docs
+    for d in range(4, 10):
+        rows.append((d, " ".join(f"u{d}x{i}" for i in range(60))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = {
+        (r.doc_id, r.dup_group, r.is_canonical)
+        for r in doc_ngram_jaccard_dedup(spark, sf_dir).collect()
+    }
+    assert out == {(1, 1, 1), (2, 1, 0), (3, 1, 0)}
