@@ -50,6 +50,9 @@ PRIORITY = (
     "doc_lsh_near_dup_pairs",
     "doc_ngram_jaccard_dedup",
     "doc_simhash",
+    "doc_gopher_repetition",
+    "doc_pii_scrub",
+    "doc_train_split",
     "media_feature_extract",
     "doc_tfidf_top_terms",
     # r1 parity-bug fixes (stringified arrays, exact-accumulator z)

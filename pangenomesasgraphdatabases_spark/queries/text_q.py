@@ -16,7 +16,7 @@ verify join runs only on candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pangenomesasgraphdatabases_spark.data import table
@@ -590,6 +590,197 @@ def doc_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("component").alias("dup_group"),
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )
+
+
+@register(
+    "doc_gopher_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, i, toks[i] || ' ' || toks[i+1] AS gram
+        FROM (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents
+        ), generate_series(1, 2000) t(i)
+        WHERE i + 1 <= len(toks)
+    ),
+    counts AS (
+        SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY doc_id, gram
+    ),
+    top AS (
+        SELECT doc_id, gram, c,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY c DESC, length(gram) DESC, gram
+               ) AS rn
+        FROM counts
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams
+        FROM counts GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           a.n_grams,
+           round(1.0 - a.n_distinct_grams * 1.0 / a.n_grams, 4)
+               AS dup_2gram_frac,
+           t.gram AS top_2gram,
+           round(t.c * length(t.gram) * 1.0 / d.n_chars, 4)
+               AS top_2gram_char_frac,
+           CAST(CASE WHEN t.c * length(t.gram) * 1.0 / d.n_chars <= 0.20
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM agg a
+    JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1
+    JOIN documents d ON a.doc_id = d.doc_id
+    """,
+    tags=("ext-text", "quality", "gopher"),
+)
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (extension): duplicate-2-gram
+    fraction and the character fraction covered by the most frequent
+    word 2-gram (Rae et al. 2021 use these to drop boilerplate/spam
+    docs before training).  Ties for the top gram break by (count,
+    gram length, gram) so both engines pick the same winner.  All
+    JVM-side: explode + two aggregations + one window."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "n_chars", F.split(F.trim("text"), " ").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.length("gram").desc(), "gram"
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_2gram"), F.col("c").alias("top_c"))
+    )
+    agg = counts.groupBy("doc_id", "n_chars").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+    )
+    frac = (
+        F.col("top_c") * F.length("top_2gram") * F.lit(1.0) / F.col("n_chars")
+    )
+    return agg.join(top, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        F.round(1.0 - F.col("n_distinct_grams") * 1.0 / F.col("n_grams"), 4).alias(
+            "dup_2gram_frac"
+        ),
+        "top_2gram",
+        F.round(frac, 4).alias("top_2gram_char_frac"),
+        (frac <= 0.20).cast("int").alias("keep"),
+    )
+
+
+# PII patterns kept to syntax identical in Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround.
+_PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def pii_scrub_cols(text_col):
+    """(scrubbed_text, n_email, n_ipv4, n_phone) expressions for a text
+    column — regexp_replace chain in pattern order, counts from the
+    ORIGINAL text so overlapping-pattern replacement order does not
+    change the counts."""
+    scrubbed = text_col
+    counts = {}
+    for name, pat, token in _PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(text_col, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return scrubbed, counts
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {' '.join(
+               f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+               f" AS n_{name}," for name, pat, _ in _PII_PATTERNS
+           )}
+           length({'regexp_replace(' * len(_PII_PATTERNS)}text,
+               {', '.join(
+                   f"'{pat}', '{tok}', 'g')" for _, pat, tok in _PII_PATTERNS
+               )}) AS scrubbed_len
+    FROM documents
+    """,
+    tags=("ext-text", "pii"),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (extension): emails / IPv4 / phone numbers
+    replaced with typed placeholder tokens, per-category match counts
+    kept for audit.  Pure regexp_replace/regexp_count — narrow-map,
+    zero shuffles, pushdown-friendly.  The synthetic corpus contains no
+    PII (all counts 0, scrubbed_len == n_chars); the planted-PII
+    behavior is pytest-verified in tests/test_text_dedup.py."""
+    d = table(spark, sf_dir, "documents")
+    scrubbed, counts = pii_scrub_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.cast("int").alias(n) for n, c in counts.items()],
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+@register(
+    "doc_train_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(bucket AS INTEGER) AS bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    """,
+    tags=("ext-text", "split"),
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (extension):
+    bucket = md5(doc_id) mod 100 -> 90/5/5 split.  Content-independent
+    and engine-portable, so re-runs, backfills, and other engines
+    assign every document to the same split — the property a 100 TB
+    corpus refresh needs (no reshuffling of examples between splits
+    when new data arrives).  Narrow map, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

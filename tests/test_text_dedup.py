@@ -137,3 +137,43 @@ def test_ngram_jaccard_dedup_groups_planted_chain(spark, tmp_path):
         for r in doc_ngram_jaccard_dedup(spark, sf_dir).collect()
     }
     assert out == {(1, 1, 1), (2, 1, 0), (3, 1, 0)}
+
+
+def test_pii_scrub_planted(spark):
+    from pangenomesasgraphdatabases_spark.queries.text_q import pii_scrub_cols
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 ok"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    scrubbed, counts = pii_scrub_cols(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            scrubbed.alias("out"),
+            *[c.alias(n) for n, c in counts.items()],
+        ).collect()
+    }
+    assert rows[1].out == "contact <EMAIL> or <PHONE> now"
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (1, 1, 0)
+    assert rows[2].out == "server at <IP> and <IP> ok"
+    assert rows[2].n_ipv4 == 2
+    assert rows[3].out == "nothing sensitive here"
+
+
+def test_train_split_deterministic_proportions(spark):
+    from pangenomesasgraphdatabases_spark.queries.text_q import doc_train_split
+
+    sf = "/root/testdata/sf0.01"
+    a = doc_train_split(spark, sf).collect()
+    b = {r.doc_id: r.split for r in doc_train_split(spark, sf).collect()}
+    assert all(b[r.doc_id] == r.split for r in a)  # rerun-stable
+    n = len(a)
+    frac_train = sum(r.split == "train" for r in a) / n
+    frac_val = sum(r.split == "val" for r in a) / n
+    assert 0.80 <= frac_train <= 0.97 and 0.01 <= frac_val <= 0.12
