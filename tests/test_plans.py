@@ -72,3 +72,31 @@ def test_rgp_interval_expansion_is_block_bucketed(spark, pangenome):
     assert range_joins, "interval-expansion join not found in plan"
     for ln in range_joins:
         assert "pos_block" in ln, f"range join not block-bucketed: {ln.strip()}"
+
+
+def test_ngram_dedup_candidates_join_on_shingle(spark):
+    """The exact-Jaccard candidate join must shuffle on the shingle key
+    (docfreq-pruned inverted index) — never a cartesian over the pair
+    space."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_ngram_jaccard_dedup,
+    )
+
+    plan = _plan(doc_ngram_jaccard_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_and_split_are_narrow_maps(spark):
+    """Scrub and split are per-row transforms: zero shuffle exchanges,
+    and column pruning reaches the scan (text/doc_id only)."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_pii_scrub,
+        doc_train_split,
+    )
+
+    for q in (doc_pii_scrub, doc_train_split):
+        plan = _plan(q(spark, SF))
+        assert "Exchange hashpartitioning" not in plan, q.__name__
+    split_plan = _plan(doc_train_split(spark, SF))
+    assert "text" not in split_plan.split("ReadSchema")[1][:200]
