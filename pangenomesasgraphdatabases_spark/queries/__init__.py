@@ -39,6 +39,8 @@ PRIORITY = (
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
+    "emb_kmeans_ivf",
+    "ann_ivf_topk",
     "emb_cosine_near_dup",
     # LLM-data-pipeline text suite
     "doc_token_count",

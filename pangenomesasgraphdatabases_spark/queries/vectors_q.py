@@ -9,7 +9,7 @@ aggregate in DOUBLE (no Python UDF).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pangenomesasgraphdatabases_spark.data import table
@@ -393,6 +393,306 @@ def emb_cosine_near_dup_exact(
         pairs.select("vec1", "vec2", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .select("vec1", "vec2", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# --- IVF: k-means coarse quantizer + probe-limited search -------------------
+#
+# The second ANN scale path next to hyperplane LSH: Lloyd's k-means
+# (K=8 centroids, 2 unrolled iterations, deterministic init = the K
+# lowest vec_ids) partitions the corpus into inverted lists; a query
+# probes only its _KM_NPROBE nearest centroids' lists.  At 100 TB the
+# assign step is a broadcast join against K centroids (narrow, no
+# shuffle of the corpus) and the search shuffles per-list, not
+# all-pairs.  Engine parity: centroid recomputation sums integer-scaled
+# coordinates (round(x * 1e6) as BIGINT) — exact and order-independent
+# in both engines — then divides once in double; distances round to
+# 6dp before the argmin so accumulation-order ULPs cannot flip an
+# assignment (same discipline as the r1 z-score fix).
+_KM_K = 8
+_KM_ITERS = 2
+_KM_NPROBE = 2
+_KM_SCALE = 1_000_000
+_KM_DIM = 64
+
+_KM_BASE_SQL = f"""
+    ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS s
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+        FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {_KM_K}) init
+    )"""
+
+
+def _km_assign_sql(n: int, cent: str) -> str:
+    """d{n}/a{n} CTEs: squared-L2 argmin assignment against `cent`."""
+    return f"""
+    d{n} AS (
+        SELECT ev.vec_id, c.cid,
+               sum((ev.v[i] - c.cvec[i]) * (ev.v[i] - c.cvec[i])) AS dist
+        FROM ev, {cent} c, generate_series(1, {_KM_DIM}) t(i)
+        GROUP BY ev.vec_id, c.cid
+    ),
+    a{n} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(dist, 6) ASC, cid ASC) AS rn
+            FROM d{n}
+        ) r WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(n: int, prev_cent: str) -> str:
+    """m{n}/cn{n}/c{n} CTEs: exact-integer centroid recomputation from
+    a{n}, empty clusters keep their previous centroid."""
+    return f"""
+    m{n} AS (
+        SELECT a.cid, i AS dim, sum(sv.s[i]) AS ssum, count(*) AS n
+        FROM a{n} a JOIN sv ON a.vec_id = sv.vec_id,
+             generate_series(1, {_KM_DIM}) t(i)
+        GROUP BY a.cid, i
+    ),
+    cn{n} AS (
+        SELECT cid,
+               list(CAST(ssum AS DOUBLE) / (n * {_KM_SCALE}.0) ORDER BY dim)
+                   AS cvec
+        FROM m{n} GROUP BY cid
+    ),
+    c{n} AS (
+        SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+        FROM {prev_cent} p LEFT JOIN cn{n} u ON p.cid = u.cid
+    )"""
+
+
+_KM_CHAIN_SQL = _KM_BASE_SQL + "".join(
+    "," + _km_assign_sql(i, f"c{i - 1}") + "," + _km_update_sql(i, f"c{i - 1}")
+    for i in range(1, _KM_ITERS + 1)
+)
+
+
+def _km_sq_dist(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_ev(e: DataFrame) -> DataFrame:
+    return e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def _km_assign(ev: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid by squared L2, ties to lower cid."""
+    scored = ev.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _km_centroids(e: DataFrame) -> DataFrame:
+    """(cid, cvec) after _KM_ITERS Lloyd rounds — one Catalyst DAG, no
+    driver-side actions (iteration count is fixed, not convergence-
+    checked, so the whole build stays lazily composable)."""
+    ev = _km_ev(e)
+    sv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("s"),
+    )
+    cent = (
+        ev.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("v").alias("cvec"),
+        )
+    )
+    for _ in range(_KM_ITERS):
+        assigned = _km_assign(ev, cent)
+        means = (
+            assigned.join(sv, "vec_id")
+            .select("cid", F.posexplode("s"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum("col").cast("double")
+                    / (F.count(F.lit(1)).cast("double") * _KM_SCALE)
+                ).alias("mean")
+            )
+        )
+        newc = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda st: st["mean"],
+            ).alias("cvec")
+        )
+        cent = (
+            cent.select("cid", F.col("cvec").alias("old"))
+            .join(newc, "cid", "left")
+            .select("cid", F.coalesce("cvec", "old").alias("cvec"))
+        )
+    return cent
+
+
+@register(
+    "emb_kmeans_ivf",
+    oracle=f"""
+    WITH {_KM_CHAIN_SQL},{_km_assign_sql(_KM_ITERS + 1, f"c{_KM_ITERS}")}
+    SELECT c.cid AS centroid_id,
+           m.n_members,
+           array_to_string(list_transform(c.cvec,
+               x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)), ';')
+               AS centroid_q
+    FROM c{_KM_ITERS} c
+    JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+          FROM a{_KM_ITERS + 1} GROUP BY cid) m
+      ON c.cid = m.cid
+    """,
+    tags=("ext-vector", "ann", "ivf"),
+)
+def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer (extension): k-means centroids + inverted-
+    list sizes.  Centroids are rendered as ';'-joined coordinates
+    scaled to 1e-4 integers, so the driver hash-compares them without
+    float-formatting drift."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _km_centroids(e)
+    counts = (
+        _km_assign(_km_ev(e), cent)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    cq = F.array_join(
+        F.transform("cvec", lambda x: F.round(x * 10000).cast("long").cast("string")),
+        ";",
+    )
+    return cent.join(counts, "cid").select(
+        F.col("cid").alias("centroid_id"), "n_members", cq.alias("centroid_q")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_KM_CHAIN_SQL},{_km_assign_sql(_KM_ITERS + 1, f"c{_KM_ITERS}")},
+    probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(dist, 6) ASC, cid ASC) AS rn
+            FROM (
+                SELECT ev.vec_id, c.cid,
+                       sum((ev.v[i] - c.cvec[i]) * (ev.v[i] - c.cvec[i])) AS dist
+                FROM ev, c{_KM_ITERS} c, generate_series(1, {_KM_DIM}) t(i)
+                WHERE ev.vec_id < 5
+                GROUP BY ev.vec_id, c.cid
+            ) d
+        ) r WHERE rn <= {_KM_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN a{_KM_ITERS + 1} a ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id,
+               sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))
+                   AS dot,
+               sqrt(sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+                   AS qn,
+               sqrt(sum(CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+                   AS cn
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ce ON ce.vec_id = c.neighbor_id, generate_series(1, 64) t(i)
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (qn * cn), 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id ASC)
+                   AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("ext-vector", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 through the IVF path: queries probe their
+    _KM_NPROBE nearest centroids and scan only those inverted lists;
+    exact cosine + per-query window rank the candidates.  Same query
+    set / tie-break as ann_bruteforce_topk so recall is directly
+    measurable (pytest)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = _km_ev(e)
+    cent = _km_centroids(e)
+    lists = _km_assign(ev, cent)
+
+    qscored = (
+        ev.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _KM_NPROBE)
+        .select("query_id", "cid")
+    )
+    cand = (
+        probe.join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 10
     )
 
 

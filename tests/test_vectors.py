@@ -4,6 +4,9 @@ product (the 100 TB story for the vector suite)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 SF = "/root/testdata/sf0.01"
 
 
@@ -53,3 +56,50 @@ def test_vector_lsh_paths_have_no_cartesian(spark):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_ivf_partitions_corpus_and_recall(spark):
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+        emb_kmeans_ivf,
+    )
+
+    clusters = emb_kmeans_ivf(spark, SF).collect()
+    assert sum(r.n_members for r in clusters) == 500  # every vector listed once
+    assert all(r.n_members > 0 for r in clusters)
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(spark, SF).collect()
+    }
+    ivf = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, SF).collect()}
+    recall = len(exact & ivf) / len(exact)
+    # Random corpus is the IVF worst case (no cluster structure) and
+    # nprobe=2/8 scans ~a quarter of it; real embedding corpora cluster.
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_kmeans_iterations_reduce_inertia(spark):
+    """Lloyd's must not increase total within-cluster distance."""
+    from pangenomesasgraphdatabases_spark.queries import vectors_q as V
+
+    e = V.table(spark, SF, "embeddings").select("vec_id", "embedding")
+    ev = V._km_ev(e)
+
+    def inertia(cent):
+        scored = ev.crossJoin(F.broadcast(cent)).select(
+            "vec_id", V._km_sq_dist(F.col("v"), F.col("cvec")).alias("d")
+        )
+        return (
+            scored.groupBy("vec_id").agg(F.min("d").alias("d")).agg(F.sum("d")).first()[0]
+        )
+
+    init = (
+        ev.orderBy("vec_id")
+        .limit(V._KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("v").alias("cvec"),
+        )
+    )
+    assert inertia(V._km_centroids(e)) <= inertia(init)
