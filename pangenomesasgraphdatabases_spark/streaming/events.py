@@ -74,14 +74,39 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
-def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Ingest-time exact deduplication (training-pipeline extension):
+    re-deliveries carrying the same content fingerprint within the
+    watermark are dropped before they reach storage, so the batch
+    dedup pass (queries/text_q.doc_exact_dedup) only handles
+    cross-partition-file duplicates.  dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes — bounded
+    state at any corpus size, unlike dropDuplicates' unbounded map."""
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+        )
+    )
+    return (
+        events.withColumn("fingerprint", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def run_available_now(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame to completion with AvailableNow
     into a memory sink; returns the materialized batch result."""
     name = "snk_" + uuid.uuid4().hex[:8]
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

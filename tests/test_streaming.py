@@ -42,3 +42,37 @@ def test_session_window_stream_runs(spark, stream_df):
     assert len(rows) > 0
     assert all(r.session_end >= r.session_start for r in rows)
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_dedup_stream_drops_planted_redeliveries(spark, tmp_path):
+    """Planted duplicate rows must collapse to one survivor per
+    fingerprint; distinct fingerprints all survive."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        dedup_stream,
+        run_available_now,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(20):
+        ts = t0 + datetime.timedelta(minutes=i % 5)
+        # i % 10 => each payload delivered exactly twice
+        rows.append((i, ts, f"u{i % 10}", "click", float(i % 10)))
+    src = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    path = str(tmp_path / "events_dup")
+    src.coalesce(1).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(src.schema).format("parquet").load(path)
+    )
+    got = run_available_now(
+        dedup_stream(stream, watermark="1 hour"), spark, output_mode="append"
+    )
+    fps = [r.fingerprint for r in got.collect()]
+    assert len(fps) == 10 and len(set(fps)) == 10
