@@ -30,6 +30,8 @@ HEADLINE = [
     "doc_minhash_signature",
     "doc_lsh_near_dup_pairs",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "doc_ngram_jaccard_dedup",
     "events_sessionize",
     "pangenome_rgp",
 ]
