@@ -577,7 +577,9 @@ def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled to 1e-4 integers, so the driver hash-compares them without
     float-formatting drift."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = _km_centroids(e)
+    # 8 rows, expensive lineage (2 Lloyd rounds) — cache so the counts
+    # assign and the output join evaluate the iteration DAG once.
+    cent = _km_centroids(e).cache()
     counts = (
         _km_assign(_km_ev(e), cent)
         .groupBy("cid")
@@ -649,7 +651,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurable (pytest)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ev = _km_ev(e)
-    cent = _km_centroids(e)
+    # Cached for the same reason as in emb_kmeans_ivf: inverted-list
+    # assignment AND query probing both consume the centroid frame.
+    cent = _km_centroids(e).cache()
     lists = _km_assign(ev, cent)
 
     qscored = (
