@@ -41,6 +41,7 @@ PRIORITY = (
     "ann_lsh_topk",
     "emb_kmeans_ivf",
     "ann_ivf_topk",
+    "emb_quantize_int8",
     "emb_cosine_near_dup",
     # LLM-data-pipeline text suite
     "doc_token_count",

@@ -476,6 +476,74 @@ def simhash_hamming(a, b):
     return dist
 
 
+def dedup_increment(
+    corpus: DataFrame, new_docs: DataFrame, j_min: float = 0.8
+) -> DataFrame:
+    """Corpus-refresh dedup (extension): the subset of `new_docs`
+    (documents-shaped: doc_id, text) that survives
+
+    1. exact dedup — fingerprint anti-join against the corpus AND
+       within the batch (min doc_id survives), then
+    2. near-dup — MinHash band-bucket candidates against the corpus,
+       exact shingle-Jaccard >= j_min verified, matches dropped.
+
+    This is the production shape for incremental crawls: the corpus
+    side only contributes its fingerprint and signature frames, which
+    a 100 TB deployment maintains incrementally (append per batch) —
+    nothing here rescans corpus text except the Jaccard verify join,
+    which touches only candidate corpus docs.  New-batch survivors'
+    signatures are exactly what gets appended for the next batch."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    new_fp = new_docs.select("doc_id", "text", F.md5(norm).alias("fp"))
+    corpus_fp = corpus.select(F.md5(norm).alias("fp")).distinct()
+
+    # 1. exact: drop batch rows whose fingerprint exists in the corpus;
+    # within the batch keep the lowest doc_id per fingerprint.
+    fresh = new_fp.join(corpus_fp, "fp", "left_anti")
+    w_batch = Window.partitionBy("fp").orderBy("doc_id")
+    fresh = (
+        fresh.withColumn("_rn", F.row_number().over(w_batch))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+    # 2. near-dup vs corpus: band join between batch and corpus
+    # signatures; exact Jaccard on candidate pairs only.
+    new_sh = shingles_of(fresh).cache()
+    corp_sh = shingles_of(corpus).cache()
+    nb = band_frame(minhash_sig_of(new_sh)).select(
+        F.col("doc_id").alias("new_id"), "band", "bh"
+    )
+    cb = band_frame(minhash_sig_of(corp_sh)).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bh"
+    )
+    cand = nb.join(cb, ["band", "bh"]).select("new_id", "corpus_id").distinct()
+    n_sz = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz1"))
+    c_sz = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz2"))
+    inter = (
+        cand.join(
+            new_sh.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id"
+        )
+        .join(
+            corp_sh.select(F.col("doc_id").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    near_dup_ids = (
+        inter.join(n_sz.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(c_sz.withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+        .filter(jac >= j_min)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return fresh.join(near_dup_ids, "doc_id", "left_anti")
+
+
 # Exact n-gram-Jaccard dedup parameters: candidate pairs must share a
 # shingle with document frequency in [2, _NGRAM_DF_CAP] (df=1 cannot
 # produce a pair; df>cap are boilerplate stop-shingles that would make

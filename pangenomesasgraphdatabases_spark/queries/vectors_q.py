@@ -701,6 +701,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    rng AS (
+        SELECT vec_id, v,
+               list_aggregate(v, 'min') AS mn,
+               (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0
+                   AS scale
+        FROM ev
+    ),
+    q AS (
+        SELECT vec_id, v, mn, scale,
+               list_transform(v,
+                   x -> CAST(round((x - mn) / scale) AS BIGINT)) AS qv
+        FROM rng
+    )
+    SELECT vec_id,
+           round(mn, 4) AS qmin,
+           round(scale, 6) AS qscale,
+           array_to_string(qv, ';') AS qvec,
+           round(list_sum(list_transform(list_zip(v, qv),
+                 p -> abs(p[1] - (mn + p[2] * scale)))) / 64.0, 6) AS mae
+    FROM q
+    """,
+    tags=("ext-vector", "quantize"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (extension): 4x storage
+    reduction for a 100 TB embedding corpus — min/scale header plus
+    one byte per dimension — with the reconstruction error (MAE)
+    reported per vector.  All JVM-side array ops; the quantized codes
+    are integers, so the driver hash-compare is float-format-free.
+    Assumes non-constant vectors (scale > 0), which L2-normalized
+    embeddings satisfy."""
+    e = table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    rng = ev.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / 255.0).alias("scale"),
+    )
+    q = rng.select(
+        "vec_id",
+        "v",
+        "mn",
+        "scale",
+        F.transform(
+            "v", lambda x: F.round((x - F.col("mn")) / F.col("scale")).cast("long")
+        ).alias("qv"),
+    )
+    mae = (
+        F.aggregate(
+            F.zip_with(
+                "v",
+                "qv",
+                lambda x, qi: F.abs(x - (F.col("mn") + qi * F.col("scale"))),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / 64.0
+    )
+    return q.select(
+        "vec_id",
+        F.round("mn", 4).alias("qmin"),
+        F.round("scale", 6).alias("qscale"),
+        F.array_join(F.transform("qv", lambda x: x.cast("string")), ";").alias(
+            "qvec"
+        ),
+        F.round(mae, 6).alias("mae"),
+    )
+
+
+@register(
     "approx_distinct_extension",
     oracle=None,  # HLL sketches differ across engines -> rows-only check
     tags=("ext-olap", "approx"),

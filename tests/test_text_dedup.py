@@ -177,3 +177,30 @@ def test_train_split_deterministic_proportions(spark):
     frac_train = sum(r.split == "train" for r in a) / n
     frac_val = sum(r.split == "val" for r in a) / n
     assert 0.80 <= frac_train <= 0.97 and 0.01 <= frac_val <= 0.12
+
+
+def test_dedup_increment_against_corpus(spark):
+    """Exact copies and near-dups of corpus docs are dropped from the
+    batch; in-batch exact dups collapse to one; fresh docs survive."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import dedup_increment
+
+    corpus_rows = []
+    for d in range(6):
+        corpus_rows.append((d, " ".join(f"c{d}w{i}" for i in range(50))))
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+
+    near = [f"c2w{i}" for i in range(50)]
+    near[10] = "EDITED"
+    batch = spark.createDataFrame(
+        [
+            (100, corpus_rows[0][1]),          # exact corpus copy -> drop
+            (101, "  " + corpus_rows[1][1]),   # copy modulo whitespace -> drop
+            (102, " ".join(near)),             # near-dup of corpus doc 2 -> drop
+            (103, " ".join(f"n{i}" for i in range(50))),  # fresh -> keep
+            (104, " ".join(f"n{i}" for i in range(50))),  # in-batch dup of 103 -> drop
+            (105, " ".join(f"m{i}" for i in range(50))),  # fresh -> keep
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in dedup_increment(corpus, batch).collect())
+    assert kept == [103, 105]
