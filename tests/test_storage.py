@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def test_save_load_roundtrip(spark, pangenome, tmp_path_factory):
     from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
@@ -24,3 +26,20 @@ def test_save_load_roundtrip(spark, pangenome, tmp_path_factory):
         for r in find_rgps(g2).collect()
     }
     assert before == after and before
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from pangenomesasgraphdatabases_spark.graph.storage import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before  # lossless rewrite

@@ -76,3 +76,30 @@ def test_dedup_stream_drops_planted_redeliveries(spark, tmp_path):
     )
     fps = [r.fingerprint for r in got.collect()]
     assert len(fps) == 10 and len(set(fps)) == 10
+
+
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    """AvailableNow drains the source into batch_id dirs; a rerun with
+    the same checkpoint emits nothing new (offsets committed)."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        foreach_batch_parquet_sink,
+    )
+
+    src_path = str(tmp_path / "src")
+    spark.range(100).withColumnRenamed("id", "v").write.parquet(src_path)
+    src_schema = spark.read.parquet(src_path).schema
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(src_schema).format("parquet").load(src_path)
+        q = foreach_batch_parquet_sink(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 100 and "batch_id" in got.columns
+
+    run()  # same checkpoint: nothing to re-deliver
+    assert spark.read.parquet(out).count() == 100
