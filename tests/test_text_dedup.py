@@ -204,3 +204,41 @@ def test_dedup_increment_against_corpus(spark):
     )
     kept = sorted(r.doc_id for r in dedup_increment(corpus, batch).collect())
     assert kept == [103, 105]
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label propagation must agree with a sequential
+    union-find on deterministic random graphs (including a long chain,
+    the propagation worst case)."""
+    import random
+
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    cases = [
+        [(i, i + 1) for i in range(30)],  # one 31-node chain
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(25)],
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(60)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == expected
