@@ -63,7 +63,8 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 4) AS avg_value
+           sum(CAST(round(value * 1000000) AS BIGINT)) // count(*)
+               AS avg_value_micro
     FROM buckets
     GROUP BY 1, 2
     """,
@@ -71,19 +72,27 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding every 5 minutes (each event lands in
-    two windows) — batch form of the sliding streaming agg (extension)."""
+    two windows) — batch form of the sliding streaming agg (extension).
+    The average is emitted in exact fixed-point micros (integer sum of
+    round(value*1e6), integer-divided by the count): at sf0.1 the true
+    average of the generated values lands exactly on a 4-decimal
+    rounding boundary, where Spark (decimal-string HALF_UP) and DuckDB
+    (binary double) round differently — integer math cannot."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT))"
+                " div count(1)"
+            ).alias("avg_value_micro"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
-            "avg_value",
+            "avg_value_micro",
         )
     )
 

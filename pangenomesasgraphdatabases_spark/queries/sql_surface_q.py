@@ -25,29 +25,54 @@ _ORD_SQL = ", ".join(_ORD)
 @register(
     "ranking_functions",
     oracle=f"""
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(rank() OVER w AS BIGINT) AS rnk,
-           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           round(percent_rank() OVER w, 6) AS prnk
-    FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORD_SQL})
+    SELECT l_suppkey, l_orderkey, l_linenumber, rnk, drnk, quartile,
+           CASE WHEN cnt > 1 THEN ((rnk - 1) * 1000000) // (cnt - 1)
+                ELSE 0 END AS prnk_ppm
+    FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS cnt
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORD_SQL})
+    ) t
     """,
     tags=("ext-window", "rank"),
 )
 def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/ntile/percent_rank (extension — absent from the
-    reference, SURVEY.md section 2.5 note)."""
+    reference, SURVEY.md section 2.5 note).  percent_rank is emitted
+    as exact integer parts-per-million ((rank-1)*1e6 div (n-1)):
+    round(double, 6) put values like 0.5046875 on a half-ulp rounding
+    boundary where Spark (decimal-string HALF_UP) and DuckDB (binary
+    double) disagree — integer division cannot."""
     li = table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(*_ORD)
-    return li.select(
+    wp = Window.partitionBy("l_suppkey")
+    base = li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("cnt"),
+    )
+    return base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "rnk",
+        "drnk",
+        "quartile",
+        F.when(
+            F.col("cnt") > 1,
+            F.expr("(rnk - 1) * CAST(1000000 AS BIGINT) div (cnt - 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("prnk_ppm"),
     )
 
 

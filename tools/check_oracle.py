@@ -54,6 +54,43 @@ def norm_val(v):
     return v
 
 
+# Canonical type families for the schema comparison (the driver
+# records schema_match; name-only comparison would miss e.g. a VARCHAR
+# oracle column against a BIGINT Spark column).
+def _spark_type_family(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        return "int"
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        return "float"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt == "boolean":
+        return "bool"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt == "date":
+        return "date"
+    return dt
+
+
+def _duck_type_family(dt: str) -> str:
+    dt = dt.upper()
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "UBIGINT"):
+        return "int"
+    if dt in ("FLOAT", "DOUBLE", "REAL") or dt.startswith("DECIMAL"):
+        return "float"
+    if dt == "VARCHAR":
+        return "str"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    if dt == "DATE":
+        return "date"
+    return dt.lower()
+
+
 def norm_rows(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return sorted(
@@ -81,6 +118,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -92,9 +130,10 @@ def main():
             n_noracle += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = dict(zip(dcols, (str(t) for t in rel.types)))
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -102,6 +141,15 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            for c in scols:
+                sf_fam = _spark_type_family(stypes[c])
+                dk_fam = _duck_type_family(dtypes[c])
+                if sf_fam != dk_fam:
+                    problems.append(
+                        f"type mismatch on {c}: spark {stypes[c]} ({sf_fam}) "
+                        f"vs duck {dtypes[c]} ({dk_fam})"
+                    )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
