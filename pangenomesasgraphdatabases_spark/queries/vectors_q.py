@@ -61,23 +61,36 @@ def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           round(avg(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
-           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_dim0
+           sum(CAST(round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000)
+               AS BIGINT)) // count(*) AS avg_norm_micro,
+           sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+               AS BIGINT)) // count(*) AS avg_dim0_micro
     FROM embeddings
     GROUP BY label
     """,
     tags=("ext-vector", "A1"),
 )
 def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label aggregates over vector-derived scalars (extension)."""
+    """Per-label aggregates over vector-derived scalars (extension).
+    Averages are exact fixed-point micros (integer sum div count):
+    avg(double) accumulates in engine- and partition-order, which can
+    flip the rounded decimal (the r1 z-score / sliding-avg lesson)."""
     e = table(spark, sf_dir, "embeddings")
-    return e.groupBy("label").agg(
+    norm_micro = F.round(_norm(F.col("embedding")) * 1000000).cast("bigint")
+    dim0_micro = F.round(
+        F.element_at("embedding", 1).cast("double") * 1000000
+    ).cast("bigint")
+    acc = e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
-        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias(
-            "avg_dim0"
-        ),
+        F.sum(norm_micro).alias("_sn"),
+        F.sum(dim0_micro).alias("_sd"),
+    )
+    return acc.select(
+        "label",
+        "n_vectors",
+        F.expr("_sn div n_vectors").alias("avg_norm_micro"),
+        F.expr("_sd div n_vectors").alias("avg_dim0_micro"),
     )
 
 
