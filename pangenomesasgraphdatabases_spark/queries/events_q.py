@@ -27,7 +27,7 @@ from pangenomesasgraphdatabases_spark.queries.registry import register
                AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value
+           sum(CAST(round(value * 1000000) AS BIGINT)) AS total_value_micro
     FROM events
     GROUP BY 1, 2
     """,
@@ -35,19 +35,24 @@ from pangenomesasgraphdatabases_spark.queries.registry import register
 )
 def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window counts per event type — the batch form
-    of the streaming aggregation (extension)."""
+    of the streaming aggregation (extension).  Totals are exact
+    fixed-point micros: summed integers are order-independent, while
+    round(sum(double), 4) depends on engine/partition accumulation
+    order (the r1 z-score lesson)."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+                "total_value_micro"
+            ),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_micro",
         )
     )
 
@@ -188,7 +193,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value
+           sum(CAST(round(value * 1000000) AS BIGINT)) AS total_value_micro
     FROM events
     GROUP BY 1, 2
     """,

@@ -47,13 +47,18 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> 
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # Exact fixed-point total: integer sums are immune to
+            # micro-batch/partition accumulation order (matches the
+            # batch query events_tumbling_counts).
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+                "total_value_micro"
+            ),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_micro",
         )
     )
 
