@@ -59,6 +59,10 @@ def main() -> None:
         t0 = time.time()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries cache intermediates (shingles, centroids); drop them
+        # so later queries measure their own work, not heap pressure
+        # from earlier ones.
+        spark.catalog.clearCache()
 
     # Reference-scale graph build: 770 strains x 6000 features = 4.62M
     # feature nodes — the dataset behind BASELINE.md's ~2072 s Neo4j
