@@ -795,15 +795,35 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_extension",
-    oracle=None,  # HLL sketches differ across engines -> rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(CASE WHEN abs(approx_count_distinct(l_partkey)
+                             - count(DISTINCT l_partkey))
+                     <= 0.15 * count(DISTINCT l_partkey)
+                THEN 1 ELSE 0 END AS INTEGER) AS approx_within_15pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("ext-olap", "approx"),
 )
 def approx_distinct_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per group — approximate
-    aggregate extension (SURVEY.md section 2.4 note); sketch values are
-    engine-specific so the driver records the weaker rows-only check."""
+    aggregate extension (SURVEY.md section 2.4 note).  Raw sketch
+    estimates are engine-specific and can never hash-match, so the
+    oracle-checked output is the exact count plus a deterministic
+    tolerance verdict: both engines' HLL estimates must land within
+    15% of exact (3x Spark's default 5% rsd) — the estimate itself
+    still runs, its accuracy is what is asserted."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= 0.15 * F.countDistinct("l_partkey")
+        )
+        .cast("int")
+        .alias("approx_within_15pct"),
     )

@@ -103,3 +103,26 @@ def test_kmeans_iterations_reduce_inertia(spark):
         )
     )
     assert inertia(V._km_centroids(e)) <= inertia(init)
+
+
+def test_kmeans_handles_tiny_corpus(spark, tmp_path):
+    """Fewer vectors than K: every vector is its own centroid seed;
+    assignment still partitions the corpus."""
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import emb_kmeans_ivf
+
+    rows = [(i, [float(i * 64 + d) for d in range(64)], 0) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = emb_kmeans_ivf(spark, sf_dir).collect()
+    assert sum(r.n_members for r in out) == 3
+
+
+def test_connected_components_empty_edges(spark):
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
