@@ -58,6 +58,9 @@ PRIORITY = (
     "doc_train_split",
     "media_feature_extract",
     "doc_tfidf_top_terms",
+    "doc_token_count_bpe",
+    "doc_rolling_fingerprint",
+    "doc_winnow_fingerprints",
     # r1 parity-bug fixes (stringified arrays, exact-accumulator z)
     "zscore_vs_group",
     "group_collect_list",

@@ -660,6 +660,149 @@ def doc_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer pattern, restricted to syntax shared by
+# Java regex (Spark) and RE2 (DuckDB): contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs.
+_BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "doc_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+               '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+           round(n_chars * 1.0 / len(regexp_extract_all(text,
+               '{_BPE_PATTERN.replace("'", "''")}')), 4) AS chars_per_token
+    FROM documents
+    """,
+    tags=("ext-text", "tokens", "bpe"),
+)
+def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting (extension): a GPT-2-style pretokenizer
+    regex (contractions / letter runs / digit runs / punctuation /
+    whitespace) counted JVM-side next to the whitespace count — the
+    budget estimate an LLM-training pipeline actually bills by.
+    chars_per_token is a single division of exact ints (engine-safe)."""
+    d = table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(_BPE_PATTERN))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_ws_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.col("n_chars") * 1.0 / n_bpe, 4).alias("chars_per_token"),
+    )
+
+
+_RH_P = 2_147_483_647  # rolling-hash modulus (2^31 - 1)
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                       i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                                 AS BIGINT))),
+               (h, c) -> (h * 31 + c) % {_RH_P}) AS rolling_hash,
+           CAST(length(text) AS BIGINT) AS n_chars_hashed
+    FROM documents
+    """,
+    tags=("ext-text", "fingerprint", "rolling-hash"),
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Rabin-Karp) rolling-hash fingerprint over the char
+    stream, h = fold(31*h + code mod 2^31-1) (extension: the incremental
+    fingerprint a streaming ingest can maintain byte-by-byte, unlike
+    block md5).  Pure JVM-side fold via aggregate() — identical
+    sequential semantics in both engines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(1, length(text)),"
+            " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % {_RH_P})"
+        ).alias("rolling_hash"),
+        F.length("text").cast("bigint").alias("n_chars_hashed"),
+    )
+
+
+_WINNOW_K = 8  # char-gram width
+_WINNOW_W = 32  # winnowing window (positions)
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER),
+                   {_WINNOW_K})), 1, 7)) AS BIGINT) AS gh
+        FROM documents, generate_series(1, 2000) t(i)
+        WHERE i + {_WINNOW_K} - 1 <= length(text)
+    ),
+    mins AS (
+        SELECT doc_id, i,
+               min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                   AS wmin,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, wmin
+        FROM mins WHERE rn >= {_WINNOW_W}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           array_to_string(list_sort(list(wmin)), ';') AS fingerprints
+    FROM fps
+    GROUP BY doc_id
+    """,
+    tags=("ext-text", "fingerprint", "winnowing"),
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set (MOSS-style, extension): hash every
+    8-char gram, keep the minimum per sliding 32-position window,
+    distinct the survivors — robust local fingerprints for partial-
+    overlap detection, ~2/(w+1) density.  All relational: explode +
+    one window min + distinct; shuffles on doc_id only."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {_WINNOW_K - 1}, 0)),"
+                f" i -> substring(md5(substring(text, i, {_WINNOW_K})), 1, 7))"
+            )
+        ),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.conv(F.col("col"), 16, 10).cast("bigint").alias("gh"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    mins = grams.select(
+        "doc_id",
+        F.min("gh").over(w.rowsBetween(-(_WINNOW_W - 1), 0)).alias("wmin"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fps = mins.filter(F.col("rn") >= _WINNOW_W).select("doc_id", "wmin").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("wmin")), lambda x: x.cast("string")
+            ),
+            ";",
+        ).alias("fingerprints"),
+    )
+
+
 @register(
     "doc_gopher_repetition",
     oracle="""
