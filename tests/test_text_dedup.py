@@ -242,3 +242,30 @@ def test_connected_components_matches_union_find(spark):
         df = spark.createDataFrame(edges, ["src", "dst"])
         got = {r.node: r.component for r in connected_components(df).collect()}
         assert got == expected
+
+
+def test_winnow_shared_substring_shares_fingerprints(spark, tmp_path):
+    """Winnowing guarantee: two docs sharing a long substring share
+    fingerprints; unrelated docs share none."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different lead-in " + shared + " other tail"),
+        (3, "no overlap here at all just unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.length("text")}
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    fps = {
+        r.doc_id: set(r.fingerprints.split(";"))
+        for r in doc_winnow_fingerprints(spark, sf_dir).collect()
+    }
+    assert fps[1] & fps[2], "shared substring produced no shared fingerprints"
+    assert not (fps[1] & fps[3])
