@@ -61,6 +61,7 @@ PRIORITY = (
     "doc_token_count_bpe",
     "doc_rolling_fingerprint",
     "doc_winnow_fingerprints",
+    "doc_partial_overlap_pairs",
     # r1 parity-bug fixes (stringified arrays, exact-accumulator z)
     "zscore_vs_group",
     "group_collect_list",

@@ -735,10 +735,10 @@ _WINNOW_K = 8  # char-gram width
 _WINNOW_W = 32  # winnowing window (positions)
 
 
-@register(
-    "doc_winnow_fingerprints",
-    oracle=f"""
-    WITH grams AS (
+# Shared winnowing CTE chain: char-gram hashes -> sliding-window min
+# -> distinct fingerprint set per document.
+_WINNOW_SQL = f"""
+    grams AS (
         SELECT doc_id, i,
                CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER),
                    {_WINNOW_K})), 1, 7)) AS BIGINT) AS gh
@@ -756,22 +756,12 @@ _WINNOW_W = 32  # winnowing window (positions)
     fps AS (
         SELECT DISTINCT doc_id, wmin
         FROM mins WHERE rn >= {_WINNOW_W}
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_fingerprints,
-           array_to_string(list_sort(list(wmin)), ';') AS fingerprints
-    FROM fps
-    GROUP BY doc_id
-    """,
-    tags=("ext-text", "fingerprint", "winnowing"),
-)
-def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint set (MOSS-style, extension): hash every
-    8-char gram, keep the minimum per sliding 32-position window,
-    distinct the survivors — robust local fingerprints for partial-
-    overlap detection, ~2/(w+1) density.  All relational: explode +
-    one window min + distinct; shuffles on doc_id only."""
-    d = table(spark, sf_dir, "documents")
+    )"""
+
+
+def winnow_fps_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, wmin) distinct winnowing fingerprints of a documents-
+    shaped frame — the Spark twin of _WINNOW_SQL."""
     grams = d.select(
         "doc_id",
         F.posexplode(
@@ -791,7 +781,28 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gh").over(w.rowsBetween(-(_WINNOW_W - 1), 0)).alias("wmin"),
         F.row_number().over(w).alias("rn"),
     )
-    fps = mins.filter(F.col("rn") >= _WINNOW_W).select("doc_id", "wmin").distinct()
+    return mins.filter(F.col("rn") >= _WINNOW_W).select("doc_id", "wmin").distinct()
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_SQL}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           array_to_string(list_sort(list(wmin)), ';') AS fingerprints
+    FROM fps
+    GROUP BY doc_id
+    """,
+    tags=("ext-text", "fingerprint", "winnowing"),
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set (MOSS-style, extension): hash every
+    8-char gram, keep the minimum per sliding 32-position window,
+    distinct the survivors — robust local fingerprints for partial-
+    overlap detection, ~2/(w+1) density.  All relational: explode +
+    one window min + distinct; shuffles on doc_id only."""
+    fps = winnow_fps_frame(table(spark, sf_dir, "documents"))
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.array_join(
@@ -800,6 +811,69 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ";",
         ).alias("fingerprints"),
+    )
+
+
+# A pair counts as overlapping when the shared fingerprints cover this
+# fraction of the SMALLER document's set (containment, not Jaccard —
+# catches a short doc quoted wholesale inside a long one).
+_OVERLAP_MIN = 0.5
+
+
+@register(
+    "doc_partial_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_SQL},
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+        FROM fps GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b
+          ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc1, s.doc2, s.n_shared,
+           least(z1.nfp, z2.nfp) AS min_fps
+    FROM shared s
+    JOIN sizes z1 ON s.doc1 = z1.doc_id
+    JOIN sizes z2 ON s.doc2 = z2.doc_id
+    WHERE s.n_shared >= {_OVERLAP_MIN} * least(z1.nfp, z2.nfp)
+    """,
+    tags=("ext-text", "dedup", "winnowing", "containment"),
+)
+def doc_partial_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap (containment) detection (extension): pairs whose
+    shared winnowing fingerprints cover >= 50% of the smaller doc's
+    set.  This is the dedup flavor whole-document Jaccard misses — a
+    short document quoted inside a much longer one has tiny Jaccard
+    but high containment.  Candidates come from the fingerprint
+    inverted index (equi-join on wmin) — never the pair space; the
+    comparison is integer-only (n_shared vs a scaled min), so no float
+    parity risk."""
+    fps = winnow_fps_frame(table(spark, sf_dir, "documents")).cache()
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    shared = (
+        fps.select(F.col("doc_id").alias("doc1"), "wmin")
+        .join(fps.select(F.col("doc_id").alias("doc2"), "wmin"), "wmin")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("nfp").alias("nfp1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("nfp").alias("nfp2"))
+    return (
+        shared.join(z1, "doc1")
+        .join(z2, "doc2")
+        .filter(F.col("n_shared") >= _OVERLAP_MIN * F.least("nfp1", "nfp2"))
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared",
+            F.least("nfp1", "nfp2").alias("min_fps"),
+        )
     )
 
 

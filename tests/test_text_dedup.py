@@ -269,3 +269,32 @@ def test_winnow_shared_substring_shares_fingerprints(spark, tmp_path):
     }
     assert fps[1] & fps[2], "shared substring produced no shared fingerprints"
     assert not (fps[1] & fps[3])
+
+
+def test_partial_overlap_catches_contained_quote(spark, tmp_path):
+    """A short doc quoted wholesale inside a long doc: tiny Jaccard,
+    but containment flags the pair."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_partial_overlap_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    long_doc = " ".join(f"l{i}" for i in range(200)) + " " + quote + " " + " ".join(
+        f"r{i}" for i in range(200)
+    )
+    rows = [
+        (1, quote),
+        (2, long_doc),
+        (3, " ".join(f"z{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.length("text")}
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    pairs = {
+        (r.doc1, r.doc2) for r in doc_partial_overlap_pairs(spark, sf_dir).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
