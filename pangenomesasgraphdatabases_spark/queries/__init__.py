@@ -62,6 +62,7 @@ PRIORITY = (
     "doc_rolling_fingerprint",
     "doc_winnow_fingerprints",
     "doc_partial_overlap_pairs",
+    "dedup_increment_split",
     # r1 parity-bug fixes (stringified arrays, exact-accumulator z)
     "zscore_vs_group",
     "group_collect_list",

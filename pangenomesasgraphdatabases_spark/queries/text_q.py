@@ -544,6 +544,107 @@ def dedup_increment(
     return fresh.join(near_dup_ids, "doc_id", "left_anti")
 
 
+def _shingles_sql_for(name: str, src: str) -> str:
+    """Shingle CTE over an arbitrary documents-shaped CTE `src`."""
+    return f"""
+    {name} AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM {src}
+        ), generate_series(1, 2000) t(i)
+        WHERE i + 2 <= len(toks)
+    )"""
+
+
+def _bands_sql_for(sig: str) -> str:
+    """Band-key UNION ALL over an arbitrary signature CTE `sig`."""
+    return "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, "
+        f"concat_ws('_', {', '.join(f'h{b * _BAND_R + r}' for r in range(_BAND_R))})"
+        f" AS bh FROM {sig}"
+        for b in range(_N_BANDS)
+    )
+
+
+_NORM_FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+_INC_SPLIT_ID = 400  # documents below = stored corpus, rest = new batch
+
+
+@register(
+    "dedup_increment_split",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_INC_SPLIT_ID}
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= {_INC_SPLIT_ID}
+    ),
+    bfp AS (SELECT doc_id, text, {_NORM_FP_SQL} AS fp FROM batch),
+    cfp AS (SELECT DISTINCT {_NORM_FP_SQL} AS fp FROM corpus),
+    fresh AS (
+        SELECT doc_id, text FROM (
+            SELECT b.doc_id, b.text,
+                   row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+            FROM bfp b LEFT JOIN cfp c ON b.fp = c.fp
+            WHERE c.fp IS NULL
+        ) t WHERE rn = 1
+    ),
+    {_shingles_sql_for('fsh', 'fresh')},
+    {_shingles_sql_for('csh', 'corpus')},
+    fh AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+           FROM fsh),
+    ch AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+           FROM csh),
+    fsig AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM fh GROUP BY doc_id),
+    csig AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM ch GROUP BY doc_id),
+    fbands AS (
+{_bands_sql_for('fsig')}
+    ),
+    cbands AS (
+{_bands_sql_for('csig')}
+    ),
+    cand AS (
+        SELECT DISTINCT f.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM fbands f JOIN cbands c ON f.band = c.band AND f.bh = c.bh
+    ),
+    fsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM fsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM csh GROUP BY doc_id),
+    inter AS (
+        SELECT cd.new_id, cd.corpus_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand cd
+        JOIN fsh ON cd.new_id = fsh.doc_id
+        JOIN csh ON cd.corpus_id = csh.doc_id AND fsh.shingle = csh.shingle
+        GROUP BY cd.new_id, cd.corpus_id
+    ),
+    neardup AS (
+        SELECT DISTINCT i.new_id
+        FROM inter i
+        JOIN fsz z1 ON i.new_id = z1.doc_id
+        JOIN csz z2 ON i.corpus_id = z2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) / (z1.sz + z2.sz - i.n_common) >= 0.8
+    )
+    SELECT f.doc_id
+    FROM fresh f LEFT JOIN neardup n ON f.doc_id = n.new_id
+    WHERE n.new_id IS NULL
+    """,
+    tags=("ext-text", "dedup", "incremental"),
+)
+def dedup_increment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked form of the incremental corpus-refresh dedup
+    (dedup_increment): documents below id 400 play the stored corpus,
+    the rest arrive as the new batch; output = batch doc_ids that
+    survive exact-fingerprint AND MinHash-band near-dup screening
+    against the corpus."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < _INC_SPLIT_ID)
+    batch = d.filter(F.col("doc_id") >= _INC_SPLIT_ID)
+    return dedup_increment(corpus, batch).select("doc_id")
+
+
 # Exact n-gram-Jaccard dedup parameters: candidate pairs must share a
 # shingle with document frequency in [2, _NGRAM_DF_CAP] (df=1 cannot
 # produce a pair; df>cap are boilerplate stop-shingles that would make
