@@ -41,3 +41,37 @@ def test_unstubbed_decode_raises(spark):
     feats = extract_features(media, decode_stub=False)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         feats.limit(1).collect()
+
+
+def test_resize_media_stub_shapes(spark):
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    media = documents_as_media(table(spark, SF, "documents")).limit(20)
+    out = resize_media(media, 16, 8).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 16 * 8 for r in out)
+    assert all((r.meta_width, r.meta_height) == (16, 8) for r in out)
+
+
+def test_sample_frames_every_nth_block(spark):
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    # one "video": 100 frames of 4 bytes, frame k = [k,k,k,k]
+    payload = b"".join(bytes([k % 256] * 4) for k in range(100))
+    media = spark.createDataFrame(
+        [(1, "video/raw", payload, 2, 2)],
+        "media_id long, media_type string, payload binary,"
+        " meta_width int, meta_height int",
+    )
+    rows = sorted(
+        (r.frame_idx, bytes(r.frame_bytes))
+        for r in sample_frames(media, frame_size=4, every_n=10).collect()
+    )
+    assert [i for i, _ in rows] == list(range(0, 100, 10))
+    assert all(fb == bytes([i % 256] * 4) for i, fb in rows)
