@@ -100,3 +100,17 @@ def test_pii_scrub_and_split_are_narrow_maps(spark):
         assert "Exchange hashpartitioning" not in plan, q.__name__
     split_plan = _plan(doc_train_split(spark, SF))
     assert "text" not in split_plan.split("ReadSchema")[1][:200]
+
+
+def test_new_dedup_paths_never_cartesian(spark):
+    """Containment overlap and incremental dedup must candidate-join
+    on fingerprint/band keys, never the pair space."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        dedup_increment_split,
+        doc_partial_overlap_pairs,
+    )
+
+    for q in (doc_partial_overlap_pairs, dedup_increment_split):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
