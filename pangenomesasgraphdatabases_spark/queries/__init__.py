@@ -54,6 +54,7 @@ PRIORITY = (
     "doc_ngram_jaccard_dedup",
     "doc_simhash",
     "doc_gopher_repetition",
+    "doc_clean_normalize",
     "doc_pii_scrub",
     "doc_train_split",
     "media_feature_extract",

@@ -1075,6 +1075,48 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_clean_normalize",
+    oracle="""
+    SELECT doc_id,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+               '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_len,
+           CAST(len(regexp_extract_all(text, '<[^>]*>')) AS INTEGER)
+               AS n_tags_removed,
+           CAST(length(text) AS BIGINT)
+               - length(trim(regexp_replace(regexp_replace(lower(text),
+                 '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_chars_removed
+    FROM documents
+    """,
+    tags=("ext-text", "cleaning"),
+)
+def doc_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning pass (extension): strip markup tags, collapse
+    whitespace, lowercase — with audit counts.  Narrow per-row map,
+    zero shuffles; the cleaned-text expression (clean_text_col) is the
+    reusable transform, this query reports its effect per document.
+    The synthetic corpus has no markup (n_tags_removed = 0); planted-
+    markup behavior is pytest-verified."""
+    d = table(spark, sf_dir, "documents")
+    cleaned = clean_text_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        F.regexp_count("text", F.lit(r"<[^>]*>")).cast("int").alias(
+            "n_tags_removed"
+        ),
+        (F.length("text") - F.length(cleaned)).alias("n_chars_removed"),
+    )
+
+
+def clean_text_col(text_col):
+    """Lowercase, strip `<...>` markup, collapse whitespace, trim —
+    the normalization applied before tokenization/dedup in a training
+    pipeline (regex subset shared by Java regex and RE2)."""
+    no_tags = F.regexp_replace(F.lower(text_col), r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
 # PII patterns kept to syntax identical in Java regex (Spark) and RE2
 # (DuckDB): no backreferences, no lookaround.
 _PII_PATTERNS = (

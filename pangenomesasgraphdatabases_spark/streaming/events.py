@@ -63,6 +63,31 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, watermark: str = "20 minutes"
+) -> DataFrame:
+    """Streaming 10-minute windows sliding every 5 — the stream twin of
+    queries/events_q.events_sliding_avg, same exact fixed-point micros."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div count(1)"
+            ).alias("avg_value_micro"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value_micro",
+        )
+    )
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming gap-based sessionization via session_window — the
     built-in stateful operator twin of events_q.events_sessionize."""

@@ -103,3 +103,15 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
 
     run()  # same checkpoint: nothing to re-deliver
     assert spark.read.parquet(out).count() == 100
+
+
+def test_sliding_stream_matches_batch(spark, stream_df):
+    from pangenomesasgraphdatabases_spark.queries.events_q import events_sliding_avg
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        run_available_now,
+        sliding_counts_stream,
+    )
+
+    got = run_available_now(sliding_counts_stream(stream_df), spark)
+    want = events_sliding_avg(spark, SF)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

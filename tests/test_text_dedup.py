@@ -298,3 +298,18 @@ def test_partial_overlap_catches_contained_quote(spark, tmp_path):
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_clean_normalize_strips_planted_markup(spark):
+    from pangenomesasgraphdatabases_spark.queries.text_q import clean_text_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello <b>World</b>   and <a href='x'>link</a> end"),
+            (2, "   plain    text   "),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.out for r in df.select("doc_id", clean_text_col(F.col("text")).alias("out")).collect()}
+    assert rows[1] == "hello world and link end"
+    assert rows[2] == "plain text"
