@@ -27,7 +27,8 @@ from pangenomesasgraphdatabases_spark.queries.registry import register
                AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(CAST(round(value * 1000000) AS BIGINT)) AS total_value_micro
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS total_value_micro
     FROM events
     GROUP BY 1, 2
     """,
@@ -68,8 +69,8 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(CAST(round(value * 1000000) AS BIGINT)) // count(*)
-               AS avg_value_micro
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               // count(*) AS avg_value_micro
     FROM buckets
     GROUP BY 1, 2
     """,
@@ -193,7 +194,8 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(CAST(round(value * 1000000) AS BIGINT)) AS total_value_micro
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS total_value_micro
     FROM events
     GROUP BY 1, 2
     """,

@@ -66,9 +66,12 @@ WITH cents AS (
                    l_extendedprice, l_quantity)
 )
 SELECT l_suppkey, l_orderkey, l_linenumber, pos,
-       round(zval, 4) AS z,
+       -- + 0.0 folds -0.0 to +0.0 (IEEE): DuckDB's round emits -0.0
+       -- for tiny negatives, Spark's emits 0.0; they compare equal
+       -- but hash differently in the driver (r2).
+       round(zval, 4) + 0.0 AS z,
        deviating,
-       round(roll_mean_z, 4) AS roll_mean_z,
+       round(roll_mean_z, 4) + 0.0 AS roll_mean_z,
        dev_run, low_qty_run
 FROM w
 """
@@ -115,9 +118,11 @@ def gi_scan_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "pos",
-        F.round("zval", 4).alias("z"),
+        # + 0.0 folds -0.0 to +0.0 so both engines emit the same zero
+        # bit pattern — the driver hashes float bits (r2).
+        (F.round("zval", 4) + F.lit(0.0)).alias("z"),
         "deviating",
-        F.round("roll_mean_z", 4).alias("roll_mean_z"),
+        (F.round("roll_mean_z", 4) + F.lit(0.0)).alias("roll_mean_z"),
         "dev_run",
         "low_qty_run",
     )

@@ -30,6 +30,13 @@ _N_MINHASH = 64
 _N_BANDS = 16
 _BAND_R = 4
 
+# DuckDB has no WITH ORDINALITY, so the oracles enumerate token/char
+# positions with generate_series(1, ORACLE_MAX_POS).  The Spark twins
+# (transform(sequence(1, ...))) are unbounded, so any document longer
+# than this silently diverges from its oracle — tests assert the
+# fixture/testdata corpus stays under the cap (ADVICE r2).
+ORACLE_MAX_POS = 2000
+
 
 @register(
     "doc_token_count",
@@ -188,14 +195,14 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash / LSH near-duplicate detection --------------------------------
 
-_SHINGLES_SQL = """
+_SHINGLES_SQL = f"""
     shingles AS (
         SELECT DISTINCT doc_id,
                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
         FROM (
             SELECT doc_id, string_split(trim(text), ' ') AS toks
             FROM documents
-        ), generate_series(1, 2000) t(i)
+        ), generate_series(1, {ORACLE_MAX_POS}) t(i)
         WHERE i + 2 <= len(toks)
     )
 """
@@ -206,6 +213,19 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(table(spark, sf_dir, "documents"))
 
 
+def _gram_starts(toks, width: int):
+    """1-based start indices for `width`-grams over `toks` — empty
+    array when the doc is shorter than one gram.  A bare
+    sequence(1, size-width+1) DESCENDS to [1, 0] when size < width and
+    element_at then indexes past the array (ANSI error on a one-token
+    doc); the oracle's `WHERE i+width-1 <= len(toks)` drops such docs,
+    so the empty array (explode emits nothing) keeps exact parity."""
+    return F.when(
+        F.size(toks) >= width,
+        F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles_of(d: DataFrame) -> DataFrame:
     """Distinct word 3-gram shingles of a documents-shaped frame."""
     toks = d.select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
@@ -213,7 +233,7 @@ def shingles_of(d: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+                _gram_starts(F.col("toks"), 3),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at("toks", i),
@@ -553,7 +573,7 @@ def _shingles_sql_for(name: str, src: str) -> str:
         FROM (
             SELECT doc_id, string_split(trim(text), ' ') AS toks
             FROM {src}
-        ), generate_series(1, 2000) t(i)
+        ), generate_series(1, {ORACLE_MAX_POS}) t(i)
         WHERE i + 2 <= len(toks)
     )"""
 
@@ -843,7 +863,7 @@ _WINNOW_SQL = f"""
         SELECT doc_id, i,
                CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER),
                    {_WINNOW_K})), 1, 7)) AS BIGINT) AS gh
-        FROM documents, generate_series(1, 2000) t(i)
+        FROM documents, generate_series(1, {ORACLE_MAX_POS}) t(i)
         WHERE i + {_WINNOW_K} - 1 <= length(text)
     ),
     mins AS (
@@ -980,13 +1000,13 @@ def doc_partial_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_gopher_repetition",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, i, toks[i] || ' ' || toks[i+1] AS gram
         FROM (
             SELECT doc_id, string_split(trim(text), ' ') AS toks
             FROM documents
-        ), generate_series(1, 2000) t(i)
+        ), generate_series(1, {ORACLE_MAX_POS}) t(i)
         WHERE i + 1 <= len(toks)
     ),
     counts AS (
@@ -1038,7 +1058,7 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+                _gram_starts(F.col("toks"), 2),
                 lambda i: F.concat_ws(
                     " ", F.element_at("toks", i), F.element_at("toks", i + 1)
                 ),

@@ -61,11 +61,11 @@ def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           sum(CAST(round(sqrt(list_sum(list_transform(embedding,
+           CAST(sum(CAST(round(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000)
-               AS BIGINT)) // count(*) AS avg_norm_micro,
-           sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
-               AS BIGINT)) // count(*) AS avg_dim0_micro
+               AS BIGINT)) AS BIGINT) // count(*) AS avg_norm_micro,
+           CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+               AS BIGINT)) AS BIGINT) // count(*) AS avg_dim0_micro
     FROM embeddings
     GROUP BY label
     """,

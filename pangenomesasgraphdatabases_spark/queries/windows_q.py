@@ -113,8 +113,11 @@ def genome_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cents
     )
     SELECT l_suppkey, l_orderkey, l_linenumber,
+           -- + 0.0 folds -0.0 to +0.0 (IEEE): DuckDB's round emits
+           -- -0.0 for tiny negatives, Spark's emits 0.0; they compare
+           -- equal but hash differently in the driver (r2).
            round((CAST(xi AS DOUBLE) - s / n)
-                 / sqrt((ss - s * s / n) / (n - 1.0)), 4) AS z
+                 / sqrt((ss - s * s / n) / (n - 1.0)), 4) + 0.0 AS z
     FROM base
     """,
     tags=("W6",),
@@ -132,7 +135,14 @@ def zscore_vs_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.sum(xi * xi).over(part).cast("double")
     n = F.count(F.lit(1)).over(part).cast("double")
     z = (xi.cast("double") - s / n) / F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
-    return li.select("l_suppkey", "l_orderkey", "l_linenumber", F.round(z, 4).alias("z"))
+    # + 0.0 folds -0.0 to +0.0 (IEEE) so both engines emit the same
+    # zero bit pattern — the driver hashes float bits (r2).
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
+    )
 
 
 @register(

@@ -313,3 +313,51 @@ def test_clean_normalize_strips_planted_markup(spark):
     rows = {r.doc_id: r.out for r in df.select("doc_id", clean_text_col(F.col("text")).alias("out")).collect()}
     assert rows[1] == "hello world and link end"
     assert rows[2] == "plain text"
+
+
+def test_short_docs_do_not_crash_gram_builders(spark):
+    """ADVICE r2: sequence(1, size-width+1) descends to [1, 0] on
+    docs shorter than one gram and element_at indexes past the array
+    (ANSI error).  One empty / one-token / two-token doc in a crawl
+    batch must not kill the job; docs shorter than the gram width are
+    dropped, matching the oracle's WHERE i+width-1 <= len(toks)."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_gopher_repetition as _gopher,
+    )
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "three word doc")],
+        ["doc_id", "text"],
+    )
+    sh = shingles_of(d).collect()
+    assert {r.doc_id for r in sh} == {4}, "only the 3-token doc shingles"
+    assert [r.shingle for r in sh] == ["three word doc"]
+
+    # gopher runs over the documents table; build a tiny parquet dir.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.withColumn("n_chars", F.length("text")).write.parquet(
+            tmp + "/documents.parquet"
+        )
+        out = _gopher(spark, tmp).collect()
+    got = {r.doc_id for r in out}
+    assert got == {3, 4}, "docs with >= 2 tokens survive, shorter are dropped"
+
+
+def test_corpus_fits_oracle_position_cap(spark):
+    """ADVICE r2: the DuckDB oracles enumerate positions with
+    generate_series(1, ORACLE_MAX_POS) while the Spark twins are
+    unbounded — assert the test corpus can never reach the cap."""
+    import os
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import ORACLE_MAX_POS
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    d = spark.read.parquet(sf_dir + "/documents.parquet")
+    mx = d.select(
+        F.max(F.length("text")).alias("chars"),
+        F.max(F.size(F.split(F.trim("text"), " "))).alias("toks"),
+    ).first()
+    assert mx.chars < ORACLE_MAX_POS, "doc chars exceed oracle series cap"
+    assert mx.toks < ORACLE_MAX_POS, "doc tokens exceed oracle series cap"

@@ -1,8 +1,24 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
-DuckDB at the given sf dir, then compares row count, column names, and
-an order-insensitive multiset of normalized values.
+DuckDB at the given sf dir, then compares row count, column names,
+pandas dtype compatibility, and an order-insensitive multiset of
+bit-exact canonical values.
+
+The comparison deliberately models what the external driver does
+(pandas-level value hashing, evidence from CORRECTNESS_r01/r02):
+
+* integer columns hash by VALUE — int32 vs int64 is tolerated
+  (seven r2-green queries had that mismatch);
+* float columns hash by BIT PATTERN — ``-0.0`` vs ``0.0`` fails the
+  driver hash even though they compare equal (r2: zscore_vs_group,
+  gi_scan_flagship), so floats canonicalize via ``repr`` which
+  distinguishes the zero sign;
+* an int64 column on one side vs float64 on the other fails —
+  DuckDB HUGEINT (``sum(BIGINT)``, ``//`` on HUGEINT) converts to
+  float64 in ``.df()`` while Spark hands back int64 (r2:
+  events_* / stream_* / emb_label_stats);
+* list values crash the driver canonicalizer outright (r1).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -16,6 +32,7 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
@@ -31,27 +48,37 @@ class ArrayOutput(Exception):
     VERDICT r1).  The local gate must be at least as strict."""
 
 
-def norm_val(v):
+def canon_val(v):
+    """Canonical comparison token for one cell.
+
+    Distinct tokens iff the driver's pandas value hash would differ:
+    ints collapse widths, floats keep their bit-level identity
+    (repr distinguishes -0.0 / 0.0 / inf; all NaNs and nulls collapse
+    to 'null' because pandas represents both as NaN).
+    """
     if v is None:
-        return None
-    if isinstance(v, bool):
-        return int(v)
-    if isinstance(v, Decimal):
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{int(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
         v = float(v)
-    if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # EXACT — the driver hash-compares values; round(…, 6) here
-        # masked the r1 z-score failures (ADVICE r1).
-        return v
-    if isinstance(v, (datetime, date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        raise ArrayOutput("array-typed output column (stringify it: "
-                          "array_join/array_to_string)")
-    if hasattr(v, "tolist"):  # numpy
-        return norm_val(v.tolist())
-    return v
+            return "null"
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (datetime, date, np.datetime64)):
+        return f"t:{v}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise ArrayOutput(
+            "array-typed output column (stringify it: "
+            "array_join/array_to_string)"
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    return f"s:{v}"
 
 
 # Canonical type families for the schema comparison (the driver
@@ -91,12 +118,59 @@ def _duck_type_family(dt: str) -> str:
     return dt.lower()
 
 
-def norm_rows(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(
-        (tuple(norm_val(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple((x is None, str(x)) for x in t),
-    )
+_KIND_NAMES = {"i": "int", "u": "int", "b": "bool", "f": "float",
+               "O": "object", "M": "datetime", "m": "timedelta"}
+
+
+def _dtype_kinds(df):
+    """Column -> coarse pandas dtype kind, the granularity at which the
+    driver's hash is sensitive (int widths collapse; int vs float does
+    not)."""
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c] = _KIND_NAMES.get(k, k)
+    return out
+
+
+def canon_rows(pdf, colnames):
+    order = sorted(colnames)
+    rows = [
+        tuple(canon_val(v) for v in rec)
+        for rec in pdf[order].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
+def compare_frames(spdf, dpdf):
+    """Driver-strict comparison of two pandas frames.  Returns a list
+    of problem strings (empty == pass)."""
+    problems = []
+    scols, dcols = sorted(spdf.columns), sorted(dpdf.columns)
+    if scols != dcols:
+        return [f"columns spark={scols} duck={dcols}"]
+    if len(spdf) != len(dpdf):
+        problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
+    skinds, dkinds = _dtype_kinds(spdf), _dtype_kinds(dpdf)
+    for c in scols:
+        if skinds[c] != dkinds[c]:
+            problems.append(
+                f"pandas dtype kind mismatch on {c}: spark "
+                f"{spdf[c].dtype} ({skinds[c]}) vs duck {dpdf[c].dtype} "
+                f"({dkinds[c]}) — the driver hashes these differently "
+                f"(e.g. DuckDB HUGEINT -> float64)"
+            )
+    if problems:
+        return problems
+    try:
+        ns, nd = canon_rows(spdf, scols), canon_rows(dpdf, dcols)
+    except ArrayOutput as e:
+        return [str(e)]
+    if ns != nd:
+        diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+        problems.append(f"values differ (bit-exact), e.g. {diff}")
+    return problems
 
 
 def main():
@@ -119,13 +193,13 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             stypes = dict(sdf.dtypes)
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows "
+            print(f"SKIP {name}: no oracle (rows-only) — {len(spdf)} rows "
                   f"[{time.time()-t0:.1f}s]")
             n_noracle += 1
             continue
@@ -133,39 +207,30 @@ def main():
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
             dtypes = dict(zip(dcols, (str(t) for t in rel.types)))
-            drows = rel.fetchall()
+            dpdf = rel.df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
-        else:
+        if sorted(scols) == sorted(dcols):
             for c in scols:
                 sf_fam = _spark_type_family(stypes[c])
                 dk_fam = _duck_type_family(dtypes[c])
-                if sf_fam != dk_fam:
+                if sf_fam != dk_fam and {sf_fam, dk_fam} != {"int", "float"}:
+                    # int-vs-float at the SQL level is legal ONLY if
+                    # the pandas frames agree (HUGEINT check below is
+                    # the authoritative one).
                     problems.append(
                         f"type mismatch on {c}: spark {stypes[c]} ({sf_fam}) "
                         f"vs duck {dtypes[c]} ({dk_fam})"
                     )
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            try:
-                ns, nd = norm_rows(srows, scols), norm_rows(drows, dcols)
-            except ArrayOutput as e:
-                problems.append(str(e))
-            else:
-                if ns != nd:
-                    diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-                    problems.append(f"values differ, e.g. {diff}")
+        problems += compare_frames(spdf, dpdf)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            print(f"PASS {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
