@@ -121,8 +121,11 @@ def compact_parquet(
     the scan-efficient size; at 100 TB that poisons listing time and
     task planning.  Periodic compaction is the plain-parquet equivalent
     of Delta/Iceberg OPTIMIZE.  The rewrite lands in a temp directory
-    first and is swapped in with a filesystem rename, so readers never
-    see a half-written table."""
+    first; the swap is rename-aside (path -> path__old, tmp -> path,
+    delete path__old) so the original data survives every crash point:
+    a failure before the swap-in rename leaves `path__old` (or `path`)
+    intact and recoverable, never a window with no table at all
+    (delete-then-rename had exactly that window — ADVICE r2)."""
     import math
 
     jvm = spark._jvm
@@ -131,8 +134,16 @@ def compact_parquet(
     total = fs.getContentSummary(hpath).getLength()
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    df.repartition(n).write.mode("overwrite").parquet(tmp)
-    fs.delete(hpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    old_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    df.repartition(n).write.mode("overwrite").parquet(tmp_p.toString())
+    if fs.exists(old_p):  # leftover from an earlier crash after swap-in
+        fs.delete(old_p, True)
+    if not fs.rename(hpath, old_p):
+        raise IOError(f"compact_parquet: cannot move {path} aside")
+    if not fs.rename(tmp_p, hpath):
+        # roll the original straight back; nothing was lost.
+        fs.rename(old_p, hpath)
+        raise IOError(f"compact_parquet: cannot swap in compacted {path}")
+    fs.delete(old_p, True)
     return n

@@ -12,6 +12,14 @@ identical in both engines, so signatures are byte-equal and the
 band-bucket join is reproducible.  At 100 TB the LSH path shuffles on
 (band hash) buckets instead of the O(n^2) pair space; the exact-Jaccard
 verify join runs only on candidate pairs.
+
+Cache lifecycle: several queries cache intermediate frames (shingles,
+winnowing fingerprints) that the RETURNED DataFrame's lineage still
+references — unpersisting before return would defeat them.  Callers
+own the cache: collect the result, then `spark.catalog.clearCache()`
+(bench.py does this between queries).  Long-lived library consumers
+embedding these plans should persist/unpersist at their own pipeline
+boundaries instead.
 """
 
 from __future__ import annotations

@@ -5,6 +5,12 @@ variant (random-hyperplane signs via md5 bit votes — engine-portable)
 is the 100 TB path: candidates shuffle on bucket id instead of the
 full cross product.  Dot products stay JVM-side via zip_with +
 aggregate in DOUBLE (no Python UDF).
+
+Cache lifecycle: the IVF queries cache the k-means centroid frame
+because the returned plan consumes it twice (inverted-list assignment
+and the output join / query probing); unpersisting before return would
+defeat that.  Callers own the cache: collect the result, then
+`spark.catalog.clearCache()` (bench.py does this between queries).
 """
 
 from __future__ import annotations

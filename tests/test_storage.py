@@ -43,3 +43,22 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert len(glob.glob(f"{path}/part-*.parquet")) == 1
     after = sorted(r.id for r in spark.read.parquet(path).collect())
     assert after == before  # lossless rewrite
+
+
+def test_compact_parquet_recovers_stale_old_dir(spark, tmp_path):
+    """Rename-aside swap (ADVICE r2): a leftover `path__old` from a
+    crash after swap-in must not block the next compaction, and the
+    table stays readable with identical contents afterwards."""
+    from pangenomesasgraphdatabases_spark.graph.storage import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(8).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    # simulate debris from an earlier crash
+    spark.range(5).write.parquet(path + "__old")
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before
+    import os
+    assert not os.path.exists(path + "__old"), "debris cleaned up"
+    assert not os.path.exists(path + "__compact_tmp")
