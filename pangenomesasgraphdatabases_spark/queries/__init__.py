@@ -110,6 +110,7 @@ def _load_all() -> None:
         analytics_q,
         sources_q,
         sql_surface_q,
+        curation_q,
     )
 
     _LOADED = True

@@ -1,0 +1,108 @@
+"""Corpus-curation operators: planted-scenario behavior checks
+(the oracle gate covers engine parity; these pin semantics)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.queries.curation_q import (
+    _CAP_N,
+    _CHUNK_C,
+    _CHUNK_S,
+    _DECON_EVAL_MAX_ID,
+    _DECON_N,
+    _SAMPLE_DEFAULT,
+    _SAMPLE_RATES,
+    doc_chunk_windows,
+    doc_decontaminate,
+    doc_source_cap,
+    doc_stratified_sample,
+    doc_vocab_coverage,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    d = d.withColumn("n_chars", F.length("text"))
+    path = str(tmp_path / "docs")
+    d.write.parquet(path + "/documents.parquet")
+    return path
+
+
+def test_decontaminate_flags_planted_benchmark_copy(spark, tmp_path):
+    eval_text = " ".join(f"bench{i}" for i in range(12))
+    rows = [
+        (1, eval_text, "en", "eval"),                  # benchmark doc
+        # train doc quoting 8 benchmark tokens -> 8-(n-1)=4 hit 5-grams
+        (100, "intro words " + " ".join(f"bench{i}" for i in range(8)), "en", "tr"),
+        (101, "totally unrelated words only here", "en", "tr"),
+    ]
+    assert rows[0][0] < _DECON_EVAL_MAX_ID <= rows[1][0]
+    out = {r.doc_id: r.n_hit_grams for r in
+           doc_decontaminate(spark, _docs_dir(spark, tmp_path, rows)).collect()}
+    assert out == {100: 8 - (_DECON_N - 1)}, "only the quoting doc is flagged"
+
+
+def test_chunk_windows_span_and_overlap(spark, tmp_path):
+    n_tok = 35
+    rows = [(1, " ".join(f"t{i}" for i in range(n_tok)), "en", "s")]
+    out = sorted(
+        doc_chunk_windows(spark, _docs_dir(spark, tmp_path, rows)).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts at 1, 11, 21, 31 for C=20, S=10 over 35 tokens
+    assert [r.start_tok for r in out] == [1, 11, 21, 31]
+    assert [r.end_tok for r in out] == [20, 30, 35, 35]
+    assert all(r.end_tok - r.start_tok + 1 <= _CHUNK_C for r in out)
+    assert out[1].start_tok - out[0].start_tok == _CHUNK_S
+    assert len({r.chunk_hash for r in out}) == len(out)
+
+
+def test_source_cap_keeps_exactly_cap_per_source(spark):
+    out = doc_source_cap(spark, SF)
+    kept = out.filter("kept = 1").groupBy("source").count().collect()
+    per_source = out.groupBy("source").count().collect()
+    n_min = {r.source: min(r["count"], _CAP_N) for r in per_source}
+    assert {r.source: r["count"] for r in kept} == n_min
+    # deterministic: same order on a re-run
+    a = sorted(map(tuple, out.filter("kept = 1").select("doc_id").collect()))
+    b = sorted(map(tuple, doc_source_cap(spark, SF).filter("kept = 1")
+                   .select("doc_id").collect()))
+    assert a == b
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    out = doc_stratified_sample(spark, SF)
+    got = out.groupBy("source").count().collect()
+    totals = {
+        r.source: r["count"]
+        for r in doc_source_cap(spark, SF).groupBy("source").count().collect()
+    }
+    for r in got:
+        rate = _SAMPLE_RATES.get(r.source, _SAMPLE_DEFAULT)
+        # md5 buckets are uniform-ish; with 25 docs/source allow wide
+        # tolerance but assert the ORDERING of rates shows through in
+        # aggregate below rather than per-source.
+        assert r["count"] <= totals[r.source]
+    n_src0 = next((r["count"] for r in got if r.source == "src0"), 0)
+    n_default = sum(r["count"] for r in got
+                    if r.source not in _SAMPLE_RATES)
+    n_default_srcs = len(totals) - len(_SAMPLE_RATES)
+    assert n_src0 > n_default / n_default_srcs, (
+        "the 50%-rate source keeps more than an average 10% source"
+    )
+    assert out.exceptAll(doc_stratified_sample(spark, SF)).isEmpty()
+
+
+def test_vocab_coverage_monotonic_and_bounded(spark):
+    out = sorted(doc_vocab_coverage(spark, SF).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    cnts = [r.cnt for r in out]
+    assert cnts == sorted(cnts, reverse=True), "ranked by descending count"
+    ppm = [r.cum_ppm for r in out]
+    assert ppm == sorted(ppm), "cumulative coverage is monotonic"
+    assert 0 < ppm[-1] <= 1_000_000
