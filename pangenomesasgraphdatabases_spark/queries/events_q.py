@@ -213,3 +213,93 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_available_now(tumbling_counts_stream(events_stream(spark, sf_dir)), spark)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("ext-stream", "streaming", "stream-stream-join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join execution (two watermarked streams off
+    the same source, time-bounded join condition, AvailableNow to a
+    memory sink in append mode) — the conversion-attribution shape
+    every event pipeline runs.  The time bound is what keeps join
+    state finite; see streaming/events.interval_join_stream."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        interval_join_stream,
+        run_available_now,
+    )
+
+    return run_available_now(
+        interval_join_stream(events_stream(spark, sf_dir)),
+        spark,
+        output_mode="append",
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us,
+               row_number() OVER (
+                   PARTITION BY a.event_id
+                   ORDER BY b.ts, b.event_id
+               ) AS rn
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id, gap_us
+    FROM pairs WHERE rn = 1
+    """,
+    tags=("ext-stream", "asof-join"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (extension): each click matched to the FIRST purchase
+    within the 30-minute horizon — the operator kdb/Pandas `merge_asof`
+    provide and Spark lacks natively, composed as range join + per-left
+    row_number()=1.  The range join stays bounded (time-bucket + user
+    key); ties break on (ts, event_id) so both engines pick the same
+    purchase."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    w = Window.partitionBy("click_id").orderBy("pts", "purchase_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
+        )
+    )

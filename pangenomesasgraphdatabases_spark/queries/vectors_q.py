@@ -833,3 +833,65 @@ def approx_distinct_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("approx_within_15pct"),
     )
+
+
+# Random ±1 projection matrix (16 x 64), fixed at module import from a
+# seeded PRNG so both the Spark expression and the DuckDB oracle embed
+# the SAME literal matrix — no in-engine randomness, no RNG parity
+# questions.  Sign projections satisfy Johnson-Lindenstrauss (Achlioptas
+# 2003): pairwise distances are preserved within epsilon in the 16-d
+# sketch, which is the cheap first stage of dim-reduced ANN / clustering
+# at 100 TB (4x less shuffle bytes than the raw 64-d vectors).
+import random as _rp_random
+
+_RP_OUT = 16
+_RP_IN = 64
+_rp_rng = _rp_random.Random(20260813)
+_RP_SIGNS = [
+    [_rp_rng.choice((1, -1)) for _ in range(_RP_IN)] for _ in range(_RP_OUT)
+]
+
+
+def _rp_sql_terms(j: int) -> str:
+    # left-associated +/- chain: identical accumulation order to the
+    # Spark fold below (a + (-1)*x is bitwise a - x in IEEE).
+    parts = []
+    for i, s in enumerate(_RP_SIGNS[j]):
+        op = "+" if s > 0 else "-"
+        parts.append(f"{op} CAST(embedding[{i + 1}] AS DOUBLE)")
+    chain = " ".join(parts)
+    # "+ x - y ..." -> "x - y ..." (a leading "- x" stays as unary minus)
+    return chain[2:] if _RP_SIGNS[j][0] > 0 else chain
+
+
+_RP_ORACLE = (
+    "SELECT vec_id, array_to_string(["
+    + ", ".join(
+        "CAST(CAST(floor((" + _rp_sql_terms(j) + ") * 10000 + 0.5) "
+        "AS BIGINT) AS VARCHAR)"
+        for j in range(_RP_OUT)
+    )
+    + "], ';') AS proj_q FROM embeddings"
+)
+
+
+@register("emb_rp_project", oracle=_RP_ORACLE, tags=("ext-vector", "dim-reduction"))
+def emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random sign projection 64-d -> 16-d (extension): y_j = sum_i
+    sign(j,i) * x_i against the fixed seeded ±1 matrix.  Pure map-side
+    narrow transform — zero shuffle at any scale; components are
+    rendered as ';'-joined 1e-4 fixed-point integers (floor(x+0.5) is
+    exact on both engines, unlike decimal-string vs binary round)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comps = []
+    for j in range(_RP_OUT):
+        signs = F.array(*[F.lit(float(s)) for s in _RP_SIGNS[j]])
+        y = F.aggregate(
+            F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(
+            F.floor(y * 10000 + F.lit(0.5)).cast("bigint").cast("string")
+        )
+    return e.select("vec_id", F.concat_ws(";", *comps).alias("proj_q"))

@@ -161,3 +161,50 @@ def foreach_batch_parquet_sink(result: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_stream(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    horizon_s: int = 1800,
+) -> DataFrame:
+    """STREAM-STREAM inner join: clicks joined to the purchases that
+    follow them within `horizon_s` seconds for the same user.  Both
+    sides carry watermarks and the join predicate bounds event time on
+    both ends, so Spark can expire join state — without the time bound
+    each side's state would grow without limit at 100 TB/day rates.
+
+    With AvailableNow and the file as one batch, the inner join emits
+    exactly the batch-join pairs, so a plain SQL join oracles it."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""click_user = purchase_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {horizon_s} SECONDS"""
+        ),
+    )
+    return joined.select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )

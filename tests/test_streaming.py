@@ -115,3 +115,69 @@ def test_sliding_stream_matches_batch(spark, stream_df):
     got = run_available_now(sliding_counts_stream(stream_df), spark)
     want = events_sliding_avg(spark, SF)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_interval_join_stream_matches_batch_join(spark, stream_df):
+    """Stream-stream inner join (both sides watermarked, time-bounded
+    condition) emits exactly the batch join's pairs under AvailableNow."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        interval_join_stream,
+        run_available_now,
+    )
+
+    got = run_available_now(
+        interval_join_stream(stream_df), spark, output_mode="append"
+    )
+    e = table(spark, SF, "events")
+    clicks = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("c"), F.col("ts").alias("cts")
+    )
+    purch = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("p"), F.col("ts").alias("pts")
+    )
+    want = clicks.join(
+        purch,
+        (F.col("u") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "u", "c", "p", (F.unix_micros("pts") - F.unix_micros("cts")).alias("g")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_asof_join_picks_first_purchase_on_ties(spark):
+    """events_asof_join keeps exactly one purchase per click — the
+    earliest, with event_id breaking timestamp ties."""
+    import datetime as dt
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import events_asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+    def row(eid, ts, user, typ):
+        # data.table expects events.ts stored as NANOS-as-long
+        return (eid, int(ts.timestamp() * 1_000_000) * 1000, user, typ, 1.0, "{}")
+
+    rows = [
+        row(1, t0, 7, "click"),
+        row(2, t0 + dt.timedelta(minutes=5), 7, "purchase"),
+        row(3, t0 + dt.timedelta(minutes=5), 7, "purchase"),  # ts tie
+        row(4, t0 + dt.timedelta(minutes=40), 7, "purchase"),  # past horizon
+        row(5, t0, 8, "click"),  # no purchase at all
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df.write.parquet(tmp + "/events.parquet")
+        out = events_asof_join(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.click_id, r.purchase_id) == (1, 2), "earliest purchase, id tiebreak"
+    assert r.gap_us == 5 * 60 * 1_000_000
