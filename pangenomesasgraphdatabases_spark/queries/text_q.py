@@ -754,17 +754,30 @@ def doc_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    sh = _shingles(spark, sf_dir).cache()
+    # 64-bit-hash the shingle text once: every downstream shuffle
+    # (docfreq, size filter, inverted-index self-join) then moves and
+    # compares 8-byte keys instead of ~20-byte strings.  Set semantics
+    # are unchanged short of an xxhash64 collision among distinct
+    # shingles of the corpus (~n^2/2^65 — 4e-9 even at 1e9 shingles);
+    # the DuckDB oracle keeps exact strings, so the gate would surface
+    # a collision as a count diff.
+    sh = (
+        _shingles(spark, sf_dir)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = (
         sh.join(dfreq.filter(F.col("df") <= _NGRAM_DF_CAP).select("shingle"), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
+    # Cached: the self-join consumes the inverted index twice, and
+    # without the cache each side re-derives shingles + docfreq.
     inv = sh.join(
         dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
         "shingle",
-    )
+    ).cache()
     inter = (
         inv.select(F.col("doc_id").alias("doc1"), "shingle")
         .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
