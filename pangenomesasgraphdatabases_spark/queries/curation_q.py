@@ -308,3 +308,54 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " * 1000000 div tot").alias("cum_ppm"),
         )
     )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+        FROM toks
+    )
+    SELECT doc_id, n_tok,
+           cs - n_tok AS start_tok,
+           (cs - n_tok) // {_PACK_BUDGET} AS seq_id,
+           (cs - n_tok) % {_PACK_BUDGET} AS offset_in_seq
+    FROM cum
+    """,
+    tags=("ext-curation", "packing"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (extension): concatenate the corpus in
+    doc_id order and cut every {_PACK_BUDGET} tokens — each doc gets
+    its global token offset, its sequence id, and its offset inside
+    that sequence (docs straddling a cut are split across sequences,
+    as sequence packing does).
+
+    The global running total comes from operators/prefix.global_cumsum
+    — range partition + per-partition window + broadcast offsets — NOT
+    an unpartitioned window: `Window.orderBy()` without partitionBy
+    funnels the entire corpus through one partition, which is a dead
+    plan at 100 TB.  The oracle uses the naive single-partition window
+    (DuckDB is single-node), pinning the two formulations equal."""
+    from pangenomesasgraphdatabases_spark.operators.prefix import global_cumsum
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(_tok_col()).cast("bigint").alias("n_tok"))
+    cum = global_cumsum(toks, ["doc_id"], "n_tok", out_col="cs")
+    start = (F.col("cs") - F.col("n_tok")).alias("start_tok")
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        start,
+        F.expr(f"(cs - n_tok) div {_PACK_BUDGET}").alias("seq_id"),
+        ((F.col("cs") - F.col("n_tok")) % _PACK_BUDGET).alias("offset_in_seq"),
+    )

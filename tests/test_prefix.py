@@ -1,0 +1,74 @@
+"""Distributed prefix sum: equality with the naive single-partition
+window, robustness to input partitioning, and the plan property that
+motivates it (bulk data never funnels through one partition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.operators.prefix import global_cumsum
+
+
+def _naive(df, order_cols, value_col):
+    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("cs", F.sum(value_col).over(w))
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = {r.k: r.cs for r in global_cumsum(df, ["k"], "v", "cs").collect()}
+    want = {r.k: r.cs for r in _naive(df, ["k"], "v").collect()}
+    assert got == want
+
+
+def test_global_cumsum_partitioning_invariant(spark):
+    base = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13 + 1).alias("v")
+    )
+    a = global_cumsum(base.repartition(1), ["k"], "v", "cs")
+    b = global_cumsum(base.repartition(17), ["k"], "v", "cs")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_global_cumsum_plan_has_no_bulk_single_partition(spark):
+    """The only SinglePartition exchange allowed is over the tiny
+    per-partition-totals frame (numPartitions rows); the row-level path
+    must stay range/hash partitioned."""
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    plan = (
+        global_cumsum(df, ["k"], "v", "cs")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan, "row path must be range partitioned"
+    # the offsets window runs over the totals aggregate, which sits
+    # beneath a hash aggregate of the ranged data — the Range scan
+    # itself must never feed SinglePartition directly.
+    import re
+
+    bulk_single = re.findall(r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n){0,3}[^\n]*Range \(0, 100000", plan)
+    assert not bulk_single, "bulk rows funneled into one partition"
+
+
+def test_pack_sequences_covers_corpus_contiguously(spark):
+    """Packed offsets tile the concatenated corpus with no gaps."""
+    from pangenomesasgraphdatabases_spark.queries.curation_q import (
+        doc_pack_sequences,
+    )
+
+    rows = sorted(
+        doc_pack_sequences(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.doc_id,
+    )
+    pos = 0
+    for r in rows:
+        assert r.start_tok == pos, "gap or overlap in packed layout"
+        assert r.seq_id == r.start_tok // 256
+        assert r.offset_in_seq == r.start_tok % 256
+        pos += r.n_tok
