@@ -54,6 +54,7 @@ PRIORITY = (
     "stream_interval_join",
     "events_asof_join",
     "doc_pack_sequences",
+    "events_funnel_depth",
     # -- changed in r3 (gram-width guard, hashed shingle keys)
     "doc_ngram_jaccard_dedup",
     "doc_gopher_repetition",
@@ -77,8 +78,8 @@ PRIORITY = (
     "emb_kmeans_ivf",
     "ann_ivf_topk",
     "emb_cosine_near_dup",
-    "doc_winnow_fingerprints",
     # ---- 50-query window boundary is here ----
+    "doc_winnow_fingerprints",
     "doc_partial_overlap_pairs",
     # r1/r2-green, unchanged; order below only affects listing
     "emb_norms",

@@ -303,3 +303,76 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
         )
     )
+
+
+@register(
+    "events_funnel_depth",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     WHEN s1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_depth
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    tags=("ext-stream", "funnel"),
+)
+def events_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (extension): how far each user advances
+    through signup -> click -> purchase where every step must happen
+    strictly AFTER the previous one (the sequential constraint is what
+    distinguishes a funnel from three independent filters).  Expressed
+    as cascaded earliest-qualifying-event aggregations — each step is
+    one groupBy + join on user_id, so the whole funnel is a chain of
+    co-partitioned shuffles on the same key (a cluster reuses the
+    exchange), never a per-user sort of full histories."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", depth.cast("int").alias("funnel_depth"))
+    )

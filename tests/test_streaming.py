@@ -181,3 +181,37 @@ def test_asof_join_picks_first_purchase_on_ties(spark):
     r = out[0]
     assert (r.click_id, r.purchase_id) == (1, 2), "earliest purchase, id tiebreak"
     assert r.gap_us == 5 * 60 * 1_000_000
+
+
+def test_funnel_depth_requires_temporal_order(spark):
+    """A click BEFORE the signup must not advance the funnel."""
+    import datetime as dt
+    import tempfile
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_funnel_depth,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+    def row(eid, minutes, user, typ):
+        ts = t0 + dt.timedelta(minutes=minutes)
+        return (eid, int(ts.timestamp() * 1_000_000) * 1000, user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered funnel
+        row(1, 0, 1, "signup"), row(2, 5, 1, "click"), row(3, 9, 1, "purchase"),
+        # user 2: click precedes signup -> depth stalls at 1
+        row(4, 0, 2, "click"), row(5, 5, 2, "signup"),
+        # user 3: purchase before click -> depth 2
+        row(6, 0, 3, "signup"), row(7, 2, 3, "purchase"), row(8, 5, 3, "click"),
+        # user 4: never signs up -> depth 0
+        row(9, 0, 4, "view"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).write.parquet(tmp + "/events.parquet")
+        got = {r.user_id: r.funnel_depth
+               for r in events_funnel_depth(spark, tmp).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 0}
