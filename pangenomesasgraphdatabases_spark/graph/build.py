@@ -212,10 +212,24 @@ def cluster_feature_types(clusters: DataFrame, ortholog: DataFrame, features: Da
 
 def backfill_reference_sequences(clusters: DataFrame, features: DataFrame) -> DataFrame:
     """Backfill NULL reference_sequence from the reference-locus
-    feature's full_sequence (01_creatingDatabase.cypher:129-133)."""
-    ref = features.select(
-        F.col("feature_id").alias("reference_locus"),
-        F.col("full_sequence").alias("_ref_full_seq"),
+    feature's full_sequence (01_creatingDatabase.cypher:129-133).
+
+    Need-driven: only clusters with a NULL reference_sequence look up a
+    feature, so the feature table is first semi-filtered to exactly
+    those loci (a map-side broadcast filter at runtime — AQE sizes the
+    tiny `need` side) instead of sort-merging all features against the
+    cluster dim."""
+    need = (
+        clusters.filter(F.col("reference_sequence").isNull())
+        .select("reference_locus")
+        .distinct()
+    )
+    ref = (
+        features.select(
+            F.col("feature_id").alias("reference_locus"),
+            F.col("full_sequence").alias("_ref_full_seq"),
+        )
+        .join(need, "reference_locus")
     )
     return (
         clusters.join(ref, "reference_locus", "left")
@@ -287,50 +301,150 @@ def build_graph(
     """End-to-end graph build — one Catalyst DAG replacing the whole
     hand-sequenced Cypher script (SURVEY.md section 3.2).
 
-    persist=True caches the frames shared by several output tables
-    (features, ortholog) — use it when materializing the whole graph in
-    one pass (build job / save_graph); leave off when only one output
-    is consumed and Catalyst should fuse end-to-end."""
-    features = load_feature_nodes(feature_nodes, composition)
+    persist=True caches the one frame every output table derives from —
+    use it when materializing the whole graph in one pass (build job /
+    save_graph); leave off when only one output is consumed and
+    Catalyst should fuse end-to-end.
+
+    Plan shape (r3): ONE left join `features ⟕ explode(feature_ids)`
+    simultaneously yields the ortholog edges (matched rows), the lonely
+    set (null match, cypher:70-89), the lonely full_sequence
+    null-rewrite (cypher:88), and the cluster-per-feature mapping that
+    the neighbour windows, feature_type priority, and CLUSTER_IN_STRAIN
+    consume.  The previous shape spent four separate 4.6M-row
+    string-keyed shuffles on exactly those derivations (explode⋈features,
+    the lonely anti-join, the null-rewrite join, fneigh⋈ortholog⋈ortholog
+    — measured 13.3 s + 12.7 s of the 40 s build at 770×6000).  PIRATE
+    invariant relied on throughout: a feature belongs to at most one
+    gene family, so the join is 1:1 and `fc` has exactly one row per
+    feature."""
+    features0 = load_feature_nodes(feature_nodes, None)  # typed, no comp join
     base_clusters = load_cluster_nodes(cluster_nodes)
-    if persist:
-        features = features.persist()
 
-    ortho_base = ortholog_edges(features, base_clusters)
-    lonely = lonely_clusters(features, ortho_base)
-    lonely_edges = lonely.select(
-        F.col("cluster_id").alias("feature_id"), "cluster_id"
+    exploded = base_clusters.select(
+        "cluster_id", F.explode("feature_ids").alias("feature_id")
     )
-    ortholog = ortho_base.unionByName(lonely_edges)
-
-    # SET f.full_sequence = NULL for lonely features (cypher:88).
-    lonely_ids = lonely.select(F.col("cluster_id").alias("feature_id"))
-    features = features.join(
-        lonely_ids.withColumn("_is_lonely", F.lit(True)), "feature_id", "left"
-    ).withColumn(
-        "full_sequence",
-        F.when(F.col("_is_lonely").isNotNull(), F.lit(None).cast("string")).otherwise(
-            F.col("full_sequence")
-        ),
-    ).drop("_is_lonely")
+    comp_t = (
+        composition.select(
+            F.col("featureID").cast("string").alias("feature_id"),
+            F.col("GC").cast("double").alias("GC"),
+            F.col("CAI").cast("double").alias("CAI"),
+        )
+        if composition is not None
+        else None
+    )
+    # The persisted hub is SLIM on purpose: heavy payload columns
+    # (full_sequence, strand, variation) stay out of every shuffle and
+    # out of the cache — the r3 wide-hub variant that cached them
+    # measured 2× slower than this shape.  The two joins share the
+    # feature_id key, so the second reuses the first's partitioning
+    # (one exchange per input, no re-shuffle between them).
+    fc = features0.select(
+        "feature_id", "strain", "feature_start", "feature_type", "length", "name"
+    )
+    if comp_t is not None:
+        fc = fc.join(comp_t, "feature_id", "left")
+    else:
+        fc = fc.withColumn("GC", F.lit(None).cast("double")).withColumn(
+            "CAI", F.lit(None).cast("double")
+        )
+    fc = (
+        fc.join(exploded, "feature_id", "left")
+        .withColumn("_is_lonely", F.col("cluster_id").isNull())
+        # Lonely features become their own singleton cluster (cypher:70).
+        .withColumn("cluster_id", F.coalesce("cluster_id", "feature_id"))
+    )
     if persist:
-        features = features.persist()
-        ortholog = ortholog.persist()
+        fc = fc.persist()
 
-    clusters = base_clusters.unionByName(lonely)
-    clusters = cluster_feature_types(clusters, ortholog, features)
+    lonely_flag = fc.select("feature_id", "_is_lonely", "GC", "CAI")
+    # FEATURE nodes: full_sequence nulled for lonely features (cypher:88).
+    # Unpersisted: one scan of the typed input + a join against the slim
+    # cache, materialized only when the features table itself is read.
+    features = (
+        features0.drop("GC", "CAI")
+        .join(lonely_flag, "feature_id", "left")
+        .select(
+            "feature_id",
+            "feature_start",
+            "feature_end",
+            "length",
+            "strand",
+            "name",
+            "strain",
+            "variation",
+            F.when(F.col("_is_lonely"), F.lit(None).cast("string"))
+            .otherwise(F.col("full_sequence"))
+            .alias("full_sequence"),
+            "feature_type",
+            "GC",
+            "CAI",
+        )
+    )
+    ortholog = fc.select("feature_id", "cluster_id")
+    # Lonely CLUSTER rows keep the pre-null sequence as reference; the
+    # lonely id set is usually tiny — AQE picks a broadcast join here.
+    lonely = features0.join(
+        fc.filter(F.col("_is_lonely")).select("feature_id"), "feature_id"
+    ).select(
+        F.col("feature_id").alias("cluster_id"),
+        F.col("name").alias("description"),
+        F.lit(50).alias("threshold"),
+        F.lit(1).alias("number_genomes"),
+        F.col("length").alias("min_length"),
+        F.col("length").alias("max_length"),
+        F.col("length").cast("double").alias("average_length"),
+        F.array(F.col("feature_id")).alias("feature_ids"),
+        F.lit(True).alias("lonely_cluster"),
+        F.col("feature_id").alias("reference_locus"),
+        F.col("full_sequence").alias("reference_sequence"),
+    )
+
+    prio = (
+        fc.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.when(F.col("feature_type") == "CDS", 3)
+                .when(F.col("feature_type") == "tRNA", 2)
+                .when(F.col("feature_type") == "pseudogene", 1)
+            ).alias("prio")
+        )
+        .select(
+            "cluster_id",
+            F.when(F.col("prio") == 3, "CDS")
+            .when(F.col("prio") == 2, "tRNA")
+            .when(F.col("prio") == 1, "pseudogene")
+            .alias("feature_type"),
+        )
+    )
+    clusters = base_clusters.unionByName(lonely).join(prio, "cluster_id", "left")
     clusters = backfill_reference_sequences(clusters, features)
-
-    fneigh = feature_neighbour_edges(features)
-    cneigh = cluster_neighbour_edges(fneigh, ortholog, features)
-
-    strains = strain_nodes(features)
-    feature_in_strain = features.select("feature_id", "strain")
-    cluster_in_strain = (
-        ortholog.join(feature_in_strain, "feature_id")
-        .select("cluster_id", "strain")
-        .distinct()
+    w = Window.partitionBy("strain").orderBy("feature_start", "feature_id")
+    adj = (
+        fc.select(
+            "strain",
+            "feature_id",
+            "cluster_id",
+            F.lag("feature_id").over(w).alias("src_feature_id"),
+            F.lag("cluster_id").over(w).alias("src_cluster_id"),
+        )
+        .filter(F.col("src_feature_id").isNotNull())
     )
+    # adj is NOT persisted: both consumers re-sort the slim cache (a
+    # couple of seconds) — cheaper than writing a second 4.6M-row cache.
+    fneigh = adj.select(
+        "src_feature_id", F.col("feature_id").alias("dst_feature_id"), "strain"
+    )
+    cneigh = adj.groupBy(
+        "src_cluster_id", F.col("cluster_id").alias("dst_cluster_id")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("number_of_members"),
+        F.sort_array(F.collect_list("strain")).alias("members"),
+    )
+
+    strains = strain_nodes(fc)  # strain/GC/CAI live in the slim cache
+    feature_in_strain = fc.select("feature_id", "strain")
+    cluster_in_strain = fc.select("cluster_id", "strain").distinct()
 
     return PangenomeGraph(
         features=features,
