@@ -55,6 +55,12 @@ PRIORITY = (
     "events_asof_join",
     "doc_pack_sequences",
     "events_funnel_depth",
+    # -- new in r3 proper (pipeline / layout / streaming-dedup)
+    "doc_curation_verdicts",
+    "doc_importance_resample",
+    "stream_dedup_counts",
+    "events_retention_cohorts",
+    "lineitem_zorder_layout",
     # -- changed in r3 (gram-width guard, hashed shingle keys)
     "doc_ngram_jaccard_dedup",
     "doc_gopher_repetition",
@@ -73,12 +79,14 @@ PRIORITY = (
     "etl_neighbour_edges",
     "events_sessionize",
     "events_json_props",
+    # ---- 50-query window boundary is here ----
+    # r2-green, unchanged; rotated out to make room for the five new
+    # r3 queries above — their r2 rows stand.
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "emb_kmeans_ivf",
     "ann_ivf_topk",
     "emb_cosine_near_dup",
-    # ---- 50-query window boundary is here ----
     "doc_winnow_fingerprints",
     "doc_partial_overlap_pairs",
     # r1/r2-green, unchanged; order below only affects listing
@@ -140,6 +148,7 @@ def _load_all() -> None:
         sources_q,
         sql_surface_q,
         curation_q,
+        pipeline_q,
     )
 
     _LOADED = True

@@ -1,0 +1,335 @@
+"""End-to-end corpus-curation pipeline + layout/cohort operators (r3).
+
+Engine extensions for the LLM-training-data story (SURVEY.md section
+7.2 step 7): the composed curation pipeline (exact dedup -> near-dup
+connected components -> quality gate, one verdict per document),
+deterministic importance resampling for data mixing, REAL streaming
+ingest dedup (dropDuplicatesWithinWatermark), retention cohorts over
+events, and a Z-order layout key for data-skipping file layout.
+
+All numeric comparisons are engine-neutral (integer math, md5-derived
+uniform hashes, exact binary fractions) so DuckDB oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.queries.registry import register
+from pangenomesasgraphdatabases_spark.queries.text_q import (
+    _NGRAM_DF_CAP,
+    _NGRAM_J_MIN,
+    _shingles_sql_for,
+    ngram_near_dup_pairs,
+)
+
+# Quality gate thresholds (Gopher-style structural filters).
+_Q_MIN_TOKENS = 20
+_Q_MAX_MEAN_WORD_LEN = 12.0
+
+
+@register(
+    "doc_curation_verdicts",
+    oracle=f"""
+    WITH RECURSIVE exact AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ), canon AS (
+        SELECT h, min(doc_id) AS exact_canon FROM exact GROUP BY h
+    ), de AS (
+        SELECT e.doc_id, c.exact_canon
+        FROM exact e JOIN canon c ON e.h = c.h
+    ), survivors AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN de ON d.doc_id = de.doc_id
+        WHERE d.doc_id = de.exact_canon
+    ),
+    {_shingles_sql_for('ssh', 'survivors')},
+    dfreq AS (
+        SELECT shingle, count(*) AS df FROM ssh GROUP BY shingle
+    ),
+    sizes AS (
+        SELECT s.doc_id, count(*) AS sz
+        FROM ssh s JOIN dfreq d ON s.shingle = d.shingle
+        WHERE d.df <= {_NGRAM_DF_CAP}
+        GROUP BY s.doc_id
+    ),
+    inv AS (
+        SELECT s.doc_id, s.shingle
+        FROM ssh s JOIN dfreq d ON s.shingle = d.shingle
+        WHERE d.df BETWEEN 2 AND {_NGRAM_DF_CAP}
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc1, i.doc2
+        FROM inter i
+        JOIN sizes z1 ON i.doc1 = z1.doc_id
+        JOIN sizes z2 ON i.doc2 = z2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) / (z1.sz + z2.sz - i.n_common)
+              >= {_NGRAM_J_MIN}
+    ),
+    edges AS (
+        SELECT doc1 AS s, doc2 AS d FROM pairs
+        UNION ALL SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    nd AS (
+        SELECT node AS doc_id, min(root) AS nd_canon FROM reach GROUP BY node
+    ),
+    qual AS (
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_toks,
+               length(replace(trim(text), ' ', '')) AS n_alpha
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CASE WHEN de.exact_canon <> d.doc_id THEN 'dropped_exact'
+                WHEN nd.nd_canon IS NOT NULL AND nd.nd_canon <> d.doc_id
+                     THEN 'dropped_neardup'
+                WHEN q.n_toks < {_Q_MIN_TOKENS}
+                     OR q.n_alpha * 1.0 / q.n_toks > {_Q_MAX_MEAN_WORD_LEN}
+                     THEN 'dropped_quality'
+                ELSE 'kept' END AS verdict,
+           CAST(CASE WHEN de.exact_canon <> d.doc_id THEN de.exact_canon
+                     WHEN nd.nd_canon IS NOT NULL THEN nd.nd_canon
+                     ELSE d.doc_id END AS BIGINT) AS canonical_id
+    FROM documents d
+    JOIN de ON d.doc_id = de.doc_id
+    LEFT JOIN nd ON d.doc_id = nd.doc_id
+    JOIN qual q ON d.doc_id = q.doc_id
+    """,
+    tags=("ext-text", "pipeline", "dedup", "quality"),
+)
+def doc_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, one verdict per document
+    (extension): exact dedup (hash-groupBy, min-id canonical) ->
+    near-dup grouping among exact survivors (word-3-gram Jaccard pairs
+    -> distributed connected components) -> structural quality gate
+    (min tokens, max mean word length).  Verdict precedence follows
+    pipeline order; canonical_id is the document this content resolves
+    to (its exact canonical, its near-dup group minimum, or itself).
+
+    Scale shape: every stage shuffles on content-derived keys (hash,
+    shingle, component label) — never all-pairs; the near-dup stage
+    runs only on exact survivors, which at crawl scale is the big
+    win (exact dups are the bulk of raw crawl duplication)."""
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.select("doc_id", "text", F.md5("text").alias("h"))
+    canon = exact.groupBy("h").agg(F.min("doc_id").alias("exact_canon"))
+    de = exact.join(canon, "h").select("doc_id", "text", "exact_canon")
+    de = de.cache()  # consumed by survivors + final verdict join
+
+    survivors = de.filter(F.col("doc_id") == F.col("exact_canon")).select(
+        "doc_id", "text"
+    )
+    nd = connected_components(ngram_near_dup_pairs(survivors)).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("nd_canon")
+    )
+
+    toks = F.split(F.trim("text"), " ")
+    n_toks = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.trim("text"), " ", ""))
+    verdict = (
+        F.when(F.col("exact_canon") != F.col("doc_id"), "dropped_exact")
+        .when(
+            F.col("nd_canon").isNotNull() & (F.col("nd_canon") != F.col("doc_id")),
+            "dropped_neardup",
+        )
+        .when(
+            (F.col("n_toks") < _Q_MIN_TOKENS)
+            | (F.col("n_alpha") * F.lit(1.0) / F.col("n_toks") > _Q_MAX_MEAN_WORD_LEN),
+            "dropped_quality",
+        )
+        .otherwise("kept")
+    )
+    canonical = (
+        F.when(F.col("exact_canon") != F.col("doc_id"), F.col("exact_canon"))
+        .when(F.col("nd_canon").isNotNull(), F.col("nd_canon"))
+        .otherwise(F.col("doc_id"))
+        .cast("bigint")
+    )
+    return (
+        de.withColumn("n_toks", n_toks)
+        .withColumn("n_alpha", n_alpha)
+        .join(nd, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"), canonical.alias("canonical_id"))
+    )
+
+
+@register(
+    "doc_importance_resample",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) / 268435456.0 AS unif,
+               CASE WHEN n_chars >= 400 THEN 1.0
+                    WHEN n_chars >= 200 THEN 0.5
+                    ELSE 0.25 END AS p
+        FROM documents
+    )
+    SELECT doc_id, p, 1.0 / p AS weight
+    FROM u WHERE unif < p
+    """,
+    tags=("ext-text", "sampling"),
+)
+def doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling for data mixing (extension):
+    each document keeps with probability p(quality tier) using an
+    md5-derived uniform hash of its id — reproducible across engines,
+    runs, and cluster sizes, unlike rand() — and carries weight 1/p so
+    downstream token counts stay unbiased (Horvitz-Thompson).  Tiers
+    here key on length; in production p comes from a quality model.
+    p ∈ {1, 0.5, 0.25} are exact binary fractions, so p and 1/p are
+    bit-identical in both engines."""
+    d = table(spark, sf_dir, "documents")
+    unif = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    ) / F.lit(268435456.0)  # 2^28
+    p = (
+        F.when(F.col("n_chars") >= 400, 1.0)
+        .when(F.col("n_chars") >= 200, 0.5)
+        .otherwise(0.25)
+    )
+    return (
+        d.withColumn("p", p)
+        .withColumn("unif", unif)
+        .filter(F.col("unif") < F.col("p"))
+        .select("doc_id", "p", (F.lit(1.0) / F.col("p")).alias("weight"))
+    )
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT (user_id, value)) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext-stream", "streaming", "dedup"),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming ingest dedup: dropDuplicatesWithinWatermark on a
+    content fingerprint (streaming/events.dedup_stream) keeps per-key
+    state only until the watermark passes — bounded state at any
+    ingest rate, unlike dropDuplicates' unbounded map.  With
+    AvailableNow the file is one micro-batch, so the surviving rows are
+    exactly one per distinct fingerprint and a batch COUNT(DISTINCT)
+    oracles the per-type counts."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        dedup_stream,
+        events_stream,
+        run_available_now,
+    )
+
+    deduped = run_available_now(
+        dedup_stream(events_stream(spark, sf_dir)), spark, output_mode="append"
+    )
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ), cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           d.day - c.cohort_day AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM days d JOIN cohort c ON d.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (extension): users grouped by first-
+    activity day, counted at each day offset they return — the classic
+    product-analytics triangle.  Day ordinals come from ts_ns integer
+    division, so the result is independent of session timezone.  Scale
+    shape: one distinct + two aggregations, all shuffling on user_id /
+    (cohort, offset) — no self-join of the event log."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        (F.col("ts_ns") / F.lit(1_000_000_000)).cast("bigint").alias("_sec"),
+    ).select(
+        "user_id", F.floor(F.col("_sec") / F.lit(86400)).cast("bigint").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _zvalue_sql(x: str, y: str, bits: int = 16) -> str:
+    """Engine-neutral SQL for the Morton/Z-order interleave of two
+    non-negative ints (x bit i -> z bit 2i, y bit i -> z bit 2i+1),
+    using only floor / % / * so Spark SQL and DuckDB evaluate the same
+    expression."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"CAST(floor(({x}) / {1 << i}) AS BIGINT) % 2 * {1 << (2 * i)}"
+        )
+        terms.append(
+            f"CAST(floor(({y}) / {1 << i}) AS BIGINT) % 2 * {1 << (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+# 64 target files: top 6 bits of the 32-bit z-value.
+_Z_FILES = 64
+_Z_SHIFT = (1 << 32) // _Z_FILES
+
+
+@register(
+    "lineitem_zorder_layout",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_zvalue_sql('l_partkey % 65536', 'l_suppkey % 65536')} AS zval,
+           CAST(floor(({_zvalue_sql('l_partkey % 65536', 'l_suppkey % 65536')})
+                / {_Z_SHIFT}) AS BIGINT) AS zfile
+    FROM lineitem
+    """,
+    tags=("ext-layout", "zorder"),
+)
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (extension): Morton-interleaves
+    (l_partkey, l_suppkey) so range-partitioning by zval clusters rows
+    that are close in BOTH dimensions into the same file — parquet
+    min/max stats then skip files for predicates on either column (the
+    Delta/Iceberg OPTIMIZE ZORDER story on plain parquet).  zfile is
+    the 64-way file assignment; operators/zorder.zorder_repartition
+    applies it with repartitionByRange for an actual write."""
+    li = table(spark, sf_dir, "lineitem")
+    z = F.expr(_zvalue_sql("l_partkey % 65536", "l_suppkey % 65536"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        z.alias("zval"),
+        F.floor(z / F.lit(_Z_SHIFT)).cast("bigint").alias("zfile"),
+    )

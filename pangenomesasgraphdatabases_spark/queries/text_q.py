@@ -683,6 +683,55 @@ _NGRAM_DF_CAP = 50
 _NGRAM_J_MIN = 0.8
 
 
+def ngram_near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(src, dst) near-duplicate pairs of a documents-shaped frame:
+    exact word-3-gram Jaccard >= _NGRAM_J_MIN over the stop-shingle-
+    filtered space (df <= _NGRAM_DF_CAP).
+
+    64-bit-hashes the shingle text once: every downstream shuffle
+    (docfreq, size filter, inverted-index self-join) then moves and
+    compares 8-byte keys instead of ~20-byte strings.  Set semantics
+    are unchanged short of an xxhash64 collision among distinct
+    shingles of the corpus (~n^2/2^65 — 4e-9 even at 1e9 shingles);
+    the DuckDB oracles keep exact strings, so the gate would surface a
+    collision as a count diff.  The inverted-index self-join on the
+    shingle key IS the verification: its per-pair match count is the
+    exact intersection size (see doc_ngram_jaccard_dedup).  Caches the
+    hashed shingles and the inverted index (consumed twice); callers
+    own cache lifecycle (module docstring)."""
+    sh = shingles_of(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = (
+        sh.join(dfreq.filter(F.col("df") <= _NGRAM_DF_CAP).select("shingle"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    # Cached: the self-join consumes the inverted index twice, and
+    # without the cache each side re-derives shingles + docfreq.
+    inv = sh.join(
+        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
+        "shingle",
+    ).cache()
+    inter = (
+        inv.select(F.col("doc_id").alias("doc1"), "shingle")
+        .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2")), "doc2")
+        .filter(jac >= _NGRAM_J_MIN)
+        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+
+
 @register(
     "doc_ngram_jaccard_dedup",
     oracle=f"""
@@ -754,47 +803,7 @@ def doc_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    # 64-bit-hash the shingle text once: every downstream shuffle
-    # (docfreq, size filter, inverted-index self-join) then moves and
-    # compares 8-byte keys instead of ~20-byte strings.  Set semantics
-    # are unchanged short of an xxhash64 collision among distinct
-    # shingles of the corpus (~n^2/2^65 — 4e-9 even at 1e9 shingles);
-    # the DuckDB oracle keeps exact strings, so the gate would surface
-    # a collision as a count diff.
-    sh = (
-        _shingles(spark, sf_dir)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sizes = (
-        sh.join(dfreq.filter(F.col("df") <= _NGRAM_DF_CAP).select("shingle"), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
-    )
-    # Cached: the self-join consumes the inverted index twice, and
-    # without the cache each side re-derives shingles + docfreq.
-    inv = sh.join(
-        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
-        "shingle",
-    ).cache()
-    inter = (
-        inv.select(F.col("doc_id").alias("doc1"), "shingle")
-        .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("sz1") + F.col("sz2") - F.col("n_common")
-    )
-    pairs = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1")), "doc1")
-        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2")), "doc2")
-        .filter(jac >= _NGRAM_J_MIN)
-        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-    )
-    comp = connected_components(pairs)
+    comp = connected_components(ngram_near_dup_pairs(table(spark, sf_dir, "documents")))
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("dup_group"),

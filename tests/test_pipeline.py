@@ -1,0 +1,104 @@
+"""Tests for the r3 pipeline/layout operators (queries/pipeline_q.py,
+operators/zorder.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _morton_py(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_reference(spark):
+    from pangenomesasgraphdatabases_spark.operators.zorder import zvalue
+
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, ["x", "y"]).withColumn(
+        "z", zvalue(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r.z == _morton_py(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_repartition_rectangles(spark):
+    """Range partitioning by z-value must give each partition a
+    DISJOINT z range (that is what makes footer min/max stats prune)."""
+    from pangenomesasgraphdatabases_spark.operators.zorder import (
+        zorder_repartition,
+        zvalue,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") * 37 % 512).alias("a"), (F.col("id") * 101 % 512).alias("b")
+    )
+    out = zorder_repartition(df, "a", "b", 8)
+    assert out.rdd.getNumPartitions() == 8
+    spans = (
+        out.withColumn("z", zvalue(F.col("a"), F.col("b")))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted(((r.lo, r.hi) for r in spans))
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "partition z ranges overlap"
+
+
+def test_curation_verdicts_invariants(spark):
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        doc_curation_verdicts,
+    )
+
+    out = doc_curation_verdicts(spark, SF).cache()
+    total = out.count()
+    assert total == 500
+    # Verdicts partition the corpus; canonical_id always <= doc_id for
+    # dropped duplicates (min-id canonical choice), == doc_id for kept.
+    assert out.filter("verdict = 'kept' AND canonical_id <> doc_id").isEmpty()
+    assert out.filter(
+        "verdict IN ('dropped_exact', 'dropped_neardup') AND canonical_id >= doc_id"
+    ).isEmpty()
+    # Every canonical an exact-dup points at is itself NOT an exact dup.
+    canon = out.filter("verdict = 'dropped_exact'").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    bad = canon.join(out.filter("verdict = 'dropped_exact'"), "doc_id")
+    assert bad.isEmpty()
+    spark.catalog.clearCache()
+
+
+def test_retention_cohort_day0_equals_cohort_size(spark):
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        events_retention_cohorts,
+    )
+
+    out = events_retention_cohorts(spark, SF).cache()
+    # offset 0 exists for every cohort and is the cohort's max count
+    # (retention can only shrink or equal, per distinct-user counting).
+    day0 = {r.cohort_day: r.n_users for r in out.filter("offset_days = 0").collect()}
+    assert day0, "no cohorts found"
+    for r in out.collect():
+        assert r.offset_days >= 0
+        assert r.n_users <= day0[r.cohort_day]
+    spark.catalog.clearCache()
+
+
+def test_importance_resample_deterministic_and_weighted(spark):
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        doc_importance_resample,
+    )
+
+    a = doc_importance_resample(spark, SF)
+    b = doc_importance_resample(spark, SF)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.filter("weight * p <> 1.0").isEmpty()
