@@ -114,3 +114,27 @@ def test_new_dedup_paths_never_cartesian(spark):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_r3_layout_and_sampling_are_narrow_maps(spark):
+    """Z-order key derivation and importance resampling are pure
+    projections/filters — any Exchange would mean a 100 TB shuffle for
+    a map-side job."""
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        doc_importance_resample,
+        lineitem_zorder_layout,
+    )
+
+    for q in (lineitem_zorder_layout, doc_importance_resample):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, q.__name__
+
+
+def test_curation_pipeline_never_cartesian(spark):
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        doc_curation_verdicts,
+    )
+
+    plan = _plan(doc_curation_verdicts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
