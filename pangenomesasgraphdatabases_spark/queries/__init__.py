@@ -32,7 +32,6 @@ PRIORITY = (
     # -- never driver-checked (registered past 50 in r1 AND r2)
     "approx_distinct_extension",
     "cube_aggregation",
-    "rollup_aggregation",
     "exists_any_predicate",
     "posexplode_tokens",
     "ranking_functions",
@@ -61,6 +60,15 @@ PRIORITY = (
     "stream_dedup_counts",
     "events_retention_cohorts",
     "lineitem_zorder_layout",
+    # -- new this round: graph algorithms + embedding matrix stats +
+    #    mixture sampling (emb_pca_project is the one rows-only check:
+    #    eigendecomposition has no SQL twin; pytest covers the math)
+    "graph_pagerank",
+    "graph_triangle_count",
+    "emb_covariance",
+    "emb_semantic_dedup",
+    "doc_domain_mixture",
+    "emb_pca_project",
     # -- changed in r3 (gram-width guard, hashed shingle keys)
     "doc_ngram_jaccard_dedup",
     "doc_gopher_repetition",
@@ -74,14 +82,15 @@ PRIORITY = (
     "pangenome_build_summary",
     "pangenome_rgp",
     "pangenome_gi_scan",
+    # ---- 50-query window boundary is here ----
+    # r2-green, unchanged; rotated out to make room for the new r3
+    # queries above — their r2 rows stand.
     "etl_coords_scan",
     "etl_repr_headers",
     "etl_neighbour_edges",
     "events_sessionize",
     "events_json_props",
-    # ---- 50-query window boundary is here ----
-    # r2-green, unchanged; rotated out to make room for the five new
-    # r3 queries above — their r2 rows stand.
+    "rollup_aggregation",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "emb_kmeans_ivf",
@@ -149,6 +158,8 @@ def _load_all() -> None:
         sql_surface_q,
         curation_q,
         pipeline_q,
+        graph_algo_q,
+        emb_stats_q,
     )
 
     _LOADED = True

@@ -1,0 +1,288 @@
+"""Graph algorithms over the pangenome-shaped star schema (extension).
+
+The reference is a Neo4j graph database (02_CypherScripts/
+01_creatingDatabase.cypher builds NEIGHBOUR edges between gene
+clusters along each genome); beyond its pattern-match queries, a graph
+engine is expected to run whole-graph algorithms.  These queries run
+them Spark-first on the star-schema isomorph (FIXTURES.md section 5):
+parts are gene clusters, orders are genomes, and consecutive lineitem
+rows within an order are the synteny NEIGHBOUR edges.
+
+Bit-exact oracle parity strategy (the driver hashes float bits —
+VERDICT r1/r2): PageRank runs in integer fixed-point (micro-units,
+BIGINT) with explicit integer division — Spark ``div`` and DuckDB
+``//`` both truncate BIGINT/BIGINT identically, and BIGINT sums are
+order-independent, so a fixed iteration count unrolls to an oracle
+WITH-chain that matches bit-for-bit.  Triangle counting is pure
+integer counting.
+
+100 TB notes: the iteration count is FIXED (the oracle chain and the
+Spark loop share one constant), so the whole PageRank build is a
+single lazy Catalyst DAG — no driver-side convergence actions.  Edges
++ degrees are computed once and cached; each iteration shuffles once
+on dst.  Triangle counting uses the degree-ordered orientation, which
+bounds wedge fan-out by sum(min-deg choose 2) instead of
+sum(deg choose 2) — the standard trick that keeps the hub explosion
+off a power-law graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.data import table
+from pangenomesasgraphdatabases_spark.queries.registry import register
+
+# PageRank fixed-point parameters: ranks in micro-units, damping 0.85
+# expressed as integer (85 * s) div 100, 5 unrolled iterations.
+_PR_ITERS = 5
+_PR_INIT = 1_000_000
+_PR_BASE = 150_000  # (1 - 0.85) * 1e6
+
+
+# Bipartite purchase graph: customer c<k> <-> supplier s<k>, both
+# directions so every node has out-degree >= 1 (no dangling mass).
+_PR_EDGES_SQL = """
+pairs AS (
+    SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+r{k} AS (
+    SELECT n.node,
+           CAST({_PR_BASE} + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+        FROM {prev} p
+        JOIN deg d ON p.node = d.src
+        JOIN edges e ON e.src = p.node
+        GROUP BY e.dst
+    ) m ON n.node = m.node
+)"""
+
+
+_PR_CHAIN_SQL = ",\n".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_PR_EDGES_SQL},
+    r0 AS (SELECT node, CAST({_PR_INIT} AS BIGINT) AS r FROM nodes),
+    {_PR_CHAIN_SQL}
+    SELECT node, r AS rank_micro
+    FROM r{_PR_ITERS}
+    """,
+    tags=("ext-graph", "pagerank", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank ({_PR_ITERS} unrolled iterations, damping
+    0.85) on the customer<->supplier purchase graph.
+
+    Extension beyond the reference's Cypher pattern matching (its
+    NEIGHBOUR graph at 02_CypherScripts/01_creatingDatabase.cypher:
+    188-198 supports exactly this kind of whole-graph centrality).
+    Integer micro-unit ranks: r' = 150000 + (85 * sum(r_u div deg_u))
+    div 100 — every operation is exact BIGINT arithmetic, so the
+    result is deterministic under any partitioning / aggregation
+    order, and matches the unrolled DuckDB WITH-chain bit-for-bit.
+
+    Scale shape: edges+degrees cached once; each iteration is one
+    shuffle on dst; the fixed iteration count keeps the whole thing a
+    single lazy DAG (no driver convergence loop)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # One edge frame carrying the out-degree of its source: computed
+    # once, cached, reused by every iteration.
+    ed = edges.join(deg, "src").cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+
+    ranks = nodes.select("node", F.lit(_PR_INIT).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        incoming = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+# Synteny adjacency graph: consecutive parts within an order (the
+# star-schema image of the reference's NEIGHBOUR edges,
+# 01_creatingDatabase.cypher:188-198), undirected-canonical.
+_TRI_EDGES_SQL = """
+pos AS (
+    -- (l_orderkey, l_linenumber) is NOT unique in the testdata;
+    -- ordering by (l_linenumber, l_partkey) makes the part SEQUENCE
+    -- deterministic even when whole rows tie (equal rows are
+    -- interchangeable), so both engines derive the same adjacency.
+    SELECT l_orderkey AS o, l_partkey AS p,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS rn
+    FROM lineitem
+),
+adj AS (
+    SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+    FROM pos a JOIN pos b ON a.o = b.o AND b.rn = a.rn + 1
+    WHERE a.p <> b.p
+),
+vdeg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM adj UNION ALL SELECT v AS node FROM adj)
+    GROUP BY node
+),
+-- Degree-ordered orientation: every edge points from the endpoint
+-- with the smaller (deg, id) to the larger; ok is that total order
+-- packed into one BIGINT so the wedge join compares a single key.
+oe AS (
+    SELECT CASE WHEN du.deg * 10000000 + a.u <= dv.deg * 10000000 + a.v
+                THEN a.u ELSE a.v END AS src,
+           CASE WHEN du.deg * 10000000 + a.u <= dv.deg * 10000000 + a.v
+                THEN a.v ELSE a.u END AS dst,
+           CASE WHEN du.deg * 10000000 + a.u <= dv.deg * 10000000 + a.v
+                THEN dv.deg * 10000000 + a.v
+                ELSE du.deg * 10000000 + a.u END AS dst_ok
+    FROM adj a
+    JOIN vdeg du ON a.u = du.node
+    JOIN vdeg dv ON a.v = dv.node
+)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL},
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oe e1
+        JOIN oe e2 ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok
+        JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners
+    GROUP BY node
+    """,
+    tags=("ext-graph", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part synteny graph (consecutive
+    parts within an order = the reference's NEIGHBOUR edge,
+    01_creatingDatabase.cypher:188-198; triangles are the smallest
+    structural-variation motif).
+
+    Degree-ordered orientation (each edge directed toward the larger
+    (deg, id) endpoint) bounds the wedge join by sum over nodes of
+    (out-deg choose 2) with out-deg <= sqrt(2m) — on a power-law
+    graph this is the difference between feasible and a hub blowup.
+    Entirely joins + aggregations: no UDFs, shuffles on node keys."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        "l_linenumber",
+    )
+    # (o, l_linenumber) is not unique; the (l_linenumber, p) sort key
+    # makes the part sequence deterministic (see oracle note).
+    pos = li.select(
+        "o",
+        "p",
+        F.row_number()
+        .over(Window.partitionBy("o").orderBy("l_linenumber", "p"))
+        .alias("rn"),
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .filter(F.col("a.p") != F.col("b.p"))
+        .select(
+            F.least("a.p", "b.p").alias("u"),
+            F.greatest("a.p", "b.p").alias("v"),
+        )
+        .distinct()
+    )
+    vdeg = (
+        adj.select(F.col("u").alias("node"))
+        .unionAll(adj.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = vdeg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = vdeg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ok_u = F.col("deg_u") * 10000000 + F.col("u")
+    ok_v = F.col("deg_v") * 10000000 + F.col("v")
+    oe = (
+        adj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(ok_u <= ok_v, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ok_u <= ok_v, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(ok_u <= ok_v, ok_v).otherwise(ok_u).alias("dst_ok"),
+        )
+        .cache()
+    )
+    e1 = oe.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("b"), F.col("dst_ok").alias("ok_b")
+    )
+    e2 = oe.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("c"), F.col("dst_ok").alias("ok_c")
+    )
+    wedges = e1.join(e2, "w_src").filter(F.col("ok_b") < F.col("ok_c"))
+    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("w_src").alias("a"), "b", "c"
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -13,7 +13,7 @@ uniform hashes, exact binary fractions) so DuckDB oracles hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pangenomesasgraphdatabases_spark.data import table
@@ -332,4 +332,86 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         z.alias("zval"),
         F.floor(z / F.lit(_Z_SHIFT)).cast("bigint").alias("zfile"),
+    )
+
+
+# Mixture temperature alpha = 0.5 — chosen as exactly sqrt() because
+# IEEE-754 requires sqrt to be correctly rounded, so both engines
+# compute the identical double for any integer count (a general
+# pow(n, alpha) is NOT guaranteed identical across libm builds).
+_MIX_BOOST = 8
+
+
+@register(
+    "doc_domain_mixture",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        FROM documents GROUP BY source
+    ),
+    caps AS (
+        SELECT source, n_source,
+               CAST(floor(sqrt(CAST(n_source AS DOUBLE)) * {_MIX_BOOST})
+                   AS BIGINT) AS cap
+        FROM src
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, c.n_source, c.cap,
+           CAST(r.rk AS BIGINT) AS mix_rank,
+           r.rk <= c.cap AS selected
+    FROM ranked r JOIN caps c ON r.source = c.source
+    """,
+    tags=("ext-pipeline", "mixture", "sampling"),
+)
+def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture sampling (extension): cap
+    each source at floor(sqrt(n_source) * boost) documents — the
+    alpha=0.5 temperature reweighting that upsamples small domains
+    relative to their raw share (the multilingual/data-mixture
+    standard), selected deterministically by md5 rank so reruns and
+    engines agree.
+
+    Scale shape: one count per source (tiny), one window rank per
+    source partition.  At 100 TB the per-source sort is the cost —
+    production swaps the exact rank for an md5-threshold acceptance
+    test (keep iff md5(doc_id) < cap/n_source of hash space, no sort)
+    at the price of a binomial-sized cap error; the exact-rank form
+    here is the auditable spec of that contract.  Skewed source sizes
+    are the watch item: the dominant source's partition carries the
+    bulk of the sort."""
+    d = table(spark, sf_dir, "documents")
+    caps = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_source"))
+        .select(
+            "source",
+            "n_source",
+            F.floor(F.sqrt(F.col("n_source").cast("double")) * _MIX_BOOST)
+            .cast("long")
+            .alias("cap"),
+        )
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.join(F.broadcast(caps), "source").select(
+        "doc_id",
+        "source",
+        "n_source",
+        "cap",
+        F.col("rk").cast("long").alias("mix_rank"),
+        (F.col("rk") <= F.col("cap")).alias("selected"),
     )

@@ -1,0 +1,192 @@
+"""Graph algorithms (PageRank, triangle counting) + embedding matrix
+statistics (covariance, PCA, semantic dedup) + mixture sampling."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_and_determinism(spark):
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        _PR_INIT,
+        graph_pagerank,
+    )
+
+    rows = graph_pagerank(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["rank_micro"] for r in rows)
+    # With bidirectional edges there is no dangling mass; only integer
+    # truncation leaks rank, bounded by (iters * nodes * max_deg)
+    # micro-units — total stays within 5% of the initial mass.
+    assert abs(total - n * _PR_INIT) < 0.05 * n * _PR_INIT
+    # Bit-exact determinism: a second evaluation of the same lazy plan
+    # (fresh DAG, different task scheduling) yields identical integers.
+    again = {r["node"]: r["rank_micro"] for r in graph_pagerank(spark, SF).collect()}
+    assert {r["node"]: r["rank_micro"] for r in rows} == again
+
+
+def test_pagerank_favors_high_degree(spark):
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import graph_pagerank
+
+    df = graph_pagerank(spark, SF)
+    top = df.orderBy(F.desc("rank_micro")).limit(10).collect()
+    # Suppliers are ~15x rarer than customers in the purchase graph,
+    # so they concentrate rank: the top nodes should all be suppliers.
+    assert all(r["node"].startswith("s") for r in top)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        graph_triangle_count,
+    )
+
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in graph_triangle_count(spark, SF).collect()
+    }
+
+    # Brute-force reference on the same adjacency, built in python.
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .collect()
+    )
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r["l_orderkey"]].append((r["l_linenumber"], r["l_partkey"]))
+    edges = set()
+    for rows in by_order.values():
+        seq = [p for _, p in sorted(rows)]
+        for a, b in zip(seq, seq[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    want = defaultdict(int)
+    for u, v in edges:
+        for w in nbrs[u] & nbrs[v]:
+            want[w] += 0  # corner counted below per triangle
+    # count triangles once per (a<b<c)
+    for u, v in edges:
+        for w in nbrs[u] & nbrs[v]:
+            if w > v:  # u < v < w guarantees once
+                if u < v:
+                    want[u] += 1
+                    want[v] += 1
+                    want[w] += 1
+    assert got == dict(want)
+
+
+def test_covariance_matches_numpy(spark):
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        _SCALE,
+        emb_covariance,
+    )
+
+    rows = emb_covariance(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    mat = np.array(
+        [[round(float(x) * _SCALE) for x in r["embedding"]] for r in emb]
+    )
+    ref = np.cov(mat, rowvar=False) / _SCALE**2
+    for r in rows:
+        assert math.isclose(
+            r["cov"], ref[r["i"] - 1, r["j"] - 1], rel_tol=1e-9, abs_tol=1e-12
+        )
+
+
+def test_pca_components_ordered_and_centered(spark):
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        _N_PC,
+        emb_pca_project,
+    )
+
+    pdf = emb_pca_project(spark, SF).toPandas()
+    variances = [pdf[f"pc{k + 1}"].var() for k in range(_N_PC)]
+    # Principal components come out in decreasing-variance order.
+    assert all(a >= b * 0.999 for a, b in zip(variances, variances[1:]))
+    assert variances[0] > 0
+
+
+def test_semantic_dedup_canonical_rule(spark):
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        _SEM_TAU,
+        emb_semantic_dedup,
+    )
+
+    rows = emb_semantic_dedup(spark, SF).collect()
+    emb = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    svecs = {k: np.round(v * 1e6) for k, v in emb.items()}
+    by_cid = defaultdict(list)
+    for r in rows:
+        by_cid[r["cid"]].append(r)
+    n_dupes = 0
+    for members in by_cid.values():
+        ids = sorted(m["vec_id"] for m in members)
+        flag = {m["vec_id"]: m["is_canonical"] for m in members}
+        for v in ids:
+            close_smaller = any(
+                u < v
+                and float(svecs[u] @ svecs[v])
+                / (np.linalg.norm(svecs[u]) * np.linalg.norm(svecs[v]))
+                >= _SEM_TAU
+                for u in ids
+            )
+            assert flag[v] == (not close_smaller)
+            n_dupes += int(close_smaller)
+    # The fixture corpus contains planted near-dup embeddings.
+    assert n_dupes >= 1
+
+
+def test_domain_mixture_caps(spark):
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        doc_domain_mixture,
+    )
+
+    pdf = doc_domain_mixture(spark, SF).toPandas()
+    for src, g in pdf.groupby("source"):
+        n = len(g)
+        cap = int(math.floor(math.sqrt(n) * 8))
+        assert g["n_source"].iloc[0] == n
+        assert g["selected"].sum() == min(cap, n)
+        # sqrt temperature upsamples small sources: selected fraction
+        # decreases as source size grows.
+    fracs = (
+        pdf.groupby("source")
+        .agg(n=("doc_id", "size"), sel=("selected", "sum"))
+        .assign(frac=lambda d: d.sel / d.n)
+        .sort_values("n")
+    )
+    assert fracs["frac"].is_monotonic_decreasing
+
+
+def test_graph_algo_plans(spark):
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import emb_covariance
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        graph_pagerank,
+        graph_triangle_count,
+    )
+    from tests.test_plans import _plan
+
+    for q in (graph_pagerank, graph_triangle_count):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+    # Covariance is map-side pair expansion: no join anywhere in the
+    # plan, and the only exchange is the 2080-cell aggregation.
+    plan = _plan(emb_covariance(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
