@@ -304,3 +304,165 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# Shared adjacency for components/SSSP: the same synteny edge set as
+# triangle counting, expanded to both directions.
+_CC_ITERS = 10
+
+_BIDIR_SQL = """
+e AS (
+    SELECT u AS src, v AS dst FROM adj
+    UNION ALL
+    SELECT v AS src, u AS dst FROM adj
+)
+"""
+
+
+def _cc_iter_sql(k: int) -> str:
+    return f"""
+l{k} AS (
+    SELECT node, min(label) AS label FROM (
+        SELECT e.dst AS node, l.label FROM e JOIN l{k - 1} l ON e.src = l.node
+        UNION ALL
+        SELECT node, label FROM l{k - 1}
+    ) GROUP BY node
+)"""
+
+
+_CC_CHAIN_SQL = ",".join(_cc_iter_sql(k) for k in range(1, _CC_ITERS + 1))
+
+
+def _bidir_edges(adj: DataFrame) -> DataFrame:
+    return adj.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        adj.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+def _synteny_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical (u < v) part synteny edges — the triangle
+    query's adjacency, shared by components and SSSP."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        "l_linenumber",
+    )
+    pos = li.select(
+        "o",
+        "p",
+        F.row_number()
+        .over(Window.partitionBy("o").orderBy("l_linenumber", "p"))
+        .alias("rn"),
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .filter(F.col("a.p") != F.col("b.p"))
+        .select(
+            F.least("a.p", "b.p").alias("u"),
+            F.greatest("a.p", "b.p").alias("v"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_components",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL.split(',' + chr(10) + 'vdeg')[0]},
+    {_BIDIR_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    {_CC_CHAIN_SQL}
+    SELECT node, label AS component
+    FROM l{_CC_ITERS}
+    """,
+    tags=("ext-graph", "components", "iterative"),
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation ({_CC_ITERS}
+    unrolled iterations) on the part synteny graph: every node ends
+    with the smallest part id reachable within {_CC_ITERS} hops — the
+    full component id once the propagation has converged (pytest
+    asserts the fixpoint on the testdata; `operators/components` is
+    the iterate-to-convergence library variant for arbitrary graphs).
+
+    Pure integer min-aggregation: order-independent, bit-exact vs the
+    unrolled oracle chain.  One shuffle per hop; the label frame stays
+    (node, BIGINT) narrow regardless of graph size."""
+    adj = _synteny_adj(spark, sf_dir)
+    e = _bidir_edges(adj).cache()
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_CC_ITERS):
+        prop = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            prop.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+_SSSP_ITERS = 10
+
+
+def _sssp_iter_sql(k: int) -> str:
+    return f"""
+d{k} AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM e JOIN d{k - 1} d ON e.src = d.node
+        UNION ALL
+        SELECT node, dist FROM d{k - 1}
+    ) GROUP BY node
+)"""
+
+
+_SSSP_CHAIN_SQL = ",".join(_sssp_iter_sql(k) for k in range(1, _SSSP_ITERS + 1))
+
+
+@register(
+    "graph_sssp_hops",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL.split(',' + chr(10) + 'vdeg')[0]},
+    {_BIDIR_SQL},
+    d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM adj),
+    {_SSSP_CHAIN_SQL},
+    nodes AS (SELECT DISTINCT src AS node FROM e)
+    SELECT n.node, d.dist
+    FROM nodes n LEFT JOIN d{_SSSP_ITERS} d ON n.node = d.node
+    """,
+    tags=("ext-graph", "shortest-path", "iterative"),
+)
+def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest path (hop count, BFS frontier as
+    min-dist relaxation, {_SSSP_ITERS} unrolled iterations) from the
+    lowest part id over the synteny graph; unreached nodes stay NULL.
+    The reference's Cypher shortestPath() (J14 family) generalized to
+    a whole-graph distance map.
+
+    Integer relaxation only — exact parity with the unrolled oracle.
+    The reached-set frame grows monotonically but stays (node, dist)
+    narrow; one shuffle per hop."""
+    adj = _synteny_adj(spark, sf_dir)
+    e = _bidir_edges(adj).cache()
+    dist = adj.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_SSSP_ITERS):
+        relax = e.join(dist, e.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            relax.unionByName(dist.select("node", "dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    nodes = e.select("src").distinct().select(F.col("src").alias("node"))
+    return nodes.join(dist, "node", "left").select("node", "dist")
