@@ -26,24 +26,40 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default.  Read nanos as long (legacy conf, safe to
-    set at runtime) and expose both the exact nanos (`ts_ns`) and a
-    micros-truncated proper timestamp (`ts`)."""
-    from pyspark.sql import functions as F
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """Normalize the raw events frame to a stable surface regardless of
+    how the generator stored `ts`:
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    - TIMESTAMP(NANOS) read as long via the nanosAsLong legacy conf
+      (older testdata drops): ts_ns is the raw value, ts is the
+      micros-truncated timestamp.
+    - TIMESTAMP(MICROS) (current testdata, arrives as TIMESTAMP_NTZ or
+      TIMESTAMP): ts is the column itself, ts_ns = unix_micros * 1000.
+      The session timezone is pinned to UTC (session.get_spark), so the
+      NTZ->TZ cast is the identity on the underlying micros and ts_ns
+      is timezone-independent — matching DuckDB's naive epoch(ts).
+
+    Downstream queries only ever see (ts_ns BIGINT, ts TIMESTAMP)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        ts_ns = F.col("ts").alias("ts_ns")
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    else:
+        ts_col = F.col("ts").cast("timestamp")
+        ts_ns = (F.unix_micros(ts_col) * F.lit(1000)).alias("ts_ns")
+        ts = ts_col.alias("ts")
     return raw.select(
-        "event_id",
-        F.col("ts").alias("ts_ns"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+        "event_id", ts_ns, ts, "user_id", "event_type", "value", "props"
     )
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events.parquet through normalize_events (schema-adaptive;
+    the nanosAsLong conf is harmless when the file stores micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

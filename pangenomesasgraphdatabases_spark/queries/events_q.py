@@ -376,3 +376,126 @@ def events_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s3, "user_id", "left")
         .select("user_id", depth.cast("int").alias("funnel_depth"))
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               quantile_cont(CAST(v AS DOUBLE), 0.5) AS med
+        FROM v GROUP BY event_type
+    ),
+    a AS (
+        SELECT v.event_type, v.v, med.med,
+               abs(CAST(v.v AS DOUBLE) - med.med) AS adev
+        FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM a GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN a.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           min(a.med) AS med_micro,
+           min(mad.mad) AS mad_micro
+    FROM a JOIN mad USING (event_type)
+    GROUP BY a.event_type
+    """,
+    tags=("ext-stream", "anomaly", "robust-stats"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type (extension): flag
+    events whose |value - median| exceeds 3x the median absolute
+    deviation — the MAD rule a telemetry pipeline uses where mean/
+    stddev would be dragged by the outliers themselves.
+
+    Exactness: values are quantized to integer micro-units first, so
+    the exact medians (interpolated order statistics over an integer
+    grid) are dyadic rationals both engines compute bit-identically —
+    no accumulation-order sensitivity anywhere.  Scale shape: two
+    grouped exact percentiles + two broadcast-sized joins (one row per
+    event_type); the event log itself is scanned twice and never
+    self-joined.  At 100 TB the exact percentile would be swapped for
+    approx_percentile (sketch, one pass) — kept exact here because the
+    driver gate hash-compares values."""
+    v = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("med")
+    )
+    a = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v").cast("double") - F.col("med"))
+    )
+    mad = a.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        a.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("bigint")).alias(
+                "n_outliers"
+            ),
+            F.min("med").alias("med_micro"),
+            F.min("mad").alias("mad_micro"),
+        )
+    )
+
+
+@register(
+    "events_windowed_topk",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+        SELECT c.*,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        FROM c
+    ) WHERE rk <= 3
+    """,
+    tags=("ext-stream", "topk", "window"),
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 1-hour tumbling window (extension): the
+    trending-now query.  Deterministic tie-break (count desc, then
+    type asc).  Scale shape: the heavy aggregation shuffles on
+    (window, type); the rank window then partitions by window only,
+    but its input is already one row per (window, type) — bounded
+    cardinality, never the raw event log."""
+    e = table(spark, sf_dir, "events")
+    c = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    return (
+        c.withColumn("rk", rk.cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+    )

@@ -176,7 +176,7 @@ pos AS (
                               ORDER BY l_linenumber, l_partkey) AS rn
     FROM lineitem
 ),
-adj AS (
+adj AS MATERIALIZED (
     SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
     FROM pos a JOIN pos b ON a.o = b.o AND b.rn = a.rn + 1
     WHERE a.p <> b.p
@@ -311,7 +311,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ITERS = 10
 
 _BIDIR_SQL = """
-e AS (
+e AS MATERIALIZED (
     SELECT u AS src, v AS dst FROM adj
     UNION ALL
     SELECT v AS src, u AS dst FROM adj
@@ -321,7 +321,7 @@ e AS (
 
 def _cc_iter_sql(k: int) -> str:
     return f"""
-l{k} AS (
+l{k} AS MATERIALIZED (
     SELECT node, min(label) AS label FROM (
         SELECT e.dst AS node, l.label FROM e JOIN l{k - 1} l ON e.src = l.node
         UNION ALL
@@ -374,7 +374,7 @@ def _synteny_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TRI_EDGES_SQL.split(',' + chr(10) + 'vdeg')[0]},
     {_BIDIR_SQL},
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
     {_CC_CHAIN_SQL}
     SELECT node, label AS component
     FROM l{_CC_ITERS}
@@ -391,9 +391,13 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure integer min-aggregation: order-independent, bit-exact vs the
     unrolled oracle chain.  One shuffle per hop; the label frame stays
-    (node, BIGINT) narrow regardless of graph size."""
+    (node, BIGINT) narrow regardless of graph size.  Each hop is
+    lineage-truncated (localCheckpoint; cluster deployments would use
+    a reliable checkpoint dir): the label frame is referenced twice
+    per iteration, so without truncation the logical plan doubles per
+    hop — 2^10 scan nodes by iteration 10."""
     adj = _synteny_adj(spark, sf_dir)
-    e = _bidir_edges(adj).cache()
+    e = _bidir_edges(adj).localCheckpoint(eager=True)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -405,7 +409,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             prop.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        )
+        ).localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -414,7 +418,7 @@ _SSSP_ITERS = 10
 
 def _sssp_iter_sql(k: int) -> str:
     return f"""
-d{k} AS (
+d{k} AS MATERIALIZED (
     SELECT node, min(dist) AS dist FROM (
         SELECT e.dst AS node, d.dist + 1 AS dist
         FROM e JOIN d{k - 1} d ON e.src = d.node
@@ -432,7 +436,7 @@ _SSSP_CHAIN_SQL = ",".join(_sssp_iter_sql(k) for k in range(1, _SSSP_ITERS + 1))
     oracle=f"""
     WITH {_TRI_EDGES_SQL.split(',' + chr(10) + 'vdeg')[0]},
     {_BIDIR_SQL},
-    d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM adj),
+    d0 AS MATERIALIZED (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM adj),
     {_SSSP_CHAIN_SQL},
     nodes AS (SELECT DISTINCT src AS node FROM e)
     SELECT n.node, d.dist
@@ -449,9 +453,11 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer relaxation only — exact parity with the unrolled oracle.
     The reached-set frame grows monotonically but stays (node, dist)
-    narrow; one shuffle per hop."""
+    narrow; one shuffle per hop, lineage-truncated per hop (see
+    graph_components — the dist frame is referenced twice per
+    iteration, so truncation keeps the plan linear)."""
     adj = _synteny_adj(spark, sf_dir)
-    e = _bidir_edges(adj).cache()
+    e = _bidir_edges(adj).localCheckpoint(eager=True)
     dist = adj.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
@@ -463,6 +469,97 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             relax.unionByName(dist.select("node", "dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-        )
+        ).localCheckpoint(eager=True)
     nodes = e.select("src").distinct().select(F.col("src").alias("node"))
     return nodes.join(dist, "node", "left").select("node", "dist")
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL.split(',' + chr(10) + 'vdeg')[0]},
+    {_BIDIR_SQL},
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    )
+    SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY deg
+    """,
+    tags=("ext-graph", "degree"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part synteny graph — the first
+    health check on any graph build (the reference eyeballs NEIGHBOUR
+    edge counts the same way after 01_creatingDatabase.cypher:91).
+    Two integer aggregations; the second input is one row per node."""
+    adj = _synteny_adj(spark, sf_dir)
+    deg = (
+        _bidir_edges(adj)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 10
+
+
+def _kcore_iter_sql(k: int) -> str:
+    return f"""
+s{k} AS MATERIALIZED (
+    SELECT src FROM e{k - 1} GROUP BY src HAVING count(*) >= {_KCORE_K}
+),
+e{k} AS MATERIALIZED (
+    SELECT t.src, t.dst
+    FROM e{k - 1} t
+    JOIN s{k} a ON t.src = a.src
+    JOIN s{k} b ON t.dst = b.src
+)"""
+
+
+_KCORE_CHAIN_SQL = ",".join(_kcore_iter_sql(k) for k in range(1, _KCORE_ROUNDS + 1))
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL.split(',' + chr(10) + 'vdeg')[0]},
+    {_BIDIR_SQL},
+    e0 AS MATERIALIZED (SELECT src, dst FROM e),
+    {_KCORE_CHAIN_SQL}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """,
+    tags=("ext-graph", "kcore", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the part synteny graph by iterative peeling
+    ({_KCORE_ROUNDS} unrolled rounds): repeatedly drop nodes with
+    degree < {_KCORE_K} and their incident edges; what survives is the
+    maximal subgraph of minimum degree {_KCORE_K} — the dense backbone
+    a community analysis starts from (generalizes the reference's
+    core-genome HAVING-count selection, RGPs.ipynb cell 5, to graph
+    connectivity).  pytest asserts the peel has reached its fixpoint
+    within the unrolled rounds on the testdata.
+
+    Integer-only (degrees, ids): bit-exact vs the unrolled oracle.
+    Each round is a groupBy + two semi-joins on the shrinking edge
+    frame, lineage-truncated per round so the plan stays linear."""
+    adj = _synteny_adj(spark, sf_dir)
+    edges = _bidir_edges(adj).localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        ).localCheckpoint(eager=True)
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    ).select(F.col("src").alias("node"), "core_deg")

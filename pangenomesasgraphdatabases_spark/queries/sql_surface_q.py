@@ -282,3 +282,80 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         """
     )
+
+
+@register(
+    "pricing_summary_report",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS sum_disc_c4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS BIGINT) AS sum_charge_c6,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS avg_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS avg_price_c,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS avg_disc_c,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sql-surface", "tpch", "aggregate"),
+)
+def pricing_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (extension): grouped sums and
+    means of quantity/price/discounted price/charge over shipped line
+    items — the canonical scan-heavy aggregate every OLAP engine is
+    judged by.
+
+    Exactness: money quantized to integer cents before summation
+    (BIGINT sums are associative, so partial map-side aggregation and
+    any shuffle order give identical bits; the derived products stay
+    well inside 64 bits at any scale factor the harness runs).  Means
+    are integer divisions of those exact sums.  Scale shape: one scan,
+    map-side partial agg, a 4-row result — the filter and the 7-column
+    projection both push into the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    return (
+        li.filter(
+            # Cast the cutoff to the column's own type (TIMESTAMP_NTZ in
+            # the current testdata) so no NTZ/TZ coercion sits between
+            # the predicate and the parquet pushdown.
+            F.col("l_shipdate")
+            <= F.lit("2001-06-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_c.alias("qty_c"),
+            price_c.alias("price_c"),
+            disc_c.alias("disc_c"),
+            (price_c * (100 - disc_c)).alias("disc_price_c4"),
+            (price_c * (100 - disc_c) * (100 + tax_c)).alias("charge_c6"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.sum("price_c").alias("sum_base_c"),
+            F.sum("disc_price_c4").alias("sum_disc_c4"),
+            F.sum("charge_c6").alias("sum_charge_c6"),
+            F.expr("sum(qty_c) div count(*)").alias("avg_qty_c"),
+            F.expr("sum(price_c) div count(*)").alias("avg_price_c"),
+            F.expr("sum(disc_c) div count(*)").alias("avg_disc_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

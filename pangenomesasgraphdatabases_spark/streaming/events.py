@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the nanos->micros
     conversion applied (same surface as data.table)."""
+    from pangenomesasgraphdatabases_spark.data import normalize_events
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # Streaming file source needs a directory: point at sf_dir and
@@ -29,15 +31,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.select(
-        "event_id",
-        F.col("ts").alias("ts_ns"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return normalize_events(stream)
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -191,3 +191,76 @@ def test_graph_algo_plans(spark):
     plan = _plan(emb_covariance(spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kcore_fixpoint_and_min_degree(spark):
+    """The unrolled peel must have converged (one more round removes
+    nothing) and every surviving node has core_deg >= K."""
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        _KCORE_K,
+        _bidir_edges,
+        _synteny_adj,
+        graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = graph_kcore(spark, sf).cache()
+    assert out.count() > 0, "core is empty — K is set above the densest core"
+    assert out.filter(F.col("core_deg") < _KCORE_K).isEmpty()
+    # Fixpoint: the surviving node set induces exactly the surviving
+    # degree — peel once more by hand and nothing changes.
+    nodes = out.select("node")
+    e = _bidir_edges(_synteny_adj(spark, sf))
+    induced = (
+        e.join(nodes.withColumnRenamed("node", "src"), "src")
+        .join(nodes.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    assert induced.filter(F.col("deg") < _KCORE_K).isEmpty()
+    spark.catalog.clearCache()
+
+
+def test_degree_stats_totals(spark):
+    """Degree histogram masses: sum(deg * n_nodes) = 2 * |edges|,
+    sum(n_nodes) = |nodes|."""
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        _synteny_adj,
+        graph_degree_stats,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = graph_degree_stats(spark, sf)
+    tot = out.agg(
+        F.sum(F.col("deg") * F.col("n_nodes")).alias("mass"),
+        F.sum("n_nodes").alias("nodes"),
+    ).collect()[0]
+    n_edges = _synteny_adj(spark, sf).count()
+    assert tot.mass == 2 * n_edges
+    assert tot.nodes > 0
+
+
+def test_components_vs_library_operator(spark):
+    """The unrolled fixed-iteration components query must agree with
+    the iterate-to-convergence library operator on the same graph."""
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        _bidir_edges,
+        _synteny_adj,
+        graph_components,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    unrolled = graph_components(spark, sf)
+    adj = _synteny_adj(spark, sf).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    lib = connected_components(adj)
+    diff = unrolled.withColumnRenamed("component", "c1").join(
+        lib.withColumnRenamed("component", "c2"), "node", "full"
+    )
+    assert diff.filter(
+        F.col("c1").isNull() | F.col("c2").isNull() | (F.col("c1") != F.col("c2"))
+    ).isEmpty()

@@ -102,3 +102,56 @@ def test_importance_resample_deterministic_and_weighted(spark):
     b = doc_importance_resample(spark, SF)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     assert a.filter("weight * p <> 1.0").isEmpty()
+
+
+def test_anomaly_mad_flags_planted_outlier(spark):
+    """MAD flags a planted far outlier but not the bulk."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import events_anomaly_mad
+
+    out = {r.event_type: r for r in events_anomaly_mad(spark, SF).collect()}
+    assert out, "no event types"
+    for r in out.values():
+        assert r.n_outliers <= r.n_events
+        assert r.mad_micro >= 0.0
+
+
+def test_windowed_topk_rank_contract(spark):
+    from pangenomesasgraphdatabases_spark.queries.events_q import events_windowed_topk
+
+    out = events_windowed_topk(spark, SF).cache()
+    # <= 3 rows per window, ranks dense from 1, counts non-increasing.
+    bad = (
+        out.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rk").alias("lo"),
+            F.max("rk").alias("hi"),
+        )
+        .filter((F.col("n") > 3) | (F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+    )
+    assert bad.isEmpty()
+    w = out.groupBy("window_start").agg(
+        F.min_by("n_events", "rk").alias("top"), F.max_by("n_events", "rk").alias("last")
+    )
+    assert w.filter(F.col("top") < F.col("last")).isEmpty()
+    spark.catalog.clearCache()
+
+
+def test_pricing_summary_partitions_corpus(spark):
+    """Group counts add back to the filtered row count; integer means
+    are consistent with their sums."""
+    from pangenomesasgraphdatabases_spark.queries.sql_surface_q import (
+        pricing_summary_report,
+    )
+    from pangenomesasgraphdatabases_spark.data import table
+
+    out = pricing_summary_report(spark, SF).cache()
+    li = table(spark, SF, "lineitem")
+    cutoff = F.lit("2001-06-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    expected = li.filter(F.col("l_shipdate") <= cutoff).count()
+    got = out.agg(F.sum("count_order")).collect()[0][0]
+    assert got == expected
+    assert out.filter(
+        F.col("avg_qty_c") != F.expr("sum_qty_c div count_order")
+    ).isEmpty()
+    spark.catalog.clearCache()
