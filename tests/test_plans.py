@@ -138,3 +138,15 @@ def test_curation_pipeline_never_cartesian(spark):
     plan = _plan(doc_curation_verdicts(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """The driver hash-checks the first 50 registered queries; a
+    registry edit must never push an oracle-less query into that
+    window (it would silently downgrade a hard check to rows-only)."""
+    import __spark_entry__ as entry_mod
+
+    q = list(entry_mod.queries().keys())
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in q[:50] if n not in oracles]
+    assert not missing, f"first-50 window has oracle-less queries: {missing}"

@@ -179,6 +179,9 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Spill to /tmp, not the repo cwd: a runaway plan once left 42 GB
+    # of .tmp/ blocks inside the repo and wedged git.
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
