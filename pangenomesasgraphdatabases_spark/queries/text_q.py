@@ -342,8 +342,15 @@ def band_frame(sig: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Distinct candidate pairs agreeing on at least one band."""
-    bands = band_frame(sig)
+    """Distinct candidate pairs agreeing on at least one band.
+
+    The band frame is cached before the self-join: both join sides
+    read it, and without the cache each side re-runs the full
+    64-aggregate signature groupBy over the shingle set (measured ~2s
+    of the ~6s candidate stage at sf0.1).  The frame is one row per
+    (doc, band) — 16 rows per document regardless of document size, so
+    the cache is always tiny relative to the corpus."""
+    bands = band_frame(sig).cache()
     a = bands.select(F.col("doc_id").alias("doc1"), "band", "bh")
     b = bands.select(F.col("doc_id").alias("doc2"), "band", "bh")
     return (

@@ -240,8 +240,15 @@ def test_connected_components_matches_union_find(spark):
         expected = {n: find(n) for n in parent}
 
         df = spark.createDataFrame(edges, ["src", "dst"])
-        got = {r.node: r.component for r in connected_components(df).collect()}
-        assert got == expected
+        # Exercise BOTH paths: the single-task union-find fast path
+        # (default gate) and the distributed min-label iteration
+        # (gate forced off).
+        for gate in (2_000_000, 0):
+            got = {
+                r.node: r.component
+                for r in connected_components(df, small_graph_edges=gate).collect()
+            }
+            assert got == expected, f"gate={gate}"
 
 
 def test_winnow_shared_substring_shares_fingerprints(spark, tmp_path):
