@@ -16,7 +16,8 @@ window each round to maximize CUMULATIVE driver-verified coverage:
   in-window to re-prove it green on the new files; plus the three
   queries that have never had a driver row (rollup_aggregation,
   graph_components, graph_sssp_hops — the latter two also got a
-  lineage-truncation fix this round), the five queries NEW this round,
+  lineage-truncation fix this round), the six queries NEW this round (incl. the foreachBatch
+  streaming top-k twin),
   and the flagship/pangenome/ETL anchors.  Everything rotated out is
   unchanged code with green rows from r1-r3.
 """
@@ -83,8 +84,8 @@ PRIORITY = (
     "doc_stratified_sample",
     "doc_vocab_coverage",
     "doc_source_cap",
-    "doc_chunk_windows",
     "emb_rp_project",
+    "stream_windowed_topk",
     "zscore_vs_group",
     "lineitem_zorder_layout",
     "welch_ttest_pvalue",
@@ -94,6 +95,7 @@ PRIORITY = (
     # one rows-only check (eigendecomposition has no SQL twin; pytest
     # covers the math).
     "emb_pca_project",
+    "doc_chunk_windows",
     "approx_distinct_extension",
     "cube_aggregation",
     "exists_any_predicate",
@@ -136,7 +138,6 @@ PRIORITY = (
     "split_filter_hof",
     "array_transform_aggregate",
     "array_intersect_union",
-    "welch_ttest_pvalue",
     "welch_ttest_from_stats",
     "dice_similarity_pairs",
     "jaccard_distance_pairs",

@@ -499,3 +499,43 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("window_start", "event_type", "n_events", "rk")
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+        SELECT c.*,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        FROM c
+    ) WHERE rk <= 3
+    """,
+    tags=("ext-stream", "streaming", "topk", "foreachBatch"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution of the windowed top-k
+    serving pattern: watermarked tumbling counts -> foreachBatch
+    upsert into a global-view store -> rank on read (a second
+    aggregation over an aggregated stream is unsupported as one
+    incremental query, so the composition IS the operator — see
+    streaming/events.windowed_topk_stream).  With the file as one
+    micro-batch the store equals the batch counts, so the batch
+    ranking SQL oracles it (extension)."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        windowed_topk_stream,
+    )
+
+    q, ranked = windowed_topk_stream(events_stream(spark, sf_dir), spark)
+    q.awaitTermination(120)
+    return ranked(3)

@@ -202,3 +202,79 @@ def interval_join_stream(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
+
+
+def windowed_topk_stream(
+    events: DataFrame,
+    spark: SparkSession,
+    watermark: str = "2 hours",
+):
+    """Streaming counterpart of queries/events_q.events_windowed_topk.
+
+    Rank-after-windowed-aggregation is not expressible as a single
+    incremental streaming query (a second, non-time-based aggregation
+    over an aggregated stream is unsupported), so this uses the
+    standard serving-layer composition: the WATERMARKED tumbling count
+    is the incremental stateful stage; foreachBatch UPSERTS each
+    micro-batch's updated (window, event_type) cumulative counts into
+    a GLOBAL temp view (foreachBatch runs in a cloned session — a
+    session-local view would be invisible to the caller), and the
+    top-k ranking is a lazy window over that store, computed on read.
+    Per-batch work is bounded by the keys the batch touched; the store
+    is bounded by (windows x event types), never raw events.  Returns
+    (query, ranked_reader) — call ranked_reader(k) for the current
+    top-k per window."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+
+    name = "topk_" + _uuid.uuid4().hex[:8]
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    spark.createDataFrame(
+        [], "window_start long, event_type string, n_events long"
+    ).createOrReplaceGlobalTempView(name)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        prev = s.table(f"global_temp.{name}").alias("p")
+        keys = batch.select("window_start", "event_type").alias("k")
+        kept = prev.join(
+            keys,
+            (F.col("p.window_start") == F.col("k.window_start"))
+            & (F.col("p.event_type") == F.col("k.event_type")),
+            "left_anti",
+        )
+        # Materialize before replacing the view the plan reads from.
+        merged = kept.unionByName(batch).localCheckpoint(eager=True)
+        merged.createOrReplaceGlobalTempView(name)
+
+    def ranked_reader(k: int = 3) -> DataFrame:
+        rk = F.row_number().over(
+            W.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), F.col("event_type")
+            )
+        )
+        return (
+            spark.table(f"global_temp.{name}")
+            .withColumn("rk", rk.cast("bigint"))
+            .filter(F.col("rk") <= k)
+        )
+
+    q = (
+        counts.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, ranked_reader

@@ -215,3 +215,18 @@ def test_funnel_depth_requires_temporal_order(spark):
         got = {r.user_id: r.funnel_depth
                for r in events_funnel_depth(spark, tmp).collect()}
     assert got == {1: 3, 2: 1, 3: 2, 4: 0}
+
+
+def test_windowed_topk_stream_matches_batch(spark):
+    """foreachBatch re-ranking twin produces exactly the batch top-k."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import events_windowed_topk
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        windowed_topk_stream,
+    )
+
+    q, ranked = windowed_topk_stream(events_stream(spark, SF), spark)
+    q.awaitTermination(120)
+    got = ranked(3)
+    want = events_windowed_topk(spark, SF)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
