@@ -83,8 +83,8 @@ PRIORITY = (
     "doc_gopher_repetition",
     "doc_stratified_sample",
     "doc_vocab_coverage",
-    "doc_source_cap",
     "emb_rp_project",
+    "emb_power_iteration_pc1",
     "stream_windowed_topk",
     "zscore_vs_group",
     "lineitem_zorder_layout",
@@ -95,6 +95,7 @@ PRIORITY = (
     # one rows-only check (eigendecomposition has no SQL twin; pytest
     # covers the math).
     "emb_pca_project",
+    "doc_source_cap",
     "doc_chunk_windows",
     "approx_distinct_extension",
     "cube_aggregation",

@@ -294,3 +294,151 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v2").isNull().alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominant principal component via fixed-point power iteration — the
+# oracle-checkable counterpart of emb_pca_project.
+
+_PI_ITERS = 12
+
+# The exact covariance CTE chain from emb_covariance's oracle, reused
+# verbatim so both queries derive from the same exact-integer cells.
+_COV_CTES_SQL = f"""
+    sv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS s
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT ti.i AS i, tj.j AS j, sv.s[ti.i] AS xi, sv.s[tj.j] AS xj
+        FROM sv, generate_series(1, {_DIM}) ti(i), generate_series(1, {_DIM}) tj(j)
+        WHERE tj.j >= ti.i
+    ),
+    agg AS (
+        SELECT i, j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xi) AS BIGINT) AS sx,
+               CAST(sum(xj) AS BIGINT) AS sy,
+               CAST(sum(xi * xj) AS BIGINT) AS sxy
+        FROM cells GROUP BY i, j
+    ),
+    covt AS (
+        SELECT i, j,
+               (CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) / {_SCALE}.0 / {_SCALE}.0 AS cov
+        FROM agg
+    )"""
+
+
+def _pi_oracle_sql() -> str:
+    """Unrolled power iteration: every float operation is an explicit
+    left-associated expression, so DuckDB evaluates the exact IEEE
+    operation sequence the Spark side's driver loop runs — bit-equal
+    doubles with no rounding tolerance needed."""
+    d = _DIM
+    cols = lambda fmt: ", ".join(fmt.format(k=k) for k in range(1, d + 1))
+    parts = [
+        "covsq AS MATERIALIZED (",
+        "    SELECT i, j, cov FROM covt",
+        "    UNION ALL SELECT j AS i, i AS j, cov FROM covt WHERE i <> j",
+        "),",
+        "m AS MATERIALIZED (",
+        "    SELECT i, "
+        + cols("max(CASE WHEN j = {k} THEN cov END) AS m{k}")
+        + " FROM covsq GROUP BY i",
+        "),",
+        "v0 AS (SELECT " + cols("CAST(1.0 AS DOUBLE) AS v{k}") + "),",
+    ]
+    for t in range(1, _PI_ITERS + 1):
+        matvec = " + ".join(f"m.m{k} * v.v{k}" for k in range(1, d + 1))
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT m.i, 0.0 + {matvec} AS w"
+            f" FROM m, v{t - 1} v),"
+        )
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT "
+            + cols(f"max(CASE WHEN i = {{k}} THEN w END) AS w{{k}}")
+            + f" FROM w{t}),"
+        )
+        norm = " + ".join(f"w{k} * w{k}" for k in range(1, d + 1))
+        parts.append(f"n{t} AS (SELECT sqrt(0.0 + {norm}) AS nrm FROM p{t}),")
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT "
+            + cols("p.w{k} / n.nrm AS v{k}")
+            + f" FROM p{t} p, n{t} n),"
+        )
+    proj = " + ".join(f"CAST(e.embedding[{k}] AS DOUBLE) * v.v{k}" for k in range(1, d + 1))
+    final = (
+        f"SELECT e.vec_id, e.label, 0.0 + {proj} AS pc1"
+        f" FROM embeddings e, v{_PI_ITERS} v"
+    )
+    body = "\n".join(parts)
+    # Strip the trailing comma of the last CTE before the final SELECT.
+    body = body.rstrip(",")
+    return f"WITH {_COV_CTES_SQL},\n{body}\n{final}"
+
+
+@register(
+    "emb_power_iteration_pc1",
+    oracle=_pi_oracle_sql(),
+    tags=("ext-vector", "pca", "power-iteration", "iterative"),
+)
+def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection onto the k-step power-method direction (k=12, fixed)
+    — the oracle-checkable counterpart of emb_pca_project (whose full
+    eigendecomposition has no SQL twin).  On a corpus whose spectrum
+    decays (real embedding corpora), k steps pin the dominant
+    principal component to machine precision; on the near-isotropic
+    synthetic testdata the direction is partially converged, and the
+    operator's contract is exactly the fixed-iteration sequence (the
+    Rayleigh quotient is monotone in k — pytest).
+
+    Bit-exact parity protocol: the covariance cells are exact (integer
+    accumulators, emb_covariance), and every float step — matvec,
+    norm, division, final projection — is a LEFT-ASSOCIATED fold
+    evaluated in the identical order on both sides: the driver loop
+    accumulates `acc = acc + m[i][j] * v[j]` over j ascending, and the
+    unrolled DuckDB chain spells `0.0 + m1*v1 + m2*v2 + ...` (SQL's
+    `+` parses left-associative; IEEE ops are deterministic), so the
+    doubles agree bit-for-bit with no rounding tolerance.  The Spark
+    projection uses F.aggregate (a left fold, same order).
+
+    Scale shape: same tiny-reduction boundary as emb_pca_project — the
+    iteration runs on the collected 64x64 matrix (KB-sized at ANY
+    corpus size); the corpus-sized work is the one covariance pass and
+    the map-only projection."""
+    import math
+
+    cells = emb_covariance(spark, sf_dir).collect()
+    c = [[0.0] * _DIM for _ in range(_DIM)]
+    for r in cells:
+        c[r["i"] - 1][r["j"] - 1] = r["cov"]
+        c[r["j"] - 1][r["i"] - 1] = r["cov"]
+    v = [1.0] * _DIM
+    for _ in range(_PI_ITERS):
+        w = []
+        for i in range(_DIM):
+            acc = 0.0
+            for j in range(_DIM):
+                acc = acc + c[i][j] * v[j]
+            w.append(acc)
+        nacc = 0.0
+        for i in range(_DIM):
+            nacc = nacc + w[i] * w[i]
+        nrm = math.sqrt(nacc)
+        v = [w[i] / nrm for i in range(_DIM)]
+
+    e = table(spark, sf_dir, "embeddings")
+    proj = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.array(*[F.lit(x) for x in v]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", "label", proj.alias("pc1"))

@@ -264,3 +264,51 @@ def test_components_vs_library_operator(spark):
     assert diff.filter(
         F.col("c1").isNull() | F.col("c2").isNull() | (F.col("c1") != F.col("c2"))
     ).isEmpty()
+
+
+def test_power_iteration_rayleigh_and_exact_replication(spark):
+    """The fixed-iteration power method must (a) monotonically
+    increase the Rayleigh quotient toward the top eigenvalue — the
+    guarantee that holds regardless of eigengap (the synthetic corpus
+    is near-isotropic, lambda2/lambda1 ~ 0.99, so 12 steps cannot
+    CONVERGE here and the test must not demand it) — and (b) the
+    operator's projections must exactly match an independent numpy
+    replication of the same 12 left-fold steps."""
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        _DIM,
+        _PI_ITERS,
+        emb_covariance,
+        emb_power_iteration_pc1,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cells = emb_covariance(spark, sf).collect()
+    cov = np.zeros((_DIM, _DIM))
+    for r in cells:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals = np.linalg.eigvalsh(cov)
+    top_val = float(vals[-1])
+
+    v = np.ones(_DIM) / np.sqrt(_DIM)
+    prev_rq = float(v @ cov @ v)
+    for _ in range(_PI_ITERS):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+        rq = float(v @ cov @ v)
+        assert rq >= prev_rq - 1e-12 and rq <= top_val + 1e-12
+        prev_rq = rq
+
+    # Exact replication of the operator's own arithmetic.
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    vv = np.ones(_DIM)
+    for _ in range(_PI_ITERS):
+        w = cov @ vv
+        vv = w / np.linalg.norm(w)
+    got = emb_power_iteration_pc1(spark, sf).toPandas()
+    for _, row in got.iterrows():
+        want = float(emb[row.vec_id] @ vv)
+        assert abs(row.pc1 - want) < 1e-9, row.vec_id
