@@ -81,8 +81,8 @@ PRIORITY = (
     "doc_decontaminate",
     "doc_pack_sequences",
     "doc_gopher_repetition",
-    "doc_stratified_sample",
-    "doc_vocab_coverage",
+    "events_incremental_rollup",
+    "events_rate_limited_sample",
     "emb_rp_project",
     "emb_power_iteration_pc1",
     "stream_windowed_topk",
@@ -95,6 +95,8 @@ PRIORITY = (
     # one rows-only check (eigendecomposition has no SQL twin; pytest
     # covers the math).
     "emb_pca_project",
+    "doc_stratified_sample",
+    "doc_vocab_coverage",
     "doc_source_cap",
     "doc_chunk_windows",
     "approx_distinct_extension",

@@ -539,3 +539,93 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, ranked = windowed_topk_stream(events_stream(spark, sf_dir), spark)
     q.awaitTermination(120)
     return ranked(3)
+
+
+@register(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_value_micro,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               // count(*) AS avg_value_micro
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream", "rollup", "incremental"),
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh proven against the full rescan:
+    the event log is split into 'history' and 'new batch' (a
+    content-independent modulus of event_id), each side rolled up
+    INDEPENDENTLY in partial form, and the stored rollup merged with
+    the batch rollup (operators/rollup_inc).  The oracle is the full
+    one-shot rollup — the driver hash verifies the defining algebraic
+    property merge(rollup(A), rollup(B)) == rollup(A ∪ B) on real
+    data, not just in pytest.
+
+    Scale shape: history is NEVER rescanned at refresh time in the
+    real deployment; here both halves are scanned once to stage the
+    proof.  The merge shuffles only rollup rows (bucket x type), and
+    integer-micro partial sums make it order-independent."""
+    from pangenomesasgraphdatabases_spark.operators.rollup_inc import (
+        rollup_batch,
+        rollup_merge,
+        rollup_read,
+    )
+
+    e = table(spark, sf_dir, "events")
+    history = e.filter(F.col("event_id") % 10 != 0)
+    batch = e.filter(F.col("event_id") % 10 == 0)
+    merged = rollup_merge(rollup_batch(history), rollup_batch(batch))
+    return rollup_read(merged)
+
+
+@register(
+    "events_rate_limited_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, day, event_id, event_type, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("ext-stream", "sampling", "rate-limit"),
+)
+def events_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting (extension): keep the first 5 events per
+    user per day — the bot/heavy-hitter cap a training-data ingest
+    applies so one hot key cannot dominate a day's sample.  Day
+    ordinals from integer epoch division (timezone-proof), ordering
+    total via (ts, event_id).
+
+    Scale shape: one window over (user_id, day) — the shuffle key
+    carries the date, so a single pathological user spreads across
+    days; within one key the rank is a sort of that key's partition
+    slice only.  The streaming twin of this cap is
+    applyInPandasWithState with a per-(user, day) counter."""
+    e = table(spark, sf_dir, "events")
+    day = (F.col("ts_ns") / F.lit(1_000_000_000)).cast("bigint")
+    e2 = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(day / F.lit(86400)).cast("bigint").alias("day"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    )
+    return (
+        e2.withColumn("rn", rn.cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "day", "event_id", "event_type", "rn")
+    )

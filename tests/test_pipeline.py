@@ -155,3 +155,38 @@ def test_pricing_summary_partitions_corpus(spark):
         F.col("avg_qty_c") != F.expr("sum_qty_c div count_order")
     ).isEmpty()
     spark.catalog.clearCache()
+
+
+def test_incremental_rollup_equals_full_rescan(spark):
+    """merge(rollup(history), rollup(batch)) == rollup(all) on the
+    real events table, any split."""
+    from pangenomesasgraphdatabases_spark.operators.rollup_inc import (
+        rollup_batch,
+        rollup_merge,
+        rollup_read,
+    )
+    from pangenomesasgraphdatabases_spark.data import table as load
+
+    e = load(spark, SF, "events")
+    full = rollup_read(rollup_batch(e))
+    inc = rollup_read(
+        rollup_merge(
+            rollup_batch(e.filter(F.col("event_id") % 10 != 0)),
+            rollup_batch(e.filter(F.col("event_id") % 10 == 0)),
+        )
+    )
+    assert inc.exceptAll(full).isEmpty() and full.exceptAll(inc).isEmpty()
+
+
+def test_rate_limited_sample_cap_holds(spark):
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_rate_limited_sample,
+    )
+
+    out = events_rate_limited_sample(spark, SF).cache()
+    per_key = out.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    assert per_key.filter(F.col("n") > 5).isEmpty()
+    # Determinism: two runs give identical rows.
+    again = events_rate_limited_sample(spark, SF)
+    assert out.exceptAll(again).isEmpty() and again.exceptAll(out).isEmpty()
+    spark.catalog.clearCache()
