@@ -187,16 +187,15 @@ vdeg AS (
     GROUP BY node
 ),
 -- Degree-ordered orientation: every edge points from the endpoint
--- with the smaller (deg, id) to the larger; ok is that total order
--- packed into one BIGINT so the wedge join compares a single key.
+-- with the smaller (deg, id) to the larger, compared as a row value
+-- so arbitrary 64-bit ids order correctly (no packed-key overflow).
 oe AS (
-    SELECT CASE WHEN du.deg * 10000000 + a.u <= dv.deg * 10000000 + a.v
+    SELECT CASE WHEN (du.deg, a.u) <= (dv.deg, a.v)
                 THEN a.u ELSE a.v END AS src,
-           CASE WHEN du.deg * 10000000 + a.u <= dv.deg * 10000000 + a.v
+           CASE WHEN (du.deg, a.u) <= (dv.deg, a.v)
                 THEN a.v ELSE a.u END AS dst,
-           CASE WHEN du.deg * 10000000 + a.u <= dv.deg * 10000000 + a.v
-                THEN dv.deg * 10000000 + a.v
-                ELSE du.deg * 10000000 + a.u END AS dst_ok
+           CASE WHEN (du.deg, a.u) <= (dv.deg, a.v)
+                THEN dv.deg ELSE du.deg END AS dst_deg
     FROM adj a
     JOIN vdeg du ON a.u = du.node
     JOIN vdeg dv ON a.v = dv.node
@@ -211,7 +210,8 @@ oe AS (
     tri AS (
         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         FROM oe e1
-        JOIN oe e2 ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok
+        JOIN oe e2 ON e1.src = e2.src
+                  AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
         JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
     ),
     corners AS (
@@ -271,8 +271,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = vdeg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = vdeg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    ok_u = F.col("deg_u") * 10000000 + F.col("u")
-    ok_v = F.col("deg_v") * 10000000 + F.col("v")
+    # (deg, id) compared as a struct — lexicographic, safe for any
+    # 64-bit id (a packed deg*C+id key silently mis-sorts once
+    # id >= C, e.g. partkeys beyond 1e7 at sf100).
+    ok_u = F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i"))
+    ok_v = F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i"))
     # vdeg is |V|-sized — broadcast both degree joins (no shuffle of
     # the edge set); cache oe partitioned on src so the wedge
     # self-join below is co-partitioned with itself (zero exchange).

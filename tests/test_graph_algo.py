@@ -88,6 +88,35 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got == dict(want)
 
 
+def test_triangle_count_ids_straddling_1e7(spark, tmp_path):
+    """Adversarial orientation-ordering check: node ids straddle 1e7
+    with (deg, id) pairs chosen so the retired packed key
+    deg*1e7 + id COLLIDES across distinct nodes (deg=3, id=2 and
+    deg=2, id=10_000_002 both packed to 30_000_002) — a collision
+    ties the wedge-join's strict comparison and silently drops the
+    triangle. The struct/row-value (deg, id) order must count it."""
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        graph_triangle_count,
+    )
+
+    w, x, y, z = 3, 2, 10_000_002, 40_000_000
+    # Triangle {w, x, y}; z is an extra neighbour of x lifting its
+    # degree to 3 (degrees: w=2, x=3, y=2, z=1).
+    edges = [(w, x), (w, y), (x, y), (x, z)]
+    rows = []
+    for o, (a, b) in enumerate(edges, start=1):
+        rows.append((o, 1, a))
+        rows.append((o, 2, b))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in graph_triangle_count(spark, str(tmp_path)).collect()
+    }
+    assert got == {w: 1, x: 1, y: 1}
+
+
 def test_covariance_matches_numpy(spark):
     from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
         _SCALE,
