@@ -1,0 +1,244 @@
+"""GenBank flat-file source (SURVEY.md S8).
+
+Reference: 01_fileConversion/bp_genbank2gff3.pl (BioPerl, 2349 lines)
+invoked per readme.md:29-35 as the pipeline's true entry point —
+``.gbk`` files are converted to GFF3, then cleaned by
+convert_refseq_to_prokka_gff.py (our sources/gff.py).  This module is
+a deliberate *minimal* re-expression: it parses exactly the fields the
+downstream pipeline consumes (feature key, location incl.
+``complement(..)`` / ``join(..)`` / partial ``<``/``>`` markers,
+locus_tag, product, /pseudo flag, and the ORIGIN sequence), not the
+full BioPerl feature-unflattening.
+
+Spark shape: one GenBank file is an indivisible parse unit (records
+separated by ``//``, features span continuation lines), so parsing
+runs in ``mapInPandas`` over wholetext rows — one Python parse per
+file, distributed across files, Arrow-batched out.  Everything after
+the parse (filtering, joins with scaffolds, cleanup) stays in native
+DataFrame ops via the GFF-parity projection of
+:func:`genbank_to_gff`.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_STEM = r"([^/]+?)\.[^/]*$"
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("seqid", T.StringType()),
+        T.StructField("feature_type", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("strand", T.StringType()),
+        T.StructField("feature_id", T.StringType()),
+        T.StructField("product", T.StringType()),
+        T.StructField("pseudo", T.BooleanType()),
+        T.StructField("partial", T.BooleanType()),
+    ]
+)
+
+_SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("seqid", T.StringType()),
+        T.StructField("seq", T.StringType()),
+    ]
+)
+
+_KEY_RE = re.compile(r"^ {5}(\S+)\s*(.*)$")
+_QUAL_RE = re.compile(r"^\s+/(\w+)(?:=(.*))?$")
+_LOCUS_RE = re.compile(r"^LOCUS\s+(\S+)")
+
+
+def _split_records(text: str) -> list[str]:
+    recs, cur = [], []
+    for line in text.split("\n"):
+        if line.rstrip() == "//":
+            if cur:
+                recs.append("\n".join(cur))
+            cur = []
+        else:
+            cur.append(line)
+    if any(ln.strip() for ln in cur):
+        recs.append("\n".join(cur))
+    return recs
+
+
+def _parse_location(loc: str) -> tuple[int, int, str, bool] | None:
+    """(start, end, strand, partial) from a GenBank location string.
+
+    ``complement(..)`` → '-'; ``join(a..b,c..d)`` → envelope
+    [min, max] (the downstream cleanup works on genomic extent, not
+    exon structure); ``<``/``>`` flag the feature partial."""
+    strand = "-" if "complement(" in loc else "+"
+    partial = "<" in loc or ">" in loc
+    nums = [int(n) for n in re.findall(r"\d+", loc)]
+    if not nums:
+        return None
+    return min(nums), max(nums), strand, partial
+
+
+def _iter_record_features(rec: str) -> Iterator[dict]:
+    seqid = ""
+    m = _LOCUS_RE.match(rec)
+    if m:
+        seqid = m.group(1)
+    in_features = False
+    blocks: list[tuple[str, list[str]]] = []  # (key, raw lines)
+    for line in rec.split("\n"):
+        if line.startswith("FEATURES"):
+            in_features = True
+            continue
+        if line.startswith(("ORIGIN", "CONTIG", "BASE COUNT")):
+            in_features = False
+            continue
+        if not in_features:
+            continue
+        km = _KEY_RE.match(line)
+        if km:
+            blocks.append((km.group(1), [km.group(2)]))
+        elif blocks and line.strip():
+            blocks[-1][1].append(line)
+
+    for key, lines in blocks:
+        # Location = the key-line remainder plus continuation lines up
+        # to the first qualifier; qualifiers may also span lines
+        # (translation strings routinely do).
+        loc_parts: list[str] = []
+        quals: list[list[str]] = []  # [name, value-so-far]
+        for raw in lines:
+            stripped = raw.strip()
+            qm = _QUAL_RE.match(raw) if stripped.startswith("/") else None
+            if qm:
+                quals.append([qm.group(1), qm.group(2) or ""])
+            elif quals:
+                prev = quals[-1]
+                joiner = "" if prev[0] == "translation" else " "
+                prev[1] = prev[1] + joiner + stripped
+            else:
+                loc_parts.append(stripped)
+        parsed = _parse_location("".join(loc_parts))
+        if parsed is None:
+            continue
+        start, end, strand, partial = parsed
+        qd = {name: val.strip().strip('"') for name, val in quals}
+        ftype = key
+        if key == "gene" and "pseudo" in qd:
+            # The reference pipeline's GFF3 carries these as
+            # ``pseudogene`` rows (readme.md:40 keeps CDS/tRNA/
+            # pseudogene); GenBank flags them as gene + /pseudo.
+            ftype = "pseudogene"
+        yield {
+            "seqid": seqid,
+            "feature_type": ftype,
+            "start": start,
+            "end": end,
+            "strand": strand,
+            "feature_id": qd.get("locus_tag", ""),
+            "product": qd.get("product", ""),
+            "pseudo": "pseudo" in qd,
+            "partial": partial,
+        }
+
+
+def _iter_record_sequence(rec: str) -> str:
+    out: list[str] = []
+    in_origin = False
+    for line in rec.split("\n"):
+        if line.startswith("ORIGIN"):
+            in_origin = True
+            continue
+        if not in_origin:
+            continue
+        out.append(re.sub(r"[\d\s]", "", line))
+    return "".join(out).upper()
+
+
+def _wholetext(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.text(path, wholetext=True)
+        .withColumn("file", F.regexp_extract(F.input_file_name(), _STEM, 1))
+        .select("file", "value")
+    )
+
+
+def read_genbank_features(spark: SparkSession, path: str) -> DataFrame:
+    """S8: GenBank ``.gbk`` glob -> one row per feature.
+
+    Columns: (file, seqid, feature_type, start, end, strand,
+    feature_id, product, pseudo, partial).  feature_id is the
+    locus_tag ('' when absent, e.g. the ``source`` feature)."""
+    cols = [f.name for f in _FEATURE_SCHEMA.fields]
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for file, text in zip(pdf["file"], pdf["value"]):
+                for rec in _split_records(text):
+                    for feat in _iter_record_features(rec):
+                        rows.append({"file": file, **feat})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _wholetext(spark, path).mapInPandas(parse, _FEATURE_SCHEMA)
+
+
+def read_genbank_sequences(spark: SparkSession, path: str) -> DataFrame:
+    """ORIGIN sections -> (file, seqid, seq), uppercased — the same
+    surface as gff.read_gff_scaffolds so the S9 cleanup can join it."""
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for file, text in zip(pdf["file"], pdf["value"]):
+                for rec in _split_records(text):
+                    m = _LOCUS_RE.match(rec)
+                    seq = _iter_record_sequence(rec)
+                    if seq:
+                        rows.append(
+                            {
+                                "file": file,
+                                "seqid": m.group(1) if m else "",
+                                "seq": seq,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["file", "seqid", "seq"])
+
+    return _wholetext(spark, path).mapInPandas(parse, _SEQ_SCHEMA)
+
+
+def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
+    """GFF-parity projection (the bp_genbank2gff3.pl output contract):
+    exactly gff.GFF_COLS, so downstream consumers of
+    parse_gff_features can run unchanged on GenBank input.  Commas are
+    stripped from free-text fields as the GFF cleanup does file-wide
+    (convert_refseq_to_prokka_gff.py:24)."""
+    feats = read_genbank_features(spark, path)
+    product = F.regexp_replace("product", ",", "")
+    return feats.filter(F.col("feature_type") != "source").select(
+        "file",
+        "seqid",
+        F.lit("genbank").alias("source"),
+        "feature_type",
+        "start",
+        "end",
+        F.lit(".").alias("score"),
+        "strand",
+        F.lit(".").alias("phase"),
+        F.concat(
+            F.lit("ID="),
+            F.col("feature_id"),
+            F.when(
+                F.length(product) > 0, F.concat(F.lit(";product="), product)
+            ).otherwise(F.lit("")),
+        ).alias("attributes"),
+        "feature_id",
+    )
