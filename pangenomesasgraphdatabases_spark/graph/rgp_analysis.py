@@ -266,6 +266,86 @@ def complete_linkage_clusters(
     return out
 
 
+def linkage_clusters_scalable(
+    pair_distances: DataFrame,
+    threshold: float,
+    exact_max_items: int = 20_000,
+    exact_max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """F17 with a scale path (VERDICT r4 #4): cluster items from a
+    pairwise-distance frame ``(item1, item2, dist)`` at ``threshold``.
+
+    Inputs inside the exact gates run the driver-side complete-linkage
+    NN-chain (:func:`complete_linkage_clusters`, the reference's scipy
+    fcluster cut, RGPs.ipynb:2671/2712) — ``approx = false``.  Larger
+    inputs no longer raise: they fall back to the distributed
+    single-linkage cut — connected components over the graph of pairs
+    with ``dist <= threshold`` — flagged ``approx = true``.  Single
+    linkage at the same threshold is the canonical upper envelope:
+    every complete-linkage cluster is contained in exactly one
+    component (complete-linkage merges only pairs already connected at
+    <= threshold), so the approximation coarsens, never splits.
+
+    Returns ``(item, cluster, approx)`` where ``cluster`` is the
+    lexicographic-min member — a deterministic label under both paths.
+    Node ids for the distributed path come from ``xxhash64(item)``
+    (collision odds ~n^2/2^64; a collision could merge two clusters).
+    """
+    n_pairs = pair_distances.count()
+    spark = pair_distances.sparkSession
+    if n_pairs <= exact_max_pairs:
+        rows = [
+            (r[0], r[1], float(r[2]))
+            for r in pair_distances.select("item1", "item2", "dist").collect()
+        ]
+        items = {x for p in rows for x in p[:2]}
+        if len(items) <= exact_max_items:
+            labels = complete_linkage_clusters(rows, threshold)
+            rep: dict[int, str] = {}
+            for it, lab in labels.items():
+                rep[lab] = min(rep.get(lab, it), it)
+            return spark.createDataFrame(
+                [(it, rep[lab], False) for it, lab in labels.items()],
+                "item string, cluster string, approx boolean",
+            )
+
+    all_items = (
+        pair_distances.select(F.col("item1").alias("item"))
+        .unionByName(pair_distances.select(F.col("item2").alias("item")))
+        .distinct()
+    )
+    ids = all_items.select("item", F.xxhash64("item").alias("nid"))
+    close = pair_distances.filter(F.col("dist") <= F.lit(threshold))
+    edges = (
+        close.join(
+            ids.select(F.col("item").alias("item1"), F.col("nid").alias("src")),
+            "item1",
+        )
+        .join(
+            ids.select(F.col("item").alias("item2"), F.col("nid").alias("dst")),
+            "item2",
+        )
+        .select("src", "dst")
+    )
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(edges)
+    labelled = ids.join(
+        comp.withColumnRenamed("node", "nid"), "nid", "left"
+    ).select(
+        "item",
+        # Isolated items (no pair within threshold) are their own
+        # singleton component.
+        F.coalesce("component", F.col("nid")).alias("component"),
+    )
+    rep_df = labelled.groupBy("component").agg(F.min("item").alias("cluster"))
+    return labelled.join(rep_df, "component").select(
+        "item", "cluster", F.lit(True).alias("approx")
+    )
+
+
 def core_clusters_per_group(
     insertion_groups: DataFrame,
     rgps: DataFrame,

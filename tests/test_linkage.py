@@ -86,6 +86,77 @@ def test_nn_chain_isolated_and_gate():
         )
 
 
+def _single_linkage_cut(pairs, threshold):
+    """Brute-force single-linkage components at the threshold — the
+    semantics the distributed fallback promises."""
+    items = sorted({x for p in pairs for x in p[:2]})
+    parent = {x: x for x in items}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, d in pairs:
+        if d <= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in items}
+
+
+def test_scalable_linkage_exact_path(spark):
+    """Inside the gates: DataFrame wrapper reproduces the exact
+    complete-linkage partition, approx=False."""
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    pairs = [("i1", "i2", 0.1), ("i1", "i3", 0.9), ("i2", "i3", 0.8)]
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    out = {r.item: (r.cluster, r.approx) for r in
+           linkage_clusters_scalable(df, 0.3).collect()}
+    want = _partition(complete_linkage_clusters(pairs, 0.3))
+    got = _partition({k: v[0] for k, v in out.items()})
+    assert got == want
+    assert all(not v[1] for v in out.values())
+
+
+def test_scalable_linkage_approx_past_gate(spark):
+    """Past the gates the fallback must NOT raise: it returns the
+    single-linkage components at the threshold, flagged approx, with
+    isolated items as singletons, and each exact complete-linkage
+    cluster contained in one approx component (coarsen-never-split)."""
+    rng = random.Random(11)
+    n = 30
+    items = [f"y{i}" for i in range(n)]
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < 0.25:
+                pairs.append((items[i], items[j], round(rng.random(), 3)))
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    t = 0.35
+    out = {r.item: (r.cluster, r.approx) for r in
+           linkage_clusters_scalable(df, t, exact_max_pairs=0).collect()}
+    assert all(v[1] for v in out.values())
+    want = _partition(_single_linkage_cut(pairs, t))
+    got = _partition({k: v[0] for k, v in out.items()})
+    assert got == want
+    # Refinement property vs the exact algorithm.
+    exact = complete_linkage_clusters(pairs, t)
+    comp_of = {k: v[0] for k, v in out.items()}
+    by_exact = {}
+    for it, lab in exact.items():
+        by_exact.setdefault(lab, set()).add(comp_of[it])
+    assert all(len(comps) == 1 for comps in by_exact.values())
+
+
 def test_dice_fanout_gate(spark, pangenome):
     from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
     from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
