@@ -135,15 +135,14 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PC = 8
 
 
-@register(
-    "emb_pca_project",
-    oracle=None,  # eigendecomposition is not SQL-expressible; the
-    # driver runs its rows-only check, pytest asserts the math
-    # (variance ordering + reconstruction) at fixture scale.
-    tags=("ext-vector", "pca", "driver-boundary"),
-)
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Project every embedding onto the top-8 principal components.
+    """Library function (NOT registered): project every embedding onto
+    the top-8 principal components via full eigendecomposition.
+    Eigendecomposition has no SQL twin, so this carried the registry's
+    single rows-only row through r4; the driver-hash-checked face of
+    the PCA family is now emb_power_iteration_pc1/_pc2 (bit-exact
+    power/deflation directions), and this stays as the full-spectrum
+    utility, pytest-asserted (variance ordering at fixture scale).
 
     The covariance matrix (2080 cells — KB-sized regardless of corpus
     row count) is collected to the driver, numpy.linalg.eigh factors
@@ -333,13 +332,16 @@ _COV_CTES_SQL = f"""
     )"""
 
 
-def _pi_oracle_sql() -> str:
-    """Unrolled power iteration: every float operation is an explicit
-    left-associated expression, so DuckDB evaluates the exact IEEE
-    operation sequence the Spark side's driver loop runs — bit-equal
-    doubles with no rounding tolerance needed."""
+def _cols(fmt: str, d: int = _DIM) -> str:
+    return ", ".join(fmt.format(k=k) for k in range(1, d + 1))
+
+
+def _pi_chain_parts() -> list[str]:
+    """Unrolled power iteration CTEs (m, v0..v{_PI_ITERS}): every float
+    operation is an explicit left-associated expression, so DuckDB
+    evaluates the exact IEEE operation sequence the Spark side's driver
+    loop runs — bit-equal doubles with no rounding tolerance needed."""
     d = _DIM
-    cols = lambda fmt: ", ".join(fmt.format(k=k) for k in range(1, d + 1))
     parts = [
         "covsq AS MATERIALIZED (",
         "    SELECT i, j, cov FROM covt",
@@ -347,10 +349,10 @@ def _pi_oracle_sql() -> str:
         "),",
         "m AS MATERIALIZED (",
         "    SELECT i, "
-        + cols("max(CASE WHEN j = {k} THEN cov END) AS m{k}")
+        + _cols("max(CASE WHEN j = {k} THEN cov END) AS m{k}")
         + " FROM covsq GROUP BY i",
         "),",
-        "v0 AS (SELECT " + cols("CAST(1.0 AS DOUBLE) AS v{k}") + "),",
+        "v0 AS (SELECT " + _cols("CAST(1.0 AS DOUBLE) AS v{k}") + "),",
     ]
     for t in range(1, _PI_ITERS + 1):
         matvec = " + ".join(f"m.m{k} * v.v{k}" for k in range(1, d + 1))
@@ -360,24 +362,81 @@ def _pi_oracle_sql() -> str:
         )
         parts.append(
             f"p{t} AS MATERIALIZED (SELECT "
-            + cols(f"max(CASE WHEN i = {{k}} THEN w END) AS w{{k}}")
+            + _cols(f"max(CASE WHEN i = {{k}} THEN w END) AS w{{k}}")
             + f" FROM w{t}),"
         )
         norm = " + ".join(f"w{k} * w{k}" for k in range(1, d + 1))
         parts.append(f"n{t} AS (SELECT sqrt(0.0 + {norm}) AS nrm FROM p{t}),")
         parts.append(
             f"v{t} AS MATERIALIZED (SELECT "
-            + cols("p.w{k} / n.nrm AS v{k}")
+            + _cols("p.w{k} / n.nrm AS v{k}")
             + f" FROM p{t} p, n{t} n),"
         )
-    proj = " + ".join(f"CAST(e.embedding[{k}] AS DOUBLE) * v.v{k}" for k in range(1, d + 1))
+    return parts
+
+
+def _pi_oracle_sql() -> str:
+    proj = " + ".join(
+        f"CAST(e.embedding[{k}] AS DOUBLE) * v.v{k}" for k in range(1, _DIM + 1)
+    )
     final = (
         f"SELECT e.vec_id, e.label, 0.0 + {proj} AS pc1"
         f" FROM embeddings e, v{_PI_ITERS} v"
     )
-    body = "\n".join(parts)
+    body = "\n".join(_pi_chain_parts())
     # Strip the trailing comma of the last CTE before the final SELECT.
     body = body.rstrip(",")
+    return f"WITH {_COV_CTES_SQL},\n{body}\n{final}"
+
+
+def _pi2_oracle_sql() -> str:
+    """PC1 chain + deflated second chain: u_t follows the same power
+    step but subtracts the v-direction component after each matvec
+    (w' = w - v*(v·w), every sum left-associated), converging to the
+    second principal direction.  Both projections are emitted so the
+    driver hash pins pc1 and pc2 together."""
+    d = _DIM
+    T = _PI_ITERS
+    parts = _pi_chain_parts()
+    parts.append("u0 AS (SELECT " + _cols("CAST(1.0 AS DOUBLE) AS u{k}") + "),")
+    for t in range(1, T + 1):
+        matvec = " + ".join(f"m.m{k} * u.u{k}" for k in range(1, d + 1))
+        parts.append(
+            f"uw{t} AS MATERIALIZED (SELECT m.i, 0.0 + {matvec} AS w"
+            f" FROM m, u{t - 1} u),"
+        )
+        parts.append(
+            f"up{t} AS MATERIALIZED (SELECT "
+            + _cols(f"max(CASE WHEN i = {{k}} THEN w END) AS w{{k}}")
+            + f" FROM uw{t}),"
+        )
+        dot = " + ".join(f"v.v{k} * p.w{k}" for k in range(1, d + 1))
+        parts.append(
+            f"ud{t} AS (SELECT 0.0 + {dot} AS d FROM v{T} v, up{t} p),"
+        )
+        parts.append(
+            f"uq{t} AS MATERIALIZED (SELECT "
+            + _cols("p.w{k} - v.v{k} * d.d AS w{k}")
+            + f" FROM up{t} p, v{T} v, ud{t} d),"
+        )
+        norm = " + ".join(f"w{k} * w{k}" for k in range(1, d + 1))
+        parts.append(f"un{t} AS (SELECT sqrt(0.0 + {norm}) AS nrm FROM uq{t}),")
+        parts.append(
+            f"u{t} AS MATERIALIZED (SELECT "
+            + _cols("p.w{k} / n.nrm AS u{k}")
+            + f" FROM uq{t} p, un{t} n),"
+        )
+    proj1 = " + ".join(
+        f"CAST(e.embedding[{k}] AS DOUBLE) * v.v{k}" for k in range(1, d + 1)
+    )
+    proj2 = " + ".join(
+        f"CAST(e.embedding[{k}] AS DOUBLE) * u.u{k}" for k in range(1, d + 1)
+    )
+    final = (
+        f"SELECT e.vec_id, e.label, 0.0 + {proj1} AS pc1, 0.0 + {proj2} AS pc2"
+        f" FROM embeddings e, v{T} v, u{T} u"
+    )
+    body = "\n".join(parts).rstrip(",")
     return f"WITH {_COV_CTES_SQL},\n{body}\n{final}"
 
 
@@ -406,39 +465,91 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles agree bit-for-bit with no rounding tolerance.  The Spark
     projection uses F.aggregate (a left fold, same order).
 
-    Scale shape: same tiny-reduction boundary as emb_pca_project — the
+    Scale shape: same tiny-reduction boundary as pca_project — the
     iteration runs on the collected 64x64 matrix (KB-sized at ANY
     corpus size); the corpus-sized work is the one covariance pass and
     the map-only projection."""
+    v, _ = _pi_directions(emb_covariance(spark, sf_dir).collect())
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", _lit_proj(v).alias("pc1"))
+
+
+def _pi_directions(cells) -> tuple[list[float], list[float]]:
+    """(v, u): the 12-step power direction and the deflated second
+    direction, in the exact left-associated arithmetic the unrolled
+    oracles replicate (every sum accumulates ascending-index)."""
     import math
 
-    cells = emb_covariance(spark, sf_dir).collect()
     c = [[0.0] * _DIM for _ in range(_DIM)]
     for r in cells:
         c[r["i"] - 1][r["j"] - 1] = r["cov"]
         c[r["j"] - 1][r["i"] - 1] = r["cov"]
-    v = [1.0] * _DIM
-    for _ in range(_PI_ITERS):
-        w = []
+
+    def matvec(x: list[float]) -> list[float]:
+        out = []
         for i in range(_DIM):
             acc = 0.0
             for j in range(_DIM):
-                acc = acc + c[i][j] * v[j]
-            w.append(acc)
+                acc = acc + c[i][j] * x[j]
+            out.append(acc)
+        return out
+
+    def normed(w: list[float]) -> list[float]:
         nacc = 0.0
         for i in range(_DIM):
             nacc = nacc + w[i] * w[i]
         nrm = math.sqrt(nacc)
-        v = [w[i] / nrm for i in range(_DIM)]
+        return [w[i] / nrm for i in range(_DIM)]
 
-    e = table(spark, sf_dir, "embeddings")
-    proj = F.aggregate(
+    v = [1.0] * _DIM
+    for _ in range(_PI_ITERS):
+        v = normed(matvec(v))
+
+    u = [1.0] * _DIM
+    for _ in range(_PI_ITERS):
+        w = matvec(u)
+        d = 0.0
+        for i in range(_DIM):
+            d = d + v[i] * w[i]
+        w = [w[i] - v[i] * d for i in range(_DIM)]
+        u = normed(w)
+    return v, u
+
+
+def _lit_proj(direction: list[float]):
+    return F.aggregate(
         F.zip_with(
             F.transform("embedding", lambda x: x.cast("double")),
-            F.array(*[F.lit(x) for x in v]),
+            F.array(*[F.lit(x) for x in direction]),
             lambda a, b: a * b,
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return e.select("vec_id", "label", proj.alias("pc1"))
+
+
+@register(
+    "emb_power_iteration_pc2",
+    oracle=_pi2_oracle_sql(),
+    tags=("ext-vector", "pca", "power-iteration", "deflation"),
+)
+def emb_power_iteration_pc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal projections via DEFLATED power iteration — the
+    hard-hash companion that closes the PCA family's oracle gap
+    (VERDICT r4 #5): pc1 is the 12-step power direction, pc2 repeats
+    the iteration while subtracting the pc1 component after every
+    matvec (Hotelling deflation, w' = w - v*(v·w)).
+
+    Same bit-exact protocol as emb_power_iteration_pc1: exact-integer
+    covariance cells, then every float step left-associated and
+    unrolled in the oracle — matvec, deflection dot, subtraction,
+    norm, projection — so both engines produce bit-identical doubles.
+    The driver-side loop is the same KB-sized 64x64 boundary."""
+    v, u = _pi_directions(emb_covariance(spark, sf_dir).collect())
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        _lit_proj(v).alias("pc1"),
+        _lit_proj(u).alias("pc2"),
+    )

@@ -341,3 +341,44 @@ def test_power_iteration_rayleigh_and_exact_replication(spark):
     for _, row in got.iterrows():
         want = float(emb[row.vec_id] @ vv)
         assert abs(row.pc1 - want) < 1e-9, row.vec_id
+
+
+def test_deflated_pc2_orthogonal_and_exact(spark):
+    """The deflated second direction must be orthogonal to the first
+    (Hotelling deflation removes the v-component every step) and the
+    operator's projections must match an independent numpy replication
+    of the same left-fold arithmetic."""
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        _DIM,
+        _pi_directions,
+        emb_covariance,
+        emb_power_iteration_pc2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cells = emb_covariance(spark, sf).collect()
+    v, u = _pi_directions(cells)
+    va, ua = np.array(v), np.array(u)
+    assert abs(float(va @ ua)) < 1e-12
+    assert abs(np.linalg.norm(va) - 1) < 1e-12
+    assert abs(np.linalg.norm(ua) - 1) < 1e-12
+    # Rayleigh quotients stay inside the spectrum (no ordering claim:
+    # the synthetic corpus is near-isotropic, so 12 steps leave v
+    # partially converged and u's quotient may exceed v's).
+    cov = np.zeros((_DIM, _DIM))
+    for r in cells:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals = np.linalg.eigvalsh(cov)
+    for w in (va, ua):
+        rq = float(w @ cov @ w)
+        assert vals[0] - 1e-12 <= rq <= vals[-1] + 1e-12
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    got = emb_power_iteration_pc2(spark, sf).toPandas()
+    for _, row in got.iterrows():
+        assert abs(row.pc1 - float(emb[row.vec_id] @ va)) < 1e-9
+        assert abs(row.pc2 - float(emb[row.vec_id] @ ua)) < 1e-9
