@@ -89,6 +89,70 @@ def enrich_features_with_composition(graph: PangenomeGraph, comp: DataFrame) -> 
 BLAST_HIT_COLUMNS = ("cluster_id", "title", "score", "evalue", "num_alignments")
 
 
+def run_blastn(
+    sequences: DataFrame,
+    blast_bin: str | None,
+    db: str,
+    evalue: float = 1e-5,
+    extra_args: tuple[str, ...] = (),
+) -> DataFrame:
+    """S11 execution path: invoke the blastn binary partition-wise and
+    return (cluster_id, xml) — the input surface of
+    :func:`blast_hits_from_xml`.
+
+    The reference runs one ``blastn`` subprocess per cluster query and
+    walks the result DOM (extendingDB_performingBlast.py:63-105); here
+    the same one-process-per-query loop runs inside ``mapInPandas``,
+    so a 1000-executor cluster fans the queries out while each
+    subprocess call stays identical to the reference's.  Input:
+    (cluster_id STRING, sequence STRING).
+
+    ``blast_bin`` is an explicit boundary: None raises immediately
+    (this container ships no BLAST binary — the XML-parse path over
+    pre-computed output stays the tested default), and a named binary
+    is existence-checked on the driver before any job launches."""
+    if not blast_bin:
+        raise NotImplementedError(
+            "blastn execution requires blast_bin=<path>; no binary is "
+            "bundled — parse pre-computed XML with blast_hits_from_xml "
+            "instead"
+        )
+    import os
+    import shutil
+
+    if shutil.which(blast_bin) is None and not os.path.isfile(blast_bin):
+        raise FileNotFoundError(f"blastn binary not found: {blast_bin!r}")
+
+    import subprocess
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+
+    argv = [blast_bin, "-db", db, "-outfmt", "5", "-evalue", str(evalue)]
+    argv += list(extra_args)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            xmls = []
+            for cid, seq in zip(pdf["cluster_id"], pdf["sequence"]):
+                proc = subprocess.run(
+                    argv,
+                    input=f">{cid}\n{seq}\n",
+                    capture_output=True,
+                    text=True,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"blastn failed for {cid}: {proc.stderr.strip()}"
+                    )
+                xmls.append(proc.stdout)
+            yield pd.DataFrame({"cluster_id": pdf["cluster_id"], "xml": xmls})
+
+    return sequences.select("cluster_id", "sequence").mapInPandas(
+        run, "cluster_id string, xml string"
+    )
+
+
 def blast_hits_from_xml(xml_df: DataFrame) -> DataFrame:
     """S11: parse blastn outfmt-5 XML documents (one per cluster query)
     into a hits table via JVM-side regexp extraction.
