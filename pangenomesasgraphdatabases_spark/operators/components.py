@@ -75,7 +75,7 @@ def _union_find_components(sym_one_partition: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, small_graph_edges: int = 2_000_000
+    edges: DataFrame, max_iter: int = 50, small_graph_edges: int = 250_000
 ) -> DataFrame:
     """Labels every node of the undirected graph `edges` (columns
     `src`, `dst`) with its component's minimum node id.  Returns
@@ -85,7 +85,15 @@ def connected_components(
     Edge sets at or below `small_graph_edges` (after symmetrize +
     distinct) are solved by single-task union-find (one job); larger
     graphs run the distributed min-label iteration.  Pass
-    small_graph_edges=0 to force the iterative path."""
+    small_graph_edges=0 to force the iterative path.
+
+    The fast-path gate bounds ONE task's work: a python dict over up
+    to 2x`small_graph_edges` nodes is ~100 B/entry, so the 250k
+    default caps the task at ~50 MB / well under a second — sized for
+    the motivating workload (near-dup candidate graphs of hundreds of
+    edges) while leaving big margin before single-task memory or
+    stragglers matter (ADVICE r4: the old 2M default admitted ~4M-node
+    dicts, hundreds of MB on one core)."""
     e = edges.select("src", "dst")
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

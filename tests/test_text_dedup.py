@@ -104,6 +104,35 @@ def test_connected_components_transitive_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_long_chain_boundary(spark):
+    """Adversarial depth (VERDICT r4 #8): a path graph deeper than the
+    iteration budget must RAISE on the iterative path — min-label
+    propagation moves the component minimum one hop per round, and a
+    silent truncation would split the component undetected.  A path
+    just inside the budget must converge to one component."""
+    import pytest
+
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(deep, max_iter=20, small_graph_edges=0).collect()
+
+    shallow = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], ["src", "dst"]
+    )
+    got = connected_components(shallow, max_iter=20, small_graph_edges=0)
+    assert {r.component for r in got.collect()} == {0}
+    # The union-find fast path solves the same deep chain exactly (no
+    # iteration bound applies there).
+    uf = connected_components(deep, max_iter=20)
+    assert {r.component for r in uf.collect()} == {0}
+
+
 def test_ngram_jaccard_dedup_groups_planted_chain(spark, tmp_path):
     """A~B~C edit chain must land in ONE dup group (exact Jaccard +
     connected components), even though A and C differ twice as much."""
