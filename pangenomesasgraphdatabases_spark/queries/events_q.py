@@ -537,7 +537,8 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q, ranked = windowed_topk_stream(events_stream(spark, sf_dir), spark)
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise TimeoutError("windowed_topk stream did not finish in 120s")
     return ranked(3)
 
 

@@ -537,10 +537,10 @@ _KCORE_CHAIN_SQL = ",".join(_kcore_iter_sql(k) for k in range(1, _KCORE_ROUNDS +
     tags=("ext-graph", "kcore", "iterative"),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_KCORE_K}-core of the part synteny graph by iterative peeling
-    ({_KCORE_ROUNDS} unrolled rounds): repeatedly drop nodes with
-    degree < {_KCORE_K} and their incident edges; what survives is the
-    maximal subgraph of minimum degree {_KCORE_K} — the dense backbone
+    """K-core (K=30, _KCORE_K) of the part synteny graph by iterative
+    peeling (10 unrolled rounds, _KCORE_ROUNDS): repeatedly drop nodes
+    with degree < K and their incident edges; what survives is the
+    maximal subgraph of minimum degree K — the dense backbone
     a community analysis starts from (generalizes the reference's
     core-genome HAVING-count selection, RGPs.ipynb cell 5, to graph
     connectivity).  pytest asserts the peel has reached its fixpoint

@@ -349,7 +349,13 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     64-aggregate signature groupBy over the shingle set (measured ~2s
     of the ~6s candidate stage at sf0.1).  The frame is one row per
     (doc, band) — 16 rows per document regardless of document size, so
-    the cache is always tiny relative to the corpus."""
+    the cache is always tiny relative to the corpus.
+
+    Lifecycle (module policy above): the returned plan's lineage reads
+    the cached frame, so it cannot be unpersisted here; across a
+    multi-query run the per-query frames are dropped by the caller's
+    clearCache between queries (bench.py, tools/check_oracle.py) and
+    otherwise bounded by LRU eviction."""
     bands = band_frame(sig).cache()
     a = bands.select(F.col("doc_id").alias("doc1"), "band", "bh")
     b = bands.select(F.col("doc_id").alias("doc2"), "band", "bh")

@@ -134,7 +134,8 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise TimeoutError(f"stream {name} did not finish in 120s")
     return spark.table(name)
 
 

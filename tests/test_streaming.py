@@ -95,7 +95,7 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
     def run():
         stream = spark.readStream.schema(src_schema).format("parquet").load(src_path)
         q = foreach_batch_parquet_sink(stream, out, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     run()
     got = spark.read.parquet(out)
@@ -226,7 +226,7 @@ def test_windowed_topk_stream_matches_batch(spark):
     )
 
     q, ranked = windowed_topk_stream(events_stream(spark, SF), spark)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = ranked(3)
     want = events_windowed_topk(spark, SF)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

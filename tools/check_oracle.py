@@ -197,6 +197,11 @@ def main():
             scols = sdf.columns
             stypes = dict(sdf.dtypes)
             spdf = sdf.toPandas()
+            # Queries may cache intermediates their result lineage
+            # reads (text_q module policy); drop them once the result
+            # is materialized so caches don't accumulate across the
+            # multi-query run.
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
