@@ -3,13 +3,17 @@
 ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with the noop datasource (full
-materialization, no driver collect)."""
+materialization, no driver collect).  Every headline entry runs
+$SPARK_GRAFT_REPS times (default 3) and reports the per-query MEDIAN
+(VERDICT r4 #7: single-run numbers made sub-second deltas look like
+regressions); the raw reps ride along under "reps"."""
 
 from __future__ import annotations
 
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -37,8 +41,30 @@ HEADLINE = [
 ]
 
 
+def _warmup_dir(sf_dir: str, sf: float) -> str | None:
+    """Smallest sibling sf* directory below the measured scale — the
+    codegen-warmup input (derived from the layout, not hardcoded:
+    ADVICE r4)."""
+    parent = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    best: tuple[float, str] | None = None
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return None
+    for name in entries:
+        m = re.fullmatch(r"sf([0-9.]+)", name)
+        full = os.path.join(parent, name)
+        if not m or not os.path.isdir(full) or full == os.path.abspath(sf_dir.rstrip("/")):
+            continue
+        val = float(m.group(1))
+        if (sf < 0 or val < sf) and (best is None or val < best[0]):
+            best = (val, full)
+    return best[1] if best else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -57,30 +83,37 @@ def main() -> None:
     # touching the measured data; the timed sf runs below then measure
     # data processing, not one-time compilation.  A long-lived cluster
     # is always in this state.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+    warm_dir = _warmup_dir(sf_dir, sf)
+    if warm_dir:
         for name in HEADLINE:
             q = registry.get(name)
             if q is None:
                 continue
             try:
                 q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # warmup is best-effort; the timed run will surface errors
+            except Exception as e:
+                # Warmup is best-effort, but a failure here usually
+                # means the timed run fails too — surface it (stderr;
+                # stdout stays the one JSON line).
+                print(f"WARN warmup {name} failed: {e}", file=sys.stderr)
             spark.catalog.clearCache()
 
+    raw: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
             continue
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # Queries cache intermediates (shingles, centroids); drop them
-        # so later queries measure their own work, not heap pressure
-        # from earlier ones.
-        spark.catalog.clearCache()
+        raw[name] = []
+        for _ in range(reps):
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            raw[name].append(round(time.time() - t0, 3))
+            # Queries cache intermediates (shingles, centroids); drop
+            # them so each rep (and later queries) measures its own
+            # work, not heap pressure from earlier ones.
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(raw[name]), 3)
 
     # Reference-scale graph build: 770 strains x 6000 features = 4.62M
     # feature nodes — the dataset behind BASELINE.md's ~2072 s Neo4j
@@ -94,23 +127,32 @@ def main() -> None:
     )
 
     f, c, comp = synthetic_feature_tables(spark, 770, 6000)
-    for src in (f, c, comp):
-        src.persist().count()
 
-    t0 = time.time()
-    g = build_graph(spark, f, c, comp, persist=True)
-    for tbl in (
-        "features",
-        "clusters",
-        "ortholog",
-        "feature_neighbour",
-        "cluster_neighbour",
-        "feature_in_strain",
-        "cluster_in_strain",
-        "strains",
-    ):
-        getattr(g, tbl).write.format("noop").mode("overwrite").save()
-    timings["graph_build_770x6000"] = round(time.time() - t0, 3)
+    raw["graph_build_770x6000"] = []
+    for _ in range(reps):
+        # Inputs re-persisted OUTSIDE the timer each rep (clearCache
+        # below drops them): the reference's 2072 s measures the build
+        # from already-prepared files.
+        for src in (f, c, comp):
+            src.persist().count()
+        t0 = time.time()
+        g = build_graph(spark, f, c, comp, persist=True)
+        for tbl in (
+            "features",
+            "clusters",
+            "ortholog",
+            "feature_neighbour",
+            "cluster_neighbour",
+            "feature_in_strain",
+            "cluster_in_strain",
+            "strains",
+        ):
+            getattr(g, tbl).write.format("noop").mode("overwrite").save()
+        raw["graph_build_770x6000"].append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+    timings["graph_build_770x6000"] = round(
+        statistics.median(raw["graph_build_770x6000"]), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -120,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": raw,
                 "sf": sf,
             }
         )
