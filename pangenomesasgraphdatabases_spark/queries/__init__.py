@@ -10,16 +10,19 @@ window each round to maximize CUMULATIVE driver-verified coverage:
 * round 3: the 6 r2 hash-fails first, then the never-checked
   sql-surface/analytics block, then the r3 additions (49/50 green;
   emb_pca_project is the one rows-only row);
-* round 4 (this order): the driver REGENERATED the testdata between
-  rounds (events.ts switched from TIMESTAMP(NANOS) to
-  TIMESTAMP(MICROS)), so the whole events/streaming layer is kept
-  in-window to re-prove it green on the new files; plus the three
-  queries that have never had a driver row (rollup_aggregation,
-  graph_components, graph_sssp_hops — the latter two also got a
-  lineage-truncation fix this round), the six queries NEW this round (incl. the foreachBatch
-  streaming top-k twin),
-  and the flagship/pangenome/ETL anchors.  Everything rotated out is
-  unchanged code with green rows from r1-r3.
+* round 4: events/streaming layer re-proven on regenerated testdata
+  (ts nanos->micros) + never-checked + new + anchors — 50/50 green,
+  the first fully green round;
+* round 5 (this order): OLDEST-FIRST rotation (VERDICT r4 #1).  After
+  r4 the staleness profile was 33 queries last-checked r1, 28 r2,
+  17 r3, 50 r4.  The r5 window = all 33 r1-checked + the 11
+  highest-value r2-checked (ANN/vector block + multimodal + exact
+  dedup) + the flagship + the three queries whose code changed this
+  round (triangle-count orientation fix, stream top-k timeout guard,
+  power-iteration refactor) + the two NEW queries (GenBank scan,
+  deflated PC2).  The 17 remaining r2-checked queries sit immediately
+  after the boundary, first in line for r6; everything rotated out is
+  unchanged code with green rows from r3-r4.
 """
 
 from __future__ import annotations
@@ -31,70 +34,80 @@ _LOADED = False
 PRIORITY = (
     # -- flagship first, always
     "gi_scan_flagship",
-    # -- events/streaming layer: testdata regenerated between r3 and
-    #    r4 (ts nanos->micros; data.normalize_events adapted) — every
-    #    consumer of events.ts re-proves green on the new files
-    "events_tumbling_counts",
-    "events_sliding_avg",
-    "events_sessionize",
-    "events_json_props",
-    "events_asof_join",
-    "events_funnel_depth",
-    "events_retention_cohorts",
-    "stream_tumbling_counts",
-    "stream_interval_join",
-    "stream_dedup_counts",
-    # -- never driver-checked before r4
-    "rollup_aggregation",
-    "graph_components",   # + r4 lineage-truncation fix
-    "graph_sssp_hops",    # + r4 lineage-truncation fix
-    # -- new in r4
-    "events_anomaly_mad",
-    "events_windowed_topk",
-    "graph_degree_stats",
-    "graph_kcore",
-    "pricing_summary_report",
-    # -- domain anchors (kept in-window so the flagship analyses stay
-    #    verified at HEAD)
-    "pangenome_cluster_neighbour",
-    "pangenome_strain_stats",
-    "pangenome_build_summary",
-    "pangenome_rgp",
-    "pangenome_gi_scan",
-    "etl_coords_scan",
-    "etl_repr_headers",
-    "etl_neighbour_edges",
-    # -- r3-green, re-affirmed (graph/embedding/curation block —
-    #    highest-value extensions, cheap checks)
-    "graph_pagerank",
-    "graph_triangle_count",
-    "emb_covariance",
-    "emb_semantic_dedup",
-    "emb_label_stats",
-    "doc_domain_mixture",
-    "doc_curation_verdicts",
-    "doc_importance_resample",
-    "doc_ngram_jaccard_dedup",
-    "doc_minhash_signature",
-    "doc_lsh_near_dup_pairs",
-    "dedup_increment_split",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "doc_gopher_repetition",
-    "events_incremental_rollup",
-    "events_rate_limited_sample",
-    "emb_rp_project",
-    "emb_power_iteration_pc1",
-    "stream_windowed_topk",
-    "zscore_vs_group",
-    "lineitem_zorder_layout",
-    "welch_ttest_pvalue",
+    # -- code changed this round: re-prove at HEAD
+    "graph_triangle_count",      # r5 orientation-key fix (struct order)
+    "stream_windowed_topk",      # r5 awaitTermination guard
+    "emb_power_iteration_pc1",   # r5 _pi_directions refactor
+    # -- NEW this round
+    "etl_genbank_scan",          # S8 GenBank source
+    "emb_power_iteration_pc2",   # deflated top-2, closes rows-only gap
+    # -- last checked r1 (staleness 4) — the entire block re-proves
+    "typed_projection",
+    "threshold_filter",
+    "contains_predicate",
+    "null_predicate_backfill",
+    "ratio_filter_on_aggregate",
+    "argmax_per_group",
+    "multiway_join_revenue",
+    "self_join_adjacent",
+    "anti_join_orderless",
+    "semi_join_active_parts",
+    "merge_distinct_membership",
+    "pairwise_distance_within_group",
+    "dice_similarity_pairs",
+    "jaccard_distance_pairs",
+    "interval_path_counts",
+    "lag_adjacency_edges",
+    "genome_ordinal",
+    "rolling_mean_min_periods",
+    "rolling_flag_runs",
+    "group_avg_stddev",
+    "group_min_mean_max",
+    "histogram_binned",
+    "having_core_selection",
+    "pivot_presence_matrix",
+    "scalar_aggregates",
+    "topk_parts_by_revenue",
+    "union_distinct",
+    "canonical_pair_dedup",
+    "replace_chains",
+    "header_field_extraction",
+    "substring_by_coordinates",
+    "gc_content_translate",
+    "welch_ttest_from_stats",
+    # -- last checked r2, highest-value 11 (ANN/vector + multimodal +
+    #    dedup anchors); the rest follow right after the boundary
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "emb_kmeans_ivf",
+    "emb_cosine_near_dup",
+    "media_feature_extract",
+    "doc_exact_dedup",
+    "doc_train_split",
+    "doc_tfidf_top_terms",
+    "group_collect_list",
     # ---- 50-query window boundary is here ----
-    # Green in r1-r3, unchanged; rotated out to make room for the r4
-    # block above — their prior rows stand.  emb_pca_project stays the
-    # one rows-only check (eigendecomposition has no SQL twin; pytest
-    # covers the math).
-    "emb_pca_project",
+    # Last checked r2 (17 remaining) — first in line for the r6 window.
+    "emb_norms",
+    "emb_quantize_int8",
+    "doc_token_count",
+    "doc_fingerprint",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_simhash",
+    "doc_clean_normalize",
+    "doc_pii_scrub",
+    "doc_winnow_fingerprints",
+    "doc_partial_overlap_pairs",
+    "doc_token_count_bpe",
+    "doc_rolling_fingerprint",
+    "collect_set_membership",
+    "split_filter_hof",
+    "array_transform_aggregate",
+    "array_intersect_union",
+    # Last checked r3.
     "doc_stratified_sample",
     "doc_vocab_coverage",
     "doc_source_cap",
@@ -112,49 +125,53 @@ PRIORITY = (
     "pivot_native",
     "sql_correlated_exists",
     "sql_scalar_subquery",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "emb_kmeans_ivf",
-    "ann_ivf_topk",
-    "emb_cosine_near_dup",
-    "doc_winnow_fingerprints",
-    "doc_partial_overlap_pairs",
-    # r1/r2-green, unchanged; order below only affects listing
-    "emb_norms",
-    "ann_lsh_buckets",
-    "emb_quantize_int8",
-    "doc_token_count",
-    "doc_fingerprint",
-    "doc_exact_dedup",
-    "doc_quality_score",
-    "doc_lang_id",
-    "doc_simhash",
-    "doc_clean_normalize",
-    "doc_pii_scrub",
-    "doc_train_split",
-    "media_feature_extract",
-    "doc_tfidf_top_terms",
-    "doc_token_count_bpe",
-    "doc_rolling_fingerprint",
-    "group_collect_list",
-    "collect_set_membership",
-    "split_filter_hof",
-    "array_transform_aggregate",
-    "array_intersect_union",
-    "welch_ttest_from_stats",
-    "dice_similarity_pairs",
-    "jaccard_distance_pairs",
-    "pairwise_distance_within_group",
-    "multiway_join_revenue",       # J1
-    "anti_join_orderless",         # J8
-    "self_join_adjacent",          # J2/J3
-    "null_predicate_backfill",     # P5/J4
-    "argmax_per_group",            # P11/O4
-    "rolling_mean_min_periods",    # W3
-    "histogram_binned",            # A8
-    "having_core_selection",       # A11
-    "topk_parts_by_revenue",       # O3
-    "union_distinct",              # U1/U2
+    # Last checked r4 (freshest) — module order fills in the rest.
+    "events_tumbling_counts",
+    "events_sliding_avg",
+    "events_sessionize",
+    "events_json_props",
+    "events_asof_join",
+    "events_funnel_depth",
+    "events_retention_cohorts",
+    "stream_tumbling_counts",
+    "stream_interval_join",
+    "stream_dedup_counts",
+    "rollup_aggregation",
+    "graph_components",
+    "graph_sssp_hops",
+    "events_anomaly_mad",
+    "events_windowed_topk",
+    "graph_degree_stats",
+    "graph_kcore",
+    "pricing_summary_report",
+    "pangenome_cluster_neighbour",
+    "pangenome_strain_stats",
+    "pangenome_build_summary",
+    "pangenome_rgp",
+    "pangenome_gi_scan",
+    "etl_coords_scan",
+    "etl_repr_headers",
+    "etl_neighbour_edges",
+    "graph_pagerank",
+    "emb_covariance",
+    "emb_semantic_dedup",
+    "emb_label_stats",
+    "doc_domain_mixture",
+    "doc_curation_verdicts",
+    "doc_importance_resample",
+    "doc_ngram_jaccard_dedup",
+    "doc_minhash_signature",
+    "doc_lsh_near_dup_pairs",
+    "dedup_increment_split",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "doc_gopher_repetition",
+    "events_incremental_rollup",
+    "events_rate_limited_sample",
+    "emb_rp_project",
+    "zscore_vs_group",
+    "lineitem_zorder_layout",
+    "welch_ttest_pvalue",
 )
 
 
