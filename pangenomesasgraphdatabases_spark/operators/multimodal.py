@@ -2,11 +2,19 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata
 structs.  The Spark-side machinery — schema, Arrow batch shape,
-mapInPandas partition flow — is real and tested; the actual media
-decode is STUBBED (this container ships no image/audio libraries):
-`decode_stub=True` produces deterministic fake features, and
-`decode_stub=False` raises NotImplementedError where a real decoder
-(PIL/librosa/ffmpeg) would plug in.
+mapInPandas partition flow — is real and tested.  Decode has two
+tiers (r5):
+
+* ``decode_stub=False`` runs REAL decoders for the library-free
+  formats (operators/media_codecs: uncompressed 24-bit BMP, binary
+  PPM, PCM WAV — pure struct/numpy), computing true image luminance /
+  audio RMS features and true nearest-neighbor resizes.  Compressed
+  formats (JPEG/PNG/MP4) still raise NotImplementedError at the
+  documented boundary where PIL/librosa/ffmpeg would plug in (this
+  container ships none).
+* ``decode_stub=True`` keeps the deterministic byte-level fake
+  features (the oracle-hashed `media_feature_extract` path, which
+  wraps text payloads — not decodable media).
 
 At 100 TB: binary payloads stay columnar in parquet, metadata columns
 support predicate pushdown (filter by media_type/width without
@@ -56,25 +64,55 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _real_feat(media_type: str, payload: bytes) -> float:
+    """True decoded feature: mean Rec.601 luminance for images, RMS
+    amplitude (int16 units) for audio.  Raises NotImplementedError for
+    formats that need an external library."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        IMAGE_DECODERS,
+        decode_wav,
+        luminance_mean,
+    )
+
+    if media_type in IMAGE_DECODERS:
+        return luminance_mean(IMAGE_DECODERS[media_type](payload))
+    if media_type == "audio/wav":
+        samples, _rate = decode_wav(payload)
+        return float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+    raise NotImplementedError(
+        f"no library-free decoder for {media_type!r}; JPEG/PNG/MP4 need "
+        "PIL/librosa/ffmpeg (stub boundary)"
+    )
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
-    batches; one pandas frame per partition slice)."""
+    batches; one pandas frame per partition slice).  decode_stub=False
+    REALLY decodes BMP/PPM/WAV (media_codecs) — feat_mean is then the
+    true luminance/RMS; n_bytes/checksum stay byte-level either way."""
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg; "
-                    "container ships none (stub boundary)"
-                )
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
             checksum = payloads.map(
                 lambda b: sum(b[:64]) if b is not None else 0
             )
-            feat = payloads.map(
-                lambda b: (sum(b[:256]) / max(len(b[:256]), 1)) if b else 0.0
-            )
+            if decode_stub:
+                feat = payloads.map(
+                    lambda b: (sum(b[:256]) / max(len(b[:256]), 1))
+                    if b
+                    else 0.0
+                )
+            else:
+                feat = pd.Series(
+                    [
+                        _real_feat(mt, b) if b else 0.0
+                        for mt, b in zip(pdf["media_type"], payloads)
+                    ]
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -94,35 +132,59 @@ def resize_media(
     target_height: int,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Resize pass over binary payloads (mapInPandas).  With the stub
-    decoder the output payload is a deterministic resample of the input
-    bytes to target_width*target_height length (stride-sampled, zero-
-    padded) — the Arrow batch flow, schema, and metadata update are the
-    real machinery; a production deployment swaps the body for
-    PIL/ffmpeg (decode_stub=False raises at the same boundary as
-    extract_features)."""
+    """Resize pass over binary payloads (mapInPandas).
+    decode_stub=False REALLY resizes BMP/PPM images: decode ->
+    nearest-neighbor resample -> re-encode in the same format
+    (media_codecs); unsupported formats raise at the documented
+    boundary.  With the stub the output payload is a deterministic
+    byte resample to target_width*target_height length
+    (stride-sampled, zero-padded) — Arrow batch flow, schema, and
+    metadata update are the same real machinery either way."""
     n_out = target_width * target_height
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not decode_stub:
+        from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+            IMAGE_DECODERS,
+            IMAGE_ENCODERS,
+            resize_nearest,
+        )
+
+        def real_resize(media_type, b):
+            if b is None or len(b) == 0:
+                return b
+            if media_type not in IMAGE_DECODERS:
                 raise NotImplementedError(
-                    "real media resize requires PIL/ffmpeg; "
-                    "container ships none (stub boundary)"
+                    f"no library-free resize for {media_type!r} "
+                    "(PIL/ffmpeg boundary)"
                 )
+            arr = IMAGE_DECODERS[media_type](b)
+            return IMAGE_ENCODERS[media_type](
+                resize_nearest(arr, target_width, target_height)
+            )
 
-            def stub_resize(b):
-                if b is None or len(b) == 0:
-                    return bytes(n_out)
-                stride = max(len(b) // n_out, 1)
-                out = bytes(b[::stride][:n_out])
-                return out + bytes(n_out - len(out))
+        def stub_resize(b):
+            if b is None or len(b) == 0:
+                return bytes(n_out)
+            stride = max(len(b) // n_out, 1)
+            out = bytes(b[::stride][:n_out])
+            return out + bytes(n_out - len(out))
 
+        for pdf in batches:
+            if decode_stub:
+                payload = pdf["payload"].map(stub_resize)
+            else:
+                payload = pd.Series(
+                    [
+                        real_resize(mt, b)
+                        for mt, b in zip(pdf["media_type"], pdf["payload"])
+                    ],
+                    dtype="object",
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "payload": pdf["payload"].map(stub_resize),
+                    "payload": payload,
                     "meta_width": target_width,
                     "meta_height": target_height,
                 }
