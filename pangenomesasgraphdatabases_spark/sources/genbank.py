@@ -215,6 +215,31 @@ def read_genbank_sequences(spark: SparkSession, path: str) -> DataFrame:
     return _wholetext(spark, path).mapInPandas(parse, _SEQ_SCHEMA)
 
 
+def clean_genbank(
+    spark: SparkSession, path: str, ignore_overlapping: bool = True
+) -> DataFrame:
+    """End-to-end ``.gbk`` -> cleaned feature table: the reference's
+    first two pipeline stages composed (bp_genbank2gff3.pl then
+    convert_refseq_to_prokka_gff.py, readme.md:29-41) without the GFF
+    file round-trip.
+
+    Applies the exact S9 semantics (gff.clean_parsed_features — the
+    same shared core clean_gff runs) over GenBank-parsed features and
+    ORIGIN scaffolds: CDS/tRNA/pseudogene whitelist, CDS length%3 /
+    min-length / premature-stop checks against the genomic substring,
+    per-record overlap cascade and ID de-duplication.  Output columns
+    match gff.clean_gff exactly."""
+    from pangenomesasgraphdatabases_spark.sources.gff import (
+        clean_parsed_features,
+    )
+
+    return clean_parsed_features(
+        read_genbank_features(spark, path),
+        read_genbank_sequences(spark, path),
+        ignore_overlapping,
+    )
+
+
 def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
     """GFF-parity projection (the bp_genbank2gff3.pl output contract):
     exactly gff.GFF_COLS, so downstream consumers of

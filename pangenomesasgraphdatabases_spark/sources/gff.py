@@ -122,9 +122,22 @@ _CLEAN_SCHEMA = T.StructType(
 
 def clean_gff(spark: SparkSession, path: str, ignore_overlapping: bool = True) -> DataFrame:
     """Full S9 pipeline -> cleaned feature table."""
-    feats = parse_gff_features(spark, path)
-    scaffolds = read_gff_scaffolds(spark, path)
+    return clean_parsed_features(
+        parse_gff_features(spark, path),
+        read_gff_scaffolds(spark, path),
+        ignore_overlapping,
+    )
 
+
+def clean_parsed_features(
+    feats: DataFrame, scaffolds: DataFrame, ignore_overlapping: bool = True
+) -> DataFrame:
+    """S9 cleanup core over already-parsed frames — shared by the GFF
+    path (clean_gff) and the GenBank path (genbank.clean_genbank):
+    type whitelist, CDS sequence checks against the scaffold
+    substring, then the per-file sequential overlap cascade + ID
+    numbering.  `feats` needs (file, seqid, feature_type, start, end,
+    strand, feature_id); `scaffolds` (file, seqid, seq)."""
     # P10 type whitelist (:67) — substring containment as in reference.
     keep = (
         F.col("feature_type").contains("CDS")

@@ -109,3 +109,41 @@ def test_genbank_scan_oracle_local(spark):
     got = sorted(tuple(r) for r in q.fn(spark, "/root/testdata/sf0.001").collect())
     want = sorted(tuple(r) for r in duckdb.sql(q.oracle).fetchall())
     assert got == want
+
+
+def test_clean_genbank_matches_clean_gff(spark, tmp_path):
+    """End-to-end .gbk cleanup equals the S9 GFF cleanup on equivalent
+    hand-built GFF files (same features, same scaffolds) — the two
+    entry formats converge to identical cleaned feature tables."""
+    from collections import defaultdict
+
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        clean_genbank,
+        read_genbank_features,
+        read_genbank_sequences,
+    )
+    from pangenomesasgraphdatabases_spark.sources.gff import clean_gff
+
+    feats = [
+        r
+        for r in read_genbank_features(spark, f"{GBK}/*.gbk").collect()
+        if r.feature_type != "source"
+    ]
+    seqs = read_genbank_sequences(spark, f"{GBK}/*.gbk").collect()
+    by_file = defaultdict(list)
+    for r in feats:
+        by_file[r.file].append(
+            f"{r.seqid}\tgenbank\t{r.feature_type}\t{r.start}\t{r.end}"
+            f"\t.\t{r.strand}\t.\tID={r.feature_id}"
+        )
+    fasta = defaultdict(list)
+    for s in seqs:
+        fasta[s.file].append(f">{s.seqid}\n{s.seq}")
+    for file, lines in by_file.items():
+        (tmp_path / f"{file}.gff").write_text(
+            "\n".join(lines) + "\n##FASTA\n" + "\n".join(fasta[file]) + "\n"
+        )
+
+    got = sorted(tuple(r) for r in clean_genbank(spark, f"{GBK}/*.gbk").collect())
+    want = sorted(tuple(r) for r in clean_gff(spark, str(tmp_path / "*.gff")).collect())
+    assert got == want and len(got) > 0
