@@ -540,20 +540,35 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def canonical_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4: symmetric-pair canonicalization ((min,max) anchor tuples,
-    RGPs.ipynb:1464-1474) — co-occurring part pairs within orders."""
+    RGPs.ipynb:1464-1474) — co-occurring part pairs within orders.
+
+    Shape (r5): pairs live WITHIN an order, so instead of the
+    self-join (which shuffles the input twice — once per side), one
+    groupBy collects each order's sorted part list and the pair
+    expansion is per-row array surgery (transform over a slice —
+    map-side, no join).  Group width is bounded by lines-per-order
+    (~7 in TPC-H-shaped data), so the quadratic expansion is a
+    per-row constant, and the only shuffles are the input groupBy and
+    the pair aggregation.  Sorted positions i<j replicate the
+    row-pair multiplicity of the a.p < b.p self-join exactly
+    (duplicate partkeys pair by position; equal values filtered)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.size("ps") - i - 1),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
     )
     return (
-        pairs.select(
-            F.least(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("part_lo"),
-            F.greatest(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("part_hi"),
-        )
+        ps.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.lo").alias("part_lo"), F.col("p.hi").alias("part_hi"))
+        .filter(F.col("part_lo") < F.col("part_hi"))
         .groupBy("part_lo", "part_hi")
         .agg(F.count(F.lit(1)).alias("n_cooccur"))
         .filter(F.col("n_cooccur") >= 2)
