@@ -147,3 +147,78 @@ def test_clean_genbank_matches_clean_gff(spark, tmp_path):
     got = sorted(tuple(r) for r in clean_genbank(spark, f"{GBK}/*.gbk").collect())
     want = sorted(tuple(r) for r in clean_gff(spark, str(tmp_path / "*.gff")).collect())
     assert got == want and len(got) > 0
+
+
+def test_genbank_parser_property_roundtrip(spark, tmp_path):
+    """Property: render random feature tables as GenBank text, parse,
+    recover every field exactly (coords, strand, envelope of join
+    locations, locus_tag, product, pseudo mapping)."""
+    import random
+
+    rng = random.Random(42)
+    base = "acgt"
+    records, want = [], set()
+    for rec_i in range(6):
+        seqid = f"ctg{rec_i}"
+        length = rng.randint(60, 300)
+        feats = []
+        for f_i in range(rng.randint(1, 8)):
+            tag = f"L{rec_i}_{f_i:04d}"
+            a = rng.randint(1, length - 10)
+            b = rng.randint(a + 1, length)
+            kind = rng.choice(["CDS", "tRNA", "gene_pseudo", "rRNA"])
+            if rng.random() < 0.4:
+                mid1 = rng.randint(a, b - 1)
+                mid2 = rng.randint(mid1 + 1, b)
+                loc = f"join({a}..{mid1},{mid2}..{b})"
+            else:
+                loc = f"{a}..{b}"
+            strand = "+"
+            if rng.random() < 0.5:
+                loc = f"complement({loc})"
+                strand = "-"
+            product = rng.choice(
+                ["hypothetical protein", "ABC transporter", "tRNA-Gly", ""]
+            )
+            key = "gene" if kind == "gene_pseudo" else kind
+            lines = [f"     {key:<16}{loc}", f'                     /locus_tag="{tag}"']
+            if product:
+                lines.append(f'                     /product="{product}"')
+            if kind == "gene_pseudo":
+                lines.append("                     /pseudo")
+            feats.append("\n".join(lines))
+            ftype = "pseudogene" if kind == "gene_pseudo" else kind
+            want.add((seqid, ftype, a, b, strand, tag, product))
+        seq = "".join(rng.choice(base) for _ in range(length))
+        origin = ["ORIGIN"]
+        for i in range(0, length, 60):
+            chunk = seq[i : i + 60]
+            groups = " ".join(chunk[j : j + 10] for j in range(0, len(chunk), 10))
+            origin.append(f"{i + 1:>9} {groups}")
+        records.append(
+            f"LOCUS       {seqid}             {length} bp    DNA     linear\n"
+            "FEATURES             Location/Qualifiers\n"
+            + "\n".join(feats)
+            + "\n"
+            + "\n".join(origin)
+            + "\n//"
+        )
+
+    (tmp_path / "rand.gbk").write_text("\n".join(records) + "\n")
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        read_genbank_features,
+        read_genbank_sequences,
+    )
+
+    got = {
+        (r.seqid, r.feature_type, r.start, r.end, r.strand, r.feature_id, r.product)
+        for r in read_genbank_features(spark, str(tmp_path / "rand.gbk")).collect()
+    }
+    assert got == want
+    lens = {
+        (r.seqid, len(r.seq))
+        for r in read_genbank_sequences(spark, str(tmp_path / "rand.gbk")).collect()
+    }
+    assert lens == {(f"ctg{i}", l) for i, l in
+                    [(r, len([c for c in records[r].split("ORIGIN")[1] if c in "acgt"]))
+                     for r in range(6)]}
