@@ -150,3 +150,47 @@ def test_driver_window_is_fully_oracle_backed():
     oracles = entry_mod.oracle_sql()
     missing = [n for n in q[:50] if n not in oracles]
     assert not missing, f"first-50 window has oracle-less queries: {missing}"
+
+
+def test_pair_dedup_join_free(spark):
+    """canonical_pair_dedup (r5 rewrite): the within-order pair
+    expansion is array surgery, not a self-join — the plan must have
+    no join and exactly two shuffles (input groupBy + pair agg)."""
+    from pangenomesasgraphdatabases_spark.queries.relational import (
+        canonical_pair_dedup,
+    )
+
+    plan = _plan(canonical_pair_dedup(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_power_iteration_projection_map_only(spark):
+    """pc1/pc2 projections are literal-vector dot products: after the
+    covariance reduction (collected driver-side), the projection scan
+    itself must be join-free with zero exchanges."""
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        _lit_proj,
+        _pi_directions,
+        emb_covariance,
+    )
+
+    v, u = _pi_directions(emb_covariance(spark, SF).collect())
+    e = table(spark, SF, "embeddings")
+    proj = e.select("vec_id", _lit_proj(v).alias("pc1"), _lit_proj(u).alias("pc2"))
+    plan = _plan(proj)
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_genbank_scan_single_stage(spark):
+    """The GenBank scan is one mapInPandas over wholetext rows — no
+    join, no shuffle."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        read_genbank_features,
+    )
+
+    plan = _plan(
+        read_genbank_features(spark, "/root/repo/fixtures_data/genbank/*.gbk")
+    )
+    assert "Join" not in plan and "Exchange hashpartitioning" not in plan
