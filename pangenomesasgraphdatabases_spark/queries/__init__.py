@@ -87,9 +87,10 @@ PRIORITY = (
     "doc_exact_dedup",
     "doc_train_split",
     "doc_tfidf_top_terms",
-    "group_collect_list",
+    "stream_static_enrich",  # NEW r5: stream-static broadcast join
     # ---- 50-query window boundary is here ----
-    # Last checked r2 (17 remaining) — first in line for the r6 window.
+    # Last checked r2 (18 remaining) — first in line for the r6 window.
+    "group_collect_list",
     "emb_norms",
     "emb_quantize_int8",
     "doc_token_count",

@@ -216,6 +216,42 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+               AS total_value_micro
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+    tags=("ext-stream", "streaming", "stream-static-join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of the stream-static broadcast
+    enrichment (streaming/events.static_enriched_stream): the events
+    stream joins the customer dimension per micro-batch (stateless —
+    no watermark or join state) and aggregates per (segment, type)
+    with exact integer sums; with the file as one micro-batch the
+    complete-mode store equals the batch join+agg, so the batch SQL
+    oracles it (extension)."""
+    from pangenomesasgraphdatabases_spark.data import table as _table
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        static_enriched_stream,
+    )
+
+    return run_available_now(
+        static_enriched_stream(
+            events_stream(spark, sf_dir), _table(spark, sf_dir, "customer")
+        ),
+        spark,
+    )
+
+
+@register(
     "stream_interval_join",
     oracle="""
     SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,

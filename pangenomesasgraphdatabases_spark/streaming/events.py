@@ -121,6 +121,34 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def static_enriched_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: the canonical serving-layer
+    pattern of joining a stream against a slowly-changing dimension.
+    The static side is broadcast (no state, no watermark needed — a
+    stream-static inner join is stateless per micro-batch), then the
+    enriched stream aggregates per (segment, event_type) with exact
+    integer value sums.  Run in complete mode (unwindowed aggregate).
+
+    user ids map onto the customer dimension as c_custkey = user_id+1
+    (the testdata's user space is a prefix of the customer key space).
+    """
+    dim = customers.select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        events.join(broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+                "total_value_micro"
+            ),
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

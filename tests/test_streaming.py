@@ -230,3 +230,30 @@ def test_windowed_topk_stream_matches_batch(spark):
     got = ranked(3)
     want = events_windowed_topk(spark, SF)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static broadcast join: the streaming complete-mode
+    result equals the batch join+agg, and the static side is
+    broadcast in the micro-batch plan (checked on the batch twin of
+    the same composition)."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        stream_static_enrich,
+    )
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        static_enriched_stream,
+    )
+
+    got = stream_static_enrich(spark, SF)
+    want = static_enriched_stream(
+        table(spark, SF, "events"), table(spark, SF, "customer")
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # every event matches a customer (user space is a key-space prefix)
+    n_events = table(spark, SF, "events").count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n_events
+    plan = want._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
