@@ -150,6 +150,28 @@ def test_driver_window_is_fully_oracle_backed():
     oracles = entry_mod.oracle_sql()
     missing = [n for n in q[:50] if n not in oracles]
     assert not missing, f"first-50 window has oracle-less queries: {missing}"
+    # r5 invariant: EVERY registered query is oracle-backed (zero
+    # rows-only entries since the eigh PCA left the registry).
+    assert sorted(oracles) == sorted(q)
+
+
+def test_priority_list_is_total_and_duplicate_free():
+    """PRIORITY is the staleness-rotation ledger: it must enumerate
+    every registered query exactly once (a name missing from PRIORITY
+    falls to module order and silently escapes the rotation policy;
+    a duplicate would shift the 50-query window boundary)."""
+    from collections import Counter
+
+    from pangenomesasgraphdatabases_spark.queries import PRIORITY
+    from pangenomesasgraphdatabases_spark.queries.registry import all_queries
+
+    names = set(all_queries())
+    dupes = [n for n, c in Counter(PRIORITY).items() if c > 1]
+    assert not dupes, f"duplicate PRIORITY names: {dupes}"
+    assert set(PRIORITY) == names, (
+        f"PRIORITY out of sync: missing={sorted(names - set(PRIORITY))} "
+        f"unknown={sorted(set(PRIORITY) - names)}"
+    )
 
 
 def test_pair_dedup_join_free(spark):
