@@ -85,11 +85,12 @@ PRIORITY = (
     "emb_cosine_near_dup",
     "media_feature_extract",
     "doc_exact_dedup",
-    "doc_train_split",
     "doc_tfidf_top_terms",
     "stream_static_enrich",  # NEW r5: stream-static broadcast join
+    "emb_decontaminate",     # NEW r5: embedding-space decontamination
     # ---- 50-query window boundary is here ----
-    # Last checked r2 (18 remaining) — first in line for the r6 window.
+    # Last checked r2 (19 remaining) — first in line for the r6 window.
+    "doc_train_split",
     "group_collect_list",
     "emb_norms",
     "emb_quantize_int8",

@@ -295,6 +295,102 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-space benchmark decontamination: corpus vectors too close
+# to the held-out benchmark slice (label 9 in the testdata) are flagged.
+_DECON_BENCH_LABEL = 9
+_DECON_TAU = 0.4
+
+
+@register(
+    "emb_decontaminate",
+    oracle=f"""
+    WITH sv AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS s
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, CAST(sum(s[i] * s[i]) AS BIGINT) AS nrm
+        FROM sv, generate_series(1, {_DIM}) t(i)
+        GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT c.vec_id, CAST(sum(c.s[i] * b.s[i]) AS BIGINT) AS dot,
+               b.vec_id AS bid
+        FROM sv c
+        JOIN sv b ON b.label = {_DECON_BENCH_LABEL}
+                 AND c.label <> {_DECON_BENCH_LABEL},
+        generate_series(1, {_DIM}) t(i)
+        GROUP BY c.vec_id, b.vec_id
+    ),
+    best AS (
+        SELECT p.vec_id,
+               max(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(zc.nrm AS DOUBLE))
+                      * sqrt(CAST(zb.nrm AS DOUBLE)))) AS max_bench_cos
+        FROM pairs p
+        JOIN norms zc ON p.vec_id = zc.vec_id
+        JOIN norms zb ON p.bid = zb.vec_id
+        GROUP BY p.vec_id
+    )
+    SELECT c.vec_id, c.label, b.max_bench_cos,
+           b.max_bench_cos >= {_DECON_TAU} AS contaminated
+    FROM sv c JOIN best b ON c.vec_id = b.vec_id
+    """,
+    tags=("ext-vector", "decontamination", "broadcast"),
+)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space (extension): flag
+    corpus vectors whose cosine to any held-out benchmark vector
+    (label 9) reaches tau — the semantic complement of the n-gram
+    `doc_decontaminate` (paraphrased leakage that exact n-grams miss).
+
+    Scale shape: the benchmark side of this asymmetric join is always
+    small (an eval set), so it collects to literal int vectors and the
+    scan is MAP-ONLY — per corpus row a higher-order fold computes the
+    max cosine against the in-plan benchmark array; no join, no
+    shuffle, no candidate generation needed (cost = |corpus| x |bench|
+    multiply-adds, embarrassingly parallel).  Exact integer dot
+    products and norms make the doubles bit-identical to the oracle's.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    sv = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * _SCALE).cast("long")
+        ).alias("s"),
+    )
+    bench = [
+        (r["s"], sum(v * v for v in r["s"]))
+        for r in sv.filter(F.col("label") == _DECON_BENCH_LABEL).collect()
+    ]
+    dot_long = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    corpus = sv.filter(F.col("label") != _DECON_BENCH_LABEL).withColumn(
+        "nrm", dot_long(F.col("s"), F.col("s"))
+    )
+    cosines = [
+        dot_long(F.col("s"), F.array(*[F.lit(int(v)) for v in bs])).cast("double")
+        / (
+            F.sqrt(F.col("nrm").cast("double"))
+            * F.sqrt(F.lit(float(bn)).cast("double"))
+        )
+        for bs, bn in bench
+    ]
+    max_cos = F.greatest(*cosines) if len(cosines) > 1 else cosines[0]
+    return corpus.select(
+        "vec_id",
+        "label",
+        max_cos.alias("max_bench_cos"),
+        (max_cos >= F.lit(_DECON_TAU)).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dominant principal component via fixed-point power iteration — the
 # oracle-checkable counterpart of emb_pca_project.

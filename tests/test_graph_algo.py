@@ -382,3 +382,40 @@ def test_deflated_pc2_orthogonal_and_exact(spark):
     for _, row in got.iterrows():
         assert abs(row.pc1 - float(emb[row.vec_id] @ va)) < 1e-9
         assert abs(row.pc2 - float(emb[row.vec_id] @ ua)) < 1e-9
+
+
+def test_emb_decontaminate_matches_numpy_and_map_only(spark):
+    """Embedding decontamination: flags match a brute-force numpy
+    check, and the corpus scan is map-only (benchmark folded in as
+    literals — no join, no shuffle)."""
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        _DECON_BENCH_LABEL,
+        _DECON_TAU,
+        _SCALE,
+        emb_decontaminate,
+    )
+    from tests.test_plans import _plan
+
+    out = emb_decontaminate(spark, SF)
+    plan = _plan(out)
+    assert "Join" not in plan and "Exchange" not in plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    svecs = {
+        r.vec_id: (np.round(np.array(r.embedding, dtype=np.float64) * _SCALE), r.label)
+        for r in emb
+    }
+    bench = [v for v, lab in svecs.values() if lab == _DECON_BENCH_LABEL]
+    got = {r.vec_id: (r.contaminated, r.max_bench_cos) for r in out.collect()}
+    n_contam = 0
+    for vid, (v, lab) in svecs.items():
+        if lab == _DECON_BENCH_LABEL:
+            assert vid not in got
+            continue
+        best = max(
+            float(v @ b) / (np.linalg.norm(v) * np.linalg.norm(b)) for b in bench
+        )
+        assert abs(got[vid][1] - best) < 1e-9, vid
+        assert got[vid][0] == (got[vid][1] >= _DECON_TAU)
+        n_contam += int(got[vid][0])
+    assert n_contam >= 1  # planted near-dups make this non-vacuous
