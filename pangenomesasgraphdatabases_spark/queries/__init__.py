@@ -79,17 +79,19 @@ PRIORITY = (
     #    dedup anchors); the rest follow right after the boundary
     "ann_bruteforce_topk",
     "ann_lsh_topk",
-    "ann_lsh_buckets",
     "ann_ivf_topk",
     "emb_kmeans_ivf",
     "emb_cosine_near_dup",
     "media_feature_extract",
     "doc_exact_dedup",
-    "doc_tfidf_top_terms",
     "stream_static_enrich",  # NEW r5: stream-static broadcast join
     "emb_decontaminate",     # NEW r5: embedding-space decontamination
+    "emb_pq_codes",          # NEW r5: product-quantization encoding
+    "ann_pq_adc_topk",       # NEW r5: PQ asymmetric-distance search
     # ---- 50-query window boundary is here ----
-    # Last checked r2 (19 remaining) — first in line for the r6 window.
+    # Last checked r2 (21 remaining) — first in line for the r6 window.
+    "ann_lsh_buckets",
+    "doc_tfidf_top_terms",
     "doc_train_split",
     "group_collect_list",
     "emb_norms",

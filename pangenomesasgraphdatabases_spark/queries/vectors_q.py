@@ -719,6 +719,314 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization — the storage half of IVF-PQ, the canonical
+# billion-scale ANN index: each vector becomes _PQ_M sub-codes of
+# log2(_PQ_K) bits (here 8 x 4 bits = 4 bytes per 64-dim vector, a
+# 64x reduction over float32).  Each subspace trains its own tiny
+# k-means codebook (same init/iteration discipline as the IVF coarse
+# quantizer); search is asymmetric distance computation (ADC): the
+# raw query builds an _PQ_M x _PQ_K distance table against the
+# codebooks and every database vector's distance is a table lookup
+# sum — no decode, no full-vector math per candidate.
+
+_PQ_M = 8
+_PQ_SUBDIM = 8
+_PQ_K = 16
+
+
+def _pq_dist_sql(vexpr: str, lo: int, cent: str) -> str:
+    """Deterministic list-fold squared-L2 between an 8-dim slice of
+    ``vexpr`` (offset lo) and ``cent``.cvec — list_sum folds in list
+    order, matching Spark's F.aggregate left fold bit-for-bit."""
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), "
+        f"i -> ({vexpr}[{lo} + i] - {cent}.cvec[i])"
+        f" * ({vexpr}[{lo} + i] - {cent}.cvec[i])))"
+    )
+
+
+def _pq_sub_sql(s: int) -> str:
+    """CTE chain for subspace s: init codebook from the {_PQ_K} lowest
+    vec_ids, one exact-integer Lloyd update, final assignment a2_{s}."""
+    lo = s * _PQ_SUBDIM
+    return f"""
+    c0_{s} AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               list_slice(v, {lo + 1}, {lo + _PQ_SUBDIM}) AS cvec
+        FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {_PQ_K}) init
+    ),
+    d1_{s} AS (
+        SELECT ev.vec_id, c.cid, {_pq_dist_sql("ev.v", lo, "c")} AS dist
+        FROM ev, c0_{s} c
+    ),
+    a1_{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(dist, 6) ASC, cid ASC) AS rn
+            FROM d1_{s}
+        ) r WHERE rn = 1
+    ),
+    m1_{s} AS (
+        SELECT a.cid, i AS dim, sum(sv.s[{lo} + i]) AS ssum, count(*) AS n
+        FROM a1_{s} a JOIN sv ON a.vec_id = sv.vec_id,
+             generate_series(1, {_PQ_SUBDIM}) t(i)
+        GROUP BY a.cid, i
+    ),
+    cn1_{s} AS (
+        SELECT cid,
+               list(CAST(ssum AS DOUBLE) / (n * {_KM_SCALE}.0) ORDER BY dim)
+                   AS cvec
+        FROM m1_{s} GROUP BY cid
+    ),
+    c1_{s} AS (
+        SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+        FROM c0_{s} p LEFT JOIN cn1_{s} u ON p.cid = u.cid
+    ),
+    d2_{s} AS (
+        SELECT ev.vec_id, c.cid, {_pq_dist_sql("ev.v", lo, "c")} AS dist
+        FROM ev, c1_{s} c
+    ),
+    a2_{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(dist, 6) ASC, cid ASC) AS rn
+            FROM d2_{s}
+        ) r WHERE rn = 1
+    )"""
+
+
+_PQ_BASE_SQL = f"""
+    ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS s
+        FROM embeddings
+    )""" + "," + ",".join(_pq_sub_sql(s) for s in range(_PQ_M))
+
+_PQ_CODES_TAIL_SQL = (
+    "codes AS ("
+    + " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, cid FROM a2_{s}" for s in range(_PQ_M)
+    )
+    + ")"
+)
+
+
+def _pq_sub_frames(e: DataFrame, sub: int) -> tuple[DataFrame, DataFrame]:
+    """(ev_slice, sv_slice) for subspace `sub`: double and exact-int
+    8-dim views of the embedding column."""
+    lo = sub * _PQ_SUBDIM + 1
+    sl = F.slice("embedding", lo, _PQ_SUBDIM)
+    ev = e.select(
+        "vec_id", F.transform(sl, lambda x: x.cast("double")).alias("v")
+    )
+    sv = e.select(
+        "vec_id",
+        F.transform(
+            sl, lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long")
+        ).alias("s"),
+    )
+    return ev, sv
+
+
+def _pq_codebook(e: DataFrame, sub: int) -> tuple[DataFrame, DataFrame]:
+    """(ev_slice, trained 16-row codebook) for subspace `sub`: init =
+    the _PQ_K lowest vec_ids' slices (deterministic, same discipline
+    as the IVF init), one Lloyd round with exact-integer means."""
+    ev, sv = _pq_sub_frames(e, sub)
+    c0 = (
+        ev.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("v").alias("cvec"),
+        )
+    )
+    assigned = _km_assign(ev, c0)
+    means = (
+        assigned.join(sv, "vec_id")
+        .select("cid", F.posexplode("s"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum("col").cast("double")
+                / (F.count(F.lit(1)).cast("double") * _KM_SCALE)
+            ).alias("mean")
+        )
+    )
+    newc = means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda st: st["mean"],
+        ).alias("cvec")
+    )
+    c1 = (
+        c0.select("cid", F.col("cvec").alias("old"))
+        .join(newc, "cid", "left")
+        .select("cid", F.coalesce("cvec", "old").alias("cvec"))
+    )
+    return ev, c1
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH {_PQ_BASE_SQL},
+    {_PQ_CODES_TAIL_SQL}
+    SELECT vec_id,
+           array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ';')
+               AS pq_code
+    FROM codes GROUP BY vec_id
+    """,
+    tags=("ext-vector", "ann", "pq", "quantize"),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (extension): every vector becomes
+    8 sub-codes of 4 bits — 4 bytes instead of 256, the storage layer
+    of an IVF-PQ index at 100 TB.  Each subspace's codebook is a
+    16-centroid k-means (deterministic lowest-vec_id init + one
+    exact-integer Lloyd round, the IVF discipline), and the code is
+    the argmin assignment with the usual round(dist,6)/cid tie-break.
+
+    Scale shape: codebooks are 16x8 doubles per subspace (KB-sized at
+    any corpus scale) broadcast into map-side assignments; the
+    training aggregations shuffle only (cid, dim) cells.  The driver
+    hash pins all 8 codebooks end-to-end through the codes."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    parts = []
+    for sub in range(_PQ_M):
+        ev, cb = _pq_codebook(e, sub)
+        parts.append(
+            _km_assign(ev, cb).select(
+                "vec_id", F.lit(sub).alias("sub"), "cid"
+            )
+        )
+    codes = parts[0]
+    for p in parts[1:]:
+        codes = codes.unionByName(p)
+    return codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda st: st["cid"].cast("string"),
+            ),
+            ";",
+        ).alias("pq_code")
+    )
+
+
+_PQ_ADC_SUM = "0.0 + " + " + ".join(f"p{s}" for s in range(_PQ_M))
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_BASE_SQL},
+    {",".join(
+        f'''qd_{s} AS (
+        SELECT q.vec_id AS query_id, c.cid,
+               {_pq_dist_sql("q.v", s * _PQ_SUBDIM, "c")} AS pd
+        FROM ev q, c1_{s} c WHERE q.vec_id < 5
+    )''' for s in range(_PQ_M)
+    )},
+    ps AS ({" UNION ALL ".join(
+        f"SELECT qd.query_id, a.vec_id, {s} AS sub, qd.pd"
+        f" FROM a2_{s} a JOIN qd_{s} qd ON a.cid = qd.cid"
+        for s in range(_PQ_M)
+    )}),
+    adc AS (
+        SELECT query_id, vec_id AS neighbor_id, {_PQ_ADC_SUM} AS adc
+        FROM (
+            SELECT query_id, vec_id,
+                   {", ".join(
+                       f"max(CASE WHEN sub = {s} THEN pd END) AS p{s}"
+                       for s in range(_PQ_M)
+                   )}
+            FROM ps GROUP BY query_id, vec_id
+        ) piv
+        WHERE vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+        FROM adc
+    ) r WHERE rank <= 10
+    """,
+    tags=("ext-vector", "ann", "pq", "adc"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 (extension): the search half of
+    IVF-PQ.  Each raw query computes an 8x16 distance table against
+    the codebooks (128 doubles per query — KB-sized, broadcast), and
+    every database vector's approximate distance is the fixed-order
+    sum of 8 table lookups keyed by its sub-codes: per-candidate cost
+    is 8 lookups instead of 64 multiply-adds, and the candidate scan
+    never touches the raw vectors — the property that makes
+    billion-scale search memory-feasible.  Same query set and
+    tie-break discipline as ann_bruteforce_topk, so recall is
+    directly measurable (pytest)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    per_sub = []
+    for sub in range(_PQ_M):
+        ev, cb = _pq_codebook(e, sub)
+        cb = cb.cache()  # consumed by codes assignment AND query table
+        codes = _km_assign(ev, cb)
+        dtab = (
+            ev.filter(F.col("vec_id") < 5)
+            .crossJoin(F.broadcast(cb))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "cid",
+                _km_sq_dist(F.col("v"), F.col("cvec")).alias("pd"),
+            )
+        )
+        per_sub.append(
+            codes.join(F.broadcast(dtab), "cid").select(
+                "query_id",
+                "vec_id",
+                F.lit(sub).alias("sub"),
+                "pd",
+            )
+        )
+    ps = per_sub[0]
+    for p in per_sub[1:]:
+        ps = ps.unionByName(p)
+    piv = (
+        ps.groupBy("query_id", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("pd"))).alias(f"p{s}")
+                for s in range(_PQ_M)
+            ]
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc = F.lit(0.0)
+    for s in range(_PQ_M):
+        adc = adc + F.col(f"p{s}")
+    scored = piv.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 10
+    )
+
+
 @register(
     "emb_quantize_int8",
     oracle="""

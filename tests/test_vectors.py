@@ -158,3 +158,41 @@ def test_rp_projection_preserves_neighborhood_order(spark):
     # on this corpus is ~0.30 — positive correlation over 780 pairs is
     # the sanity property, not tight isometry.
     assert r > 0.2, f"projected distances decorrelated: r={r:.3f}"
+
+
+def test_pq_codes_shape_and_range(spark):
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        _PQ_K,
+        _PQ_M,
+        emb_pq_codes,
+    )
+
+    rows = emb_pq_codes(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n
+    for r in rows[:50]:
+        parts = r.pq_code.split(";")
+        assert len(parts) == _PQ_M
+        assert all(0 <= int(p) < _PQ_K for p in parts)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """ADC is lossy, but on the planted near-dup corpus the PQ top-10
+    must overlap the exact top-10 well above chance (10/499)."""
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        ann_bruteforce_topk,
+        ann_pq_adc_topk,
+    )
+
+    exact = {}
+    for r in ann_bruteforce_topk(spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ann_pq_adc_topk(spark, SF).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx) == set(exact)
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, recalls
