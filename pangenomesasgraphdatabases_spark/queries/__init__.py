@@ -81,15 +81,16 @@ PRIORITY = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_kmeans_ivf",
-    "emb_cosine_near_dup",
     "media_feature_extract",
     "doc_exact_dedup",
     "stream_static_enrich",  # NEW r5: stream-static broadcast join
     "emb_decontaminate",     # NEW r5: embedding-space decontamination
     "emb_pq_codes",          # NEW r5: product-quantization encoding
     "ann_pq_adc_topk",       # NEW r5: PQ asymmetric-distance search
+    "ann_ivfpq_topk",        # NEW r5: IVF-PQ composed index
     # ---- 50-query window boundary is here ----
-    # Last checked r2 (21 remaining) — first in line for the r6 window.
+    # Last checked r2 (22 remaining) — first in line for the r6 window.
+    "emb_cosine_near_dup",
     "ann_lsh_buckets",
     "doc_tfidf_top_terms",
     "doc_train_split",

@@ -1028,6 +1028,147 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_KM_CHAIN_SQL},{_km_assign_sql(_KM_ITERS + 1, f"c{_KM_ITERS}")},
+    {",".join(_pq_sub_sql(s) for s in range(_PQ_M))},
+    probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(dist, 6) ASC, cid ASC) AS rn
+            FROM (
+                SELECT ev.vec_id, c.cid,
+                       sum((ev.v[i] - c.cvec[i]) * (ev.v[i] - c.cvec[i])) AS dist
+                FROM ev, c{_KM_ITERS} c, generate_series(1, {_KM_DIM}) t(i)
+                WHERE ev.vec_id < 5
+                GROUP BY ev.vec_id, c.cid
+            ) d
+        ) r WHERE rn <= {_KM_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN a{_KM_ITERS + 1} a ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id
+    ),
+    {",".join(
+        f'''qd_{s} AS (
+        SELECT q.vec_id AS query_id, c.cid,
+               {_pq_dist_sql("q.v", s * _PQ_SUBDIM, "c")} AS pd
+        FROM ev q, c1_{s} c WHERE q.vec_id < 5
+    )''' for s in range(_PQ_M)
+    )},
+    ps AS ({" UNION ALL ".join(
+        f"SELECT cd.query_id, cd.neighbor_id, {s} AS sub, qd.pd"
+        f" FROM cand cd"
+        f" JOIN a2_{s} a ON a.vec_id = cd.neighbor_id"
+        f" JOIN qd_{s} qd ON qd.cid = a.cid AND qd.query_id = cd.query_id"
+        for s in range(_PQ_M)
+    )}),
+    adc AS (
+        SELECT query_id, neighbor_id, {_PQ_ADC_SUM} AS adc
+        FROM (
+            SELECT query_id, neighbor_id,
+                   {", ".join(
+                       f"max(CASE WHEN sub = {s} THEN pd END) AS p{s}"
+                       for s in range(_PQ_M)
+                   )}
+            FROM ps GROUP BY query_id, neighbor_id
+        ) piv
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+        FROM adc
+    ) r WHERE rank <= 10
+    """,
+    tags=("ext-vector", "ann", "ivf", "pq"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed (extension): the full billion-scale index
+    shape.  Queries probe their _KM_NPROBE nearest coarse centroids,
+    candidates come ONLY from those inverted lists, and scoring is PQ
+    asymmetric distance (8 codebook-table lookups per candidate) —
+    per query the work is nprobe inverted lists x 8 lookups, never a
+    full scan and never raw candidate vectors.  The coarse quantizer,
+    codebooks, codes, probe, and ADC ranking are all the
+    independently-hashed components composed unchanged."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = _km_ev(e)
+    cent = _km_centroids(e).cache()
+    lists = _km_assign(ev, cent)
+    qscored = (
+        ev.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _KM_NPROBE)
+        .select("query_id", "cid")
+    )
+    cand = (
+        probe.join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+    per_sub = []
+    for sub in range(_PQ_M):
+        sev, cb = _pq_codebook(e, sub)
+        cb = cb.cache()
+        codes = _km_assign(sev, cb).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("cid")
+        )
+        dtab = (
+            sev.filter(F.col("vec_id") < 5)
+            .crossJoin(F.broadcast(cb))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "cid",
+                _km_sq_dist(F.col("v"), F.col("cvec")).alias("pd"),
+            )
+        )
+        per_sub.append(
+            cand.join(codes, "neighbor_id")
+            .join(F.broadcast(dtab), ["query_id", "cid"])
+            .select(
+                "query_id", "neighbor_id", F.lit(sub).alias("sub"), "pd"
+            )
+        )
+    ps = per_sub[0]
+    for p in per_sub[1:]:
+        ps = ps.unionByName(p)
+    piv = ps.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("pd"))).alias(f"p{s}")
+            for s in range(_PQ_M)
+        ]
+    )
+    adc = F.lit(0.0)
+    for s in range(_PQ_M):
+        adc = adc + F.col(f"p{s}")
+    scored = piv.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 10
+    )
+
+
+@register(
     "emb_quantize_int8",
     oracle="""
     WITH ev AS (

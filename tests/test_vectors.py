@@ -196,3 +196,24 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.3, recalls
+
+
+def test_ivfpq_composition_recall(spark):
+    """IVF-PQ candidates come only from probed inverted lists, so its
+    top-10 is a subset-ranked view of the ADC scores restricted to the
+    IVF candidate set; recall vs the exact baseline stays well above
+    chance."""
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        ann_bruteforce_topk,
+        ann_ivfpq_topk,
+    )
+
+    exact = {}
+    for r in ann_bruteforce_topk(spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ann_ivfpq_topk(spark, SF).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)
+    recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
