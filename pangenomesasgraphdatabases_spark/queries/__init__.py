@@ -89,7 +89,9 @@ PRIORITY = (
     "ann_pq_adc_topk",       # NEW r5: PQ asymmetric-distance search
     "ann_ivfpq_topk",        # NEW r5: IVF-PQ composed index
     # ---- 50-query window boundary is here ----
-    # Last checked r2 (22 remaining) — first in line for the r6 window.
+    # NEW r5, queued for the r6 window (locally oracle-verified).
+    "events_cms_counts",
+    # Last checked r2 (22 remaining) — next in line for the r6 window.
     "emb_cosine_near_dup",
     "ann_lsh_buckets",
     "doc_tfidf_top_terms",

@@ -666,3 +666,92 @@ def events_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("user_id", "day", "event_id", "event_type", "rn")
     )
+
+
+# Count-Min Sketch: depth 4 md5-derived hash rows, width 128 cells —
+# the mergeable frequency-sketch complement of the HLL distinct-count
+# extension (approx_distinct_extension).
+_CMS_D = 4
+_CMS_W = 128
+
+
+def _cms_cell(seed: str):
+    """Deterministic cell index from the shared md5 idiom (identical
+    bytes in both engines): first 7 hex chars as int, mod width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col("user_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _CMS_W
+
+
+@register(
+    "events_cms_counts",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+    hashed AS (
+        {" UNION ALL ".join(
+            f'''SELECT uid, {r} AS r,
+               CAST(('0x' || substr(md5('cms{r}' || uid), 1, 7)) AS BIGINT)
+                   % {_CMS_W} AS cell
+            FROM ev''' for r in range(_CMS_D)
+        )}
+    ),
+    sketch AS (
+        SELECT r, cell, CAST(count(*) AS BIGINT) AS n_cell
+        FROM hashed GROUP BY r, cell
+    ),
+    exact AS (
+        SELECT uid, CAST(count(*) AS BIGINT) AS exact_n
+        FROM ev GROUP BY uid
+    ),
+    ucells AS (
+        SELECT DISTINCT uid, r, cell FROM hashed
+    ),
+    est AS (
+        SELECT u.uid, min(s.n_cell) AS est_n
+        FROM ucells u JOIN sketch s ON u.r = s.r AND u.cell = s.cell
+        GROUP BY u.uid
+    )
+    SELECT CAST(e.uid AS BIGINT) AS user_id, e.exact_n, m.est_n,
+           m.est_n >= e.exact_n AS never_undercounts,
+           m.est_n - e.exact_n AS overcount
+    FROM exact e JOIN est m ON e.uid = m.uid
+    """,
+    tags=("ext-events", "sketch", "cms"),
+)
+def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch per-user frequency estimation (extension),
+    verified against exact counts in the same result: a 4x128 integer
+    sketch (mergeable across partitions/batches — each cell is a SUM,
+    so partial sketches combine by addition, the same algebra as the
+    incremental rollup), the point query = min over the 4 hashed
+    cells, and the CMS guarantee est >= exact surfaced as a
+    driver-hashed boolean column (`never_undercounts` must be
+    uniformly true).  All integer math over the md5 idiom both engines
+    share — hash-exact, no tolerance."""
+    e = table(spark, sf_dir, "events").select("user_id")
+    hashed = None
+    for r in range(_CMS_D):
+        part = e.select(
+            "user_id", F.lit(r).alias("r"), _cms_cell(f"cms{r}").alias("cell")
+        )
+        hashed = part if hashed is None else hashed.unionByName(part)
+    sketch = hashed.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    ucells = hashed.distinct()
+    est = (
+        ucells.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("n_cell").alias("est_n"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("never_undercounts"),
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )

@@ -257,3 +257,24 @@ def test_stream_static_enrich_matches_batch(spark):
     assert got.agg(F.sum("n_events")).collect()[0][0] == n_events
     plan = want._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_never_undercounts_and_collides(spark):
+    """CMS point queries must never undercount (min over hashed cells
+    bounds the true count from above) and the 128-cell width against
+    150 users guarantees at least one collision (overcount > 0), so
+    the invariant column is non-vacuous."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_cms_counts,
+    )
+
+    sf = "/root/testdata/sf0.01"  # enough users to force a collision
+    out = events_cms_counts(spark, sf).cache()
+    assert out.filter(~F.col("never_undercounts")).isEmpty()
+    assert out.filter(F.col("overcount") > 0).count() >= 1
+    # Total exact mass equals the event count.
+    n = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert out.agg(F.sum("exact_n")).collect()[0][0] == n
+    spark.catalog.clearCache()
