@@ -91,6 +91,7 @@ PRIORITY = (
     # ---- 50-query window boundary is here ----
     # NEW r5, queued for the r6 window (locally oracle-verified).
     "events_cms_counts",
+    "doc_segment_dedup",
     # Last checked r2 (22 remaining) — next in line for the r6 window.
     "emb_cosine_near_dup",
     "ann_lsh_buckets",

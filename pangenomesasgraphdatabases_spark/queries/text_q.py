@@ -1368,3 +1368,101 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# Segment-level exact dedup: fixed 20-word segments stand in for the
+# lines/paragraphs that C4/RefinedWeb-style pipelines deduplicate
+# ACROSS the whole corpus (boilerplate removal finer than whole-doc
+# dedup, coarser than n-gram overlap).
+_SEG_WORDS = 20
+
+
+@register(
+    "doc_segment_dedup",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    idxs AS (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / {_SEG_WORDS}.0) AS BIGINT)))
+                   AS seg_idx
+        FROM words
+    ),
+    segs AS (
+        SELECT doc_id, seg_idx,
+               array_to_string(
+                   list_slice(ws, seg_idx * {_SEG_WORDS} + 1,
+                              seg_idx * {_SEG_WORDS} + {_SEG_WORDS}), ' ')
+                   AS seg
+        FROM idxs
+    ),
+    owner AS (
+        SELECT seg, min(doc_id * 1000000 + seg_idx) AS first_key
+        FROM segs GROUP BY seg
+    ),
+    flagged AS (
+        SELECT s.doc_id, s.seg_idx, s.seg,
+               (s.doc_id * 1000000 + s.seg_idx) = o.first_key AS keep
+        FROM segs s JOIN owner o ON s.seg = o.seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           md5(coalesce(array_to_string(list(seg ORDER BY seg_idx)
+                   FILTER (WHERE keep), ' '), '')) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("ext-text", "dedup", "segment"),
+)
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (extension): every
+    20-word segment that already occurred earlier in the corpus (by
+    (doc_id, seg_idx) order) is dropped, and each document is
+    reassembled from its surviving segments — the C4/RefinedWeb
+    line-dedup pass generalized to fixed segments.  seg_idx < 1e6 per
+    doc, so the (doc_id, seg_idx) order packs exactly as
+    doc_id*1e6+seg_idx on BOTH sides (a bounded index, unlike the r5
+    triangle-count lesson about unbounded ids).
+
+    Scale shape: one shuffle on segment text for the first-owner
+    group, one map-side re-join, one per-doc reassembly group — the
+    segment frame is ~n_docs x segs/doc rows of short strings, and no
+    all-pairs anything.  Output hashes the reassembled text so the
+    driver compare stays row-sized."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    n_segs = F.ceil(F.size("ws") / float(_SEG_WORDS)).cast("int")
+    segs = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.struct(
+                    i.alias("seg_idx"),
+                    F.array_join(
+                        F.slice("ws", i * _SEG_WORDS + 1, _SEG_WORDS), " "
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    key = F.col("doc_id") * 1_000_000 + F.col("seg_idx")
+    owner = segs.groupBy("seg").agg(F.min(key).alias("first_key"))
+    flagged = segs.join(owner, "seg").select(
+        "doc_id", "seg_idx", "seg", (key == F.col("first_key")).alias("keep")
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+            )
+        ),
+        lambda st: st["seg"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("clean_md5"),
+    )

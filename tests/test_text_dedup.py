@@ -397,3 +397,47 @@ def test_corpus_fits_oracle_position_cap(spark):
     ).first()
     assert mx.chars < ORACLE_MAX_POS, "doc chars exceed oracle series cap"
     assert mx.toks < ORACLE_MAX_POS, "doc tokens exceed oracle series cap"
+
+
+def test_segment_dedup_invariants(spark):
+    """Corpus-wide segment dedup: total kept equals the number of
+    distinct segments in the corpus (each distinct segment survives
+    exactly once), bounds hold per doc, and the first document keeps
+    exactly its within-doc-distinct segments (nothing earlier exists
+    to shadow it)."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _SEG_WORDS,
+        doc_segment_dedup,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    out = doc_segment_dedup(spark, SF).cache()
+    assert out.filter(
+        (F.col("n_kept") < 0) | (F.col("n_kept") > F.col("n_segs"))
+    ).isEmpty()
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    seen: set[str] = set()
+    total_distinct = 0
+    first_doc = min(r.doc_id for r in docs)
+    first_distinct = 0
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        ws = r.text.strip().split(" ")
+        local = set()
+        for i in range(0, len(ws), _SEG_WORDS):
+            seg = " ".join(ws[i : i + _SEG_WORDS])
+            if seg not in seen:
+                seen.add(seg)
+                total_distinct += 1
+            if r.doc_id == first_doc:
+                local.add(seg)
+        if r.doc_id == first_doc:
+            first_distinct = len(local)
+    got_total = out.agg(F.sum("n_kept")).collect()[0][0]
+    assert got_total == total_distinct
+    assert out.filter(F.col("doc_id") == first_doc).collect()[0].n_kept == first_distinct
+    # The planted near-dup corpus makes dedup non-vacuous.
+    assert got_total < out.agg(F.sum("n_segs")).collect()[0][0]
+    spark.catalog.clearCache()
