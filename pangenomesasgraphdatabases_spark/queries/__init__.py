@@ -15,14 +15,17 @@ window each round to maximize CUMULATIVE driver-verified coverage:
   the first fully green round;
 * round 5 (this order): OLDEST-FIRST rotation (VERDICT r4 #1).  After
   r4 the staleness profile was 33 queries last-checked r1, 28 r2,
-  17 r3, 50 r4.  The r5 window = all 33 r1-checked + the 11
-  highest-value r2-checked (ANN/vector block + multimodal + exact
-  dedup) + the flagship + the three queries whose code changed this
-  round (triangle-count orientation fix, stream top-k timeout guard,
-  power-iteration refactor) + the two NEW queries (GenBank scan,
-  deflated PC2).  The 17 remaining r2-checked queries sit immediately
-  after the boundary, first in line for r6; everything rotated out is
-  unchanged code with green rows from r3-r4.
+  17 r3, 50 r4.  The r5 window = all 33 r1-checked + 6 high-value
+  r2-checked (ANN anchors, multimodal, exact dedup) + the flagship +
+  the three queries whose code changed this round (triangle-count
+  orientation fix, stream top-k timeout guard, power-iteration
+  refactor) + the SEVEN queries new this round (GenBank scan,
+  deflated PC2, stream-static enrich, embedding decontamination, PQ
+  codes, PQ-ADC search, IVF-PQ composed).  Two late r5 additions
+  (CMS counts, segment dedup) queue right after the boundary with
+  the 22 remaining r2-checked queries — first in line for r6;
+  everything rotated out is unchanged code with green rows from
+  r2-r4, re-proven locally by a full check_oracle run at HEAD.
 """
 
 from __future__ import annotations
