@@ -299,6 +299,9 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the held-out benchmark slice (label 9 in the testdata) are flagged.
 _DECON_BENCH_LABEL = 9
 _DECON_TAU = 0.4
+# Above this benchmark size the literal-fold plan's expression tree
+# (|bench| x 64 nodes) costs more than the broadcast join it avoids.
+_DECON_LIT_MAX = 100
 
 
 @register(
@@ -346,14 +349,22 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label 9) reaches tau — the semantic complement of the n-gram
     `doc_decontaminate` (paraphrased leakage that exact n-grams miss).
 
-    Scale shape: the benchmark side of this asymmetric join is always
-    small (an eval set), so it collects to literal int vectors and the
-    scan is MAP-ONLY — per corpus row a higher-order fold computes the
-    max cosine against the in-plan benchmark array; no join, no
-    shuffle, no candidate generation needed (cost = |corpus| x |bench|
-    multiply-adds, embarrassingly parallel).  Exact integer dot
-    products and norms make the doubles bit-identical to the oracle's.
-    """
+    Scale shape, two tiers on |bench| (the corpus side is always a
+    single scan):
+
+    * small benchmark (<= _DECON_LIT_MAX vectors): collect to literal
+      int vectors — the scan is MAP-ONLY, a higher-order fold per row,
+      no join and no shuffle.  (The plan size grows with |bench|, so
+      this tier is gated: at ~500 literal vectors the generated
+      expression tree itself becomes the bottleneck.)
+    * larger benchmark: broadcast the benchmark frame and compute the
+      max per corpus row via crossJoin + groupBy max — |corpus| x
+      |bench| cosine rows, embarrassingly parallel, the canonical
+      shape for an asymmetric exhaustive comparison.
+
+    Both tiers produce bit-identical doubles (exact integer dot
+    products/norms; max is order-free), so the oracle hash is
+    tier-independent."""
     e = table(spark, sf_dir, "embeddings")
     sv = e.select(
         "vec_id",
@@ -362,32 +373,53 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: F.round(x.cast("double") * _SCALE).cast("long")
         ).alias("s"),
     )
-    bench = [
-        (r["s"], sum(v * v for v in r["s"]))
-        for r in sv.filter(F.col("label") == _DECON_BENCH_LABEL).collect()
-    ]
     dot_long = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    bench_df = sv.filter(F.col("label") == _DECON_BENCH_LABEL)
     corpus = sv.filter(F.col("label") != _DECON_BENCH_LABEL).withColumn(
         "nrm", dot_long(F.col("s"), F.col("s"))
     )
-    cosines = [
-        dot_long(F.col("s"), F.array(*[F.lit(int(v)) for v in bs])).cast("double")
-        / (
-            F.sqrt(F.col("nrm").cast("double"))
-            * F.sqrt(F.lit(float(bn)).cast("double"))
-        )
-        for bs, bn in bench
+    bench = [
+        (r["s"], sum(v * v for v in r["s"])) for r in bench_df.collect()
     ]
-    max_cos = F.greatest(*cosines) if len(cosines) > 1 else cosines[0]
-    return corpus.select(
+    if len(bench) <= _DECON_LIT_MAX:
+        cosines = [
+            dot_long(F.col("s"), F.array(*[F.lit(int(v)) for v in bs])).cast(
+                "double"
+            )
+            / (
+                F.sqrt(F.col("nrm").cast("double"))
+                * F.sqrt(F.lit(float(bn)).cast("double"))
+            )
+            for bs, bn in bench
+        ]
+        max_cos = F.greatest(*cosines) if len(cosines) > 1 else cosines[0]
+        scored = corpus.select(
+            "vec_id", "label", max_cos.alias("max_bench_cos")
+        )
+    else:
+        b = bench_df.select(
+            F.col("s").alias("bs"),
+            dot_long(F.col("s"), F.col("s")).alias("bnrm"),
+        )
+        cos = dot_long(F.col("s"), F.col("bs")).cast("double") / (
+            F.sqrt(F.col("nrm").cast("double"))
+            * F.sqrt(F.col("bnrm").cast("double"))
+        )
+        scored = (
+            corpus.crossJoin(F.broadcast(b))
+            .select("vec_id", "label", cos.alias("c"))
+            .groupBy("vec_id", "label")
+            .agg(F.max("c").alias("max_bench_cos"))
+        )
+    return scored.select(
         "vec_id",
         "label",
-        max_cos.alias("max_bench_cos"),
-        (max_cos >= F.lit(_DECON_TAU)).alias("contaminated"),
+        "max_bench_cos",
+        (F.col("max_bench_cos") >= F.lit(_DECON_TAU)).alias("contaminated"),
     )
 
 

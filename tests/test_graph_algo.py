@@ -419,3 +419,15 @@ def test_emb_decontaminate_matches_numpy_and_map_only(spark):
         assert got[vid][0] == (got[vid][1] >= _DECON_TAU)
         n_contam += int(got[vid][0])
     assert n_contam >= 1  # planted near-dups make this non-vacuous
+
+
+def test_emb_decontaminate_tiers_identical(spark, monkeypatch):
+    """The literal-fold tier and the broadcast-join tier must produce
+    bit-identical rows (exact integer operands; max is order-free) —
+    the tier gate is an execution choice, never a semantics choice."""
+    import pangenomesasgraphdatabases_spark.queries.emb_stats_q as M
+
+    lit = sorted(map(tuple, M.emb_decontaminate(spark, SF).collect()))
+    monkeypatch.setattr(M, "_DECON_LIT_MAX", 0)
+    bj = sorted(map(tuple, M.emb_decontaminate(spark, SF).collect()))
+    assert lit == bj
