@@ -819,41 +819,68 @@ _PQ_CODES_TAIL_SQL = (
 )
 
 
-def _pq_sub_frames(e: DataFrame, sub: int) -> tuple[DataFrame, DataFrame]:
-    """(ev_slice, sv_slice) for subspace `sub`: double and exact-int
-    8-dim views of the embedding column."""
-    lo = sub * _PQ_SUBDIM + 1
-    sl = F.slice("embedding", lo, _PQ_SUBDIM)
-    ev = e.select(
-        "vec_id", F.transform(sl, lambda x: x.cast("double")).alias("v")
-    )
-    sv = e.select(
+def _pq_sliced(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, v, s): all 8 subspace slices in ONE keyed frame
+    (double and exact-int views) — one lineage for the whole PQ
+    pipeline instead of 8 parallel DAG branches (the branched form was
+    scale-independent ~10s of pure plan/codegen overhead)."""
+    base = e.select(
         "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub"),
+        "embedding",
+    )
+    sl = F.slice("embedding", F.col("sub") * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+    return base.select(
+        "vec_id",
+        "sub",
+        F.transform(sl, lambda x: x.cast("double")).alias("v"),
         F.transform(
             sl, lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long")
         ).alias("s"),
     )
-    return ev, sv
 
 
-def _pq_codebook(e: DataFrame, sub: int) -> tuple[DataFrame, DataFrame]:
-    """(ev_slice, trained 16-row codebook) for subspace `sub`: init =
-    the _PQ_K lowest vec_ids' slices (deterministic, same discipline
-    as the IVF init), one Lloyd round with exact-integer means."""
-    ev, sv = _pq_sub_frames(e, sub)
-    c0 = (
-        ev.orderBy("vec_id")
+def _pq_assign(sl: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, sub, cid): per-subspace argmin against the keyed
+    codebook frame — same round(dist,6)/cid tie-break as _km_assign,
+    broadcast codebooks (8x16 rows at any scale)."""
+    scored = sl.join(F.broadcast(cent), "sub").select(
+        "vec_id",
+        "sub",
+        "cid",
+        F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+
+
+def _pq_codebooks(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sliced frame, trained codebooks (sub, cid, cvec)): init = the
+    _PQ_K lowest vec_ids' slices per subspace (deterministic, the IVF
+    init discipline), one Lloyd round with exact-integer means —
+    identical arithmetic to the per-subspace form, one DAG."""
+    sl = _pq_sliced(e)
+    ids16 = (
+        e.select("vec_id")
+        .orderBy("vec_id")
         .limit(_PQ_K)
         .select(
+            "vec_id",
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
-            F.col("v").alias("cvec"),
         )
     )
-    assigned = _km_assign(ev, c0)
+    c0 = sl.join(F.broadcast(ids16), "vec_id").select(
+        "sub", "cid", F.col("v").alias("cvec")
+    )
+    a1 = _pq_assign(sl, c0)
     means = (
-        assigned.join(sv, "vec_id")
-        .select("cid", F.posexplode("s"))
-        .groupBy("cid", "pos")
+        a1.join(sl.select("vec_id", "sub", "s"), ["vec_id", "sub"])
+        .select("sub", "cid", F.posexplode("s"))
+        .groupBy("sub", "cid", "pos")
         .agg(
             (
                 F.sum("col").cast("double")
@@ -861,18 +888,18 @@ def _pq_codebook(e: DataFrame, sub: int) -> tuple[DataFrame, DataFrame]:
             ).alias("mean")
         )
     )
-    newc = means.groupBy("cid").agg(
+    newc = means.groupBy("sub", "cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "mean"))),
             lambda st: st["mean"],
         ).alias("cvec")
     )
     c1 = (
-        c0.select("cid", F.col("cvec").alias("old"))
-        .join(newc, "cid", "left")
-        .select("cid", F.coalesce("cvec", "old").alias("cvec"))
+        c0.select("sub", "cid", F.col("cvec").alias("old"))
+        .join(newc, ["sub", "cid"], "left")
+        .select("sub", "cid", F.coalesce("cvec", "old").alias("cvec"))
     )
-    return ev, c1
+    return sl, c1
 
 
 @register(
@@ -897,20 +924,12 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: codebooks are 16x8 doubles per subspace (KB-sized at
     any corpus scale) broadcast into map-side assignments; the
-    training aggregations shuffle only (cid, dim) cells.  The driver
-    hash pins all 8 codebooks end-to-end through the codes."""
+    training aggregations shuffle only (sub, cid, dim) cells; all 8
+    subspaces ride one keyed lineage (not 8 DAG branches).  The
+    driver hash pins all 8 codebooks end-to-end through the codes."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    parts = []
-    for sub in range(_PQ_M):
-        ev, cb = _pq_codebook(e, sub)
-        parts.append(
-            _km_assign(ev, cb).select(
-                "vec_id", F.lit(sub).alias("sub"), "cid"
-            )
-        )
-    codes = parts[0]
-    for p in parts[1:]:
-        codes = codes.unionByName(p)
+    sl, cb = _pq_codebooks(e)
+    codes = _pq_assign(sl, cb)
     return codes.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -976,31 +995,22 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break discipline as ann_bruteforce_topk, so recall is
     directly measurable (pytest)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    per_sub = []
-    for sub in range(_PQ_M):
-        ev, cb = _pq_codebook(e, sub)
-        cb = cb.cache()  # consumed by codes assignment AND query table
-        codes = _km_assign(ev, cb)
-        dtab = (
-            ev.filter(F.col("vec_id") < 5)
-            .crossJoin(F.broadcast(cb))
-            .select(
-                F.col("vec_id").alias("query_id"),
-                "cid",
-                _km_sq_dist(F.col("v"), F.col("cvec")).alias("pd"),
-            )
+    sl, cb = _pq_codebooks(e)
+    cb = cb.cache()  # consumed by codes assignment AND query tables
+    codes = _pq_assign(sl, cb)
+    dtab = (
+        sl.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "cid",
+            _km_sq_dist(F.col("v"), F.col("cvec")).alias("pd"),
         )
-        per_sub.append(
-            codes.join(F.broadcast(dtab), "cid").select(
-                "query_id",
-                "vec_id",
-                F.lit(sub).alias("sub"),
-                "pd",
-            )
-        )
-    ps = per_sub[0]
-    for p in per_sub[1:]:
-        ps = ps.unionByName(p)
+    )
+    ps = codes.join(F.broadcast(dtab), ["sub", "cid"]).select(
+        "query_id", "vec_id", "sub", "pd"
+    )
     piv = (
         ps.groupBy("query_id", "vec_id")
         .agg(
@@ -1122,32 +1132,26 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    per_sub = []
-    for sub in range(_PQ_M):
-        sev, cb = _pq_codebook(e, sub)
-        cb = cb.cache()
-        codes = _km_assign(sev, cb).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("cid")
+    sl, cb = _pq_codebooks(e)
+    cb = cb.cache()
+    codes = _pq_assign(sl, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "cid"
+    )
+    dtab = (
+        sl.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "cid",
+            _km_sq_dist(F.col("v"), F.col("cvec")).alias("pd"),
         )
-        dtab = (
-            sev.filter(F.col("vec_id") < 5)
-            .crossJoin(F.broadcast(cb))
-            .select(
-                F.col("vec_id").alias("query_id"),
-                "cid",
-                _km_sq_dist(F.col("v"), F.col("cvec")).alias("pd"),
-            )
-        )
-        per_sub.append(
-            cand.join(codes, "neighbor_id")
-            .join(F.broadcast(dtab), ["query_id", "cid"])
-            .select(
-                "query_id", "neighbor_id", F.lit(sub).alias("sub"), "pd"
-            )
-        )
-    ps = per_sub[0]
-    for p in per_sub[1:]:
-        ps = ps.unionByName(p)
+    )
+    ps = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "cid"])
+        .select("query_id", "neighbor_id", "sub", "pd")
+    )
     piv = ps.groupBy("query_id", "neighbor_id").agg(
         *[
             F.max(F.when(F.col("sub") == s, F.col("pd"))).alias(f"p{s}")
