@@ -1398,12 +1398,12 @@ _SEG_WORDS = 20
         FROM idxs
     ),
     owner AS (
-        SELECT seg, min(doc_id * 1000000 + seg_idx) AS first_key
+        SELECT seg, min(ROW(doc_id, seg_idx)) AS first_key
         FROM segs GROUP BY seg
     ),
     flagged AS (
         SELECT s.doc_id, s.seg_idx, s.seg,
-               (s.doc_id * 1000000 + s.seg_idx) = o.first_key AS keep
+               ROW(s.doc_id, s.seg_idx) = o.first_key AS keep
         FROM segs s JOIN owner o ON s.seg = o.seg
     )
     SELECT doc_id,
@@ -1421,10 +1421,11 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-word segment that already occurred earlier in the corpus (by
     (doc_id, seg_idx) order) is dropped, and each document is
     reassembled from its surviving segments — the C4/RefinedWeb
-    line-dedup pass generalized to fixed segments.  seg_idx < 1e6 per
-    doc, so the (doc_id, seg_idx) order packs exactly as
-    doc_id*1e6+seg_idx on BOTH sides (a bounded index, unlike the r5
-    triangle-count lesson about unbounded ids).
+    line-dedup pass generalized to fixed segments.  The first-owner
+    order compares (doc_id, seg_idx) as a struct/row value on both
+    sides — no packed-key width assumption (the r5 triangle-count
+    lesson; a pathological 20M-word document would overflow a 1e6
+    packing).
 
     Scale shape: one shuffle on segment text for the first-owner
     group, one map-side re-join, one per-doc reassembly group — the
@@ -1448,7 +1449,7 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
-    key = F.col("doc_id") * 1_000_000 + F.col("seg_idx")
+    key = F.struct(F.col("doc_id").alias("d"), F.col("seg_idx").alias("i"))
     owner = segs.groupBy("seg").agg(F.min(key).alias("first_key"))
     flagged = segs.join(owner, "seg").select(
         "doc_id", "seg_idx", "seg", (key == F.col("first_key")).alias("keep")
