@@ -382,10 +382,12 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sv.filter(F.col("label") != _DECON_BENCH_LABEL).withColumn(
         "nrm", dot_long(F.col("s"), F.col("s"))
     )
-    bench = [
-        (r["s"], sum(v * v for v in r["s"])) for r in bench_df.collect()
-    ]
-    if len(bench) <= _DECON_LIT_MAX:
+    # Count before any collect: the tier decision must not itself
+    # pull an arbitrarily large benchmark to the driver.
+    if bench_df.count() <= _DECON_LIT_MAX:
+        bench = [
+            (r["s"], sum(v * v for v in r["s"])) for r in bench_df.collect()
+        ]
         cosines = [
             dot_long(F.col("s"), F.array(*[F.lit(int(v)) for v in bs])).cast(
                 "double"
