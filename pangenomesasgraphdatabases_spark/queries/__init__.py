@@ -95,6 +95,8 @@ PRIORITY = (
     # NEW r5, queued for the r6 window (locally oracle-verified).
     "events_cms_counts",
     "doc_segment_dedup",
+    "events_gap_fill",
+    "events_scd2_intervals",
     # Last checked r2 (22 remaining) — next in line for the r6 window.
     "emb_cosine_near_dup",
     "ann_lsh_buckets",

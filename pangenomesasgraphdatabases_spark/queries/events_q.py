@@ -755,3 +755,168 @@ def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_n") >= F.col("exact_n")).alias("never_undercounts"),
         (F.col("est_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH buckets AS (
+        SELECT event_type,
+               CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT)
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                   // count(*) AS avg_micro
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(bucket) AS lo, max(bucket) AS hi FROM buckets
+    ),
+    spine AS (
+        SELECT t.event_type, s.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(range(lo, hi + 900, 900)) AS bucket
+              FROM bounds) s
+    ),
+    joined AS (
+        SELECT sp.event_type, sp.bucket,
+               coalesce(b.n_events, 0) AS n_events,
+               b.avg_micro
+        FROM spine sp LEFT JOIN buckets b
+          ON sp.event_type = b.event_type AND sp.bucket = b.bucket
+    )
+    SELECT event_type, bucket, n_events,
+           last_value(avg_micro IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket) AS avg_micro_locf,
+           avg_micro IS NULL AS filled
+    FROM joined
+    """,
+    tags=("ext-events", "timeseries", "gap-fill"),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-spine gap filling with last-observation-carried-
+    forward (extension — the TimescaleDB `time_bucket_gapfill`/`locf`
+    shape): 15-minute buckets per event type, a generated spine over
+    the observed range, missing buckets joined in with zero counts,
+    and the per-type average carried forward over gaps (exact integer
+    micros — the LOCF is a copied value, never re-derived floating
+    point).
+
+    Scale shape: the spine is |types| x |buckets| rows (metadata-
+    sized, generated without a shuffle); the only shuffles are the
+    bucket aggregation and the per-type window, both keyed by
+    event_type — a 1000-executor run fills each type's series
+    independently."""
+    e = table(spark, sf_dir, "events")
+    bucket = (
+        F.floor(F.col("ts_ns") / F.lit(1_000_000_000) / F.lit(900)) * 900
+    ).cast("bigint")
+    buckets = (
+        e.select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div count(1)"
+            ).alias("avg_micro"),
+        )
+    )
+    lo_hi = buckets.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(lo_hi))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.lit(900))).alias("bucket"),
+        )
+    )
+    joined = spine.join(buckets, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_micro",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.last("avg_micro", ignorenulls=True).over(w).alias("avg_micro_locf"),
+        F.col("avg_micro").isNull().alias("filled"),
+    )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+               lag(CAST(round(value * 1000000) AS BIGINT)) OVER w AS prev_v
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+        SELECT user_id, value_micro, es, event_id
+        FROM ordered
+        WHERE prev_v IS NULL OR value_micro <> prev_v
+    ),
+    versions AS (
+        SELECT user_id, value_micro, es AS valid_from,
+               lead(es) OVER (PARTITION BY user_id
+                              ORDER BY es, event_id) AS valid_to
+        FROM starts
+    )
+    SELECT user_id, value_micro, valid_from,
+           coalesce(valid_to, CAST(9223372036854775807 AS BIGINT))
+               AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM versions
+    """,
+    tags=("ext-events", "scd2", "warehouse"),
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream
+    (extension — the warehouse MERGE pattern as one declarative pass):
+    per user, each run of equal purchase values collapses to one
+    version row with [valid_from, valid_to) epoch bounds; the open
+    version carries max-BIGINT and is_current.  Deterministic total
+    order (ts, event_id); exact integer values.
+
+    Scale shape: two windows over the same (user_id, ts) partitioning
+    — one shuffle total, no joins; the classic lag/lead interval
+    construction instead of the OLTP row-by-row MERGE."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+    es = (F.col("ts_ns") / F.lit(1_000_000_000)).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    ordered = e.select(
+        "user_id", vm.alias("value_micro"), es.alias("es"), "event_id"
+    ).withColumn("prev_v", F.lag("value_micro").over(w))
+    starts = ordered.filter(
+        F.col("prev_v").isNull() | (F.col("value_micro") != F.col("prev_v"))
+    )
+    versions = starts.select(
+        "user_id",
+        "value_micro",
+        F.col("es").alias("valid_from"),
+        F.lead("es").over(
+            Window.partitionBy("user_id").orderBy("es", "event_id")
+        ).alias("valid_to"),
+    )
+    return versions.select(
+        "user_id",
+        "value_micro",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(9223372036854775807)).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )

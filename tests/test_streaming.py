@@ -278,3 +278,59 @@ def test_cms_never_undercounts_and_collides(spark):
     n = spark.read.parquet(f"{sf}/events.parquet").count()
     assert out.agg(F.sum("exact_n")).collect()[0][0] == n
     spark.catalog.clearCache()
+
+
+def test_gap_fill_dense_spine_and_locf(spark):
+    """Gap filling: the spine is dense (every type x every 15-min
+    bucket in range), zero-event buckets are exactly the filled ones,
+    and LOCF equals the latest preceding observed average."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_gap_fill,
+    )
+
+    out = events_gap_fill(spark, SF).cache()
+    n_types = out.select("event_type").distinct().count()
+    lo, hi = out.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    n_buckets = (hi - lo) // 900 + 1
+    assert out.count() == n_types * n_buckets
+    assert out.filter(
+        (F.col("n_events") == 0) != F.col("filled")
+    ).isEmpty()
+    # LOCF correctness on one type, replayed in python.
+    rows = sorted(
+        out.filter(F.col("event_type") == "click").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(rows) == n_buckets
+    last = None
+    for r in rows:
+        if not r.filled:
+            last = r.avg_micro_locf
+        assert r.avg_micro_locf == last
+    spark.catalog.clearCache()
+
+
+def test_scd2_intervals_partition_time(spark):
+    """SCD2 versions per user: non-overlapping, contiguous at change
+    points, exactly one open (is_current) version per user, and
+    consecutive versions always change value."""
+    from collections import defaultdict
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_scd2_intervals,
+    )
+
+    by_user = defaultdict(list)
+    for r in events_scd2_intervals(spark, SF).collect():
+        by_user[r.user_id].append(r)
+    assert by_user
+    maxlong = 9223372036854775807
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current and rows[-1].valid_to == maxlong
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no overlap
+            assert a.value_micro != b.value_micro
