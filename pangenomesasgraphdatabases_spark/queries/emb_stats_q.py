@@ -384,7 +384,17 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Count before any collect: the tier decision must not itself
     # pull an arbitrarily large benchmark to the driver.
-    if bench_df.count() <= _DECON_LIT_MAX:
+    n_bench = bench_df.count()
+    if n_bench == 0:
+        # No held-out vectors: nothing can be contaminated.  An empty
+        # greatest()/crossJoin would otherwise raise or drop rows.
+        return corpus.select(
+            "vec_id",
+            "label",
+            F.lit(None).cast("double").alias("max_bench_cos"),
+            F.lit(False).alias("contaminated"),
+        )
+    if n_bench <= _DECON_LIT_MAX:
         bench = [
             (r["s"], sum(v * v for v in r["s"])) for r in bench_df.collect()
         ]

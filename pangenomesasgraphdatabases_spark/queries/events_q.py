@@ -139,9 +139,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extension; streaming twin = session_window in streaming/events.py).
     """
     e = table(spark, sf_dir, "events")
-    # Epoch seconds from the exact nanos column (sub-second ordering
-    # parity with DuckDB's TIMESTAMP_NS).
-    es = F.col("ts_ns") / 1e9
+    # Epoch seconds from the exact nanos column.  ts_ns (~1.7e18)
+    # exceeds double's 53-bit mantissa, so divide the exact integer
+    # micros instead — one IEEE division by 1e6, the same operation
+    # DuckDB's epoch(TIMESTAMP) performs, for bit-identical seconds.
+    es = F.expr("ts_ns div 1000") / F.lit(1_000_000.0)
     w = Window.partitionBy("user_id").orderBy("es", "event_id")
     marked = e.select("user_id", "event_id", es.alias("es")).withColumn(
         "new_session",
@@ -650,13 +652,14 @@ def events_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice only.  The streaming twin of this cap is
     applyInPandasWithState with a per-(user, day) counter."""
     e = table(spark, sf_dir, "events")
-    day = (F.col("ts_ns") / F.lit(1_000_000_000)).cast("bigint")
+    # Integer div end-to-end: ts_ns exceeds double precision, so a
+    # float division could shift a midnight-boundary event a day.
     e2 = e.select(
         "user_id",
         "event_id",
         "event_type",
         "ts",
-        F.floor(day / F.lit(86400)).cast("bigint").alias("day"),
+        F.expr("(ts_ns div 1000000000) div 86400").cast("bigint").alias("day"),
     )
     rn = F.row_number().over(
         Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
@@ -809,9 +812,10 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type — a 1000-executor run fills each type's series
     independently."""
     e = table(spark, sf_dir, "events")
-    bucket = (
-        F.floor(F.col("ts_ns") / F.lit(1_000_000_000) / F.lit(900)) * 900
-    ).cast("bigint")
+    # Exact integer bucketing: ts_ns is ~1.7e18, beyond double's 53-bit
+    # mantissa, so a float division could shift boundary events into the
+    # adjacent bucket.  `div` keeps the whole derivation in bigint.
+    bucket = F.expr("((ts_ns div 1000000000) div 900) * 900").cast("bigint")
     buckets = (
         e.select("event_type", bucket.alias("bucket"), "value")
         .groupBy("event_type", "bucket")
@@ -860,20 +864,20 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id,
                CAST(round(value * 1000000) AS BIGINT) AS value_micro,
-               CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es, ts, event_id,
                lag(CAST(round(value * 1000000) AS BIGINT)) OVER w AS prev_v
         FROM events WHERE event_type = 'purchase'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     starts AS (
-        SELECT user_id, value_micro, es, event_id
+        SELECT user_id, value_micro, es, ts, event_id
         FROM ordered
         WHERE prev_v IS NULL OR value_micro <> prev_v
     ),
     versions AS (
         SELECT user_id, value_micro, es AS valid_from,
                lead(es) OVER (PARTITION BY user_id
-                              ORDER BY es, event_id) AS valid_to
+                              ORDER BY ts, event_id) AS valid_to
         FROM starts
     )
     SELECT user_id, value_micro, valid_from,
@@ -897,10 +901,15 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction instead of the OLTP row-by-row MERGE."""
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     vm = F.round(F.col("value") * 1_000_000).cast("bigint")
-    es = (F.col("ts_ns") / F.lit(1_000_000_000)).cast("bigint")
-    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    # Windows order by the full-resolution ts_ns (the oracle orders by
+    # `ts`): two same-user changes within one second still sequence in
+    # event-time order; the truncated epoch second is only a *value*
+    # (valid_from/valid_to), never an ordering key.  `div` keeps the
+    # second derivation exact — ts_ns exceeds double precision.
+    es = F.expr("ts_ns div 1000000000")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     ordered = e.select(
-        "user_id", vm.alias("value_micro"), es.alias("es"), "event_id"
+        "user_id", vm.alias("value_micro"), es.alias("es"), "ts_ns", "event_id"
     ).withColumn("prev_v", F.lag("value_micro").over(w))
     starts = ordered.filter(
         F.col("prev_v").isNull() | (F.col("value_micro") != F.col("prev_v"))
@@ -910,7 +919,7 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_micro",
         F.col("es").alias("valid_from"),
         F.lead("es").over(
-            Window.partitionBy("user_id").orderBy("es", "event_id")
+            Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
         ).alias("valid_to"),
     )
     return versions.select(

@@ -271,7 +271,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     days = e.select(
         "user_id",
-        (F.col("ts_ns") / F.lit(1_000_000_000)).cast("bigint").alias("_sec"),
+        F.expr("ts_ns div 1000000000").alias("_sec"),
     ).select(
         "user_id", F.floor(F.col("_sec") / F.lit(86400)).cast("bigint").alias("day")
     ).distinct()

@@ -431,3 +431,19 @@ def test_emb_decontaminate_tiers_identical(spark, monkeypatch):
     monkeypatch.setattr(M, "_DECON_LIT_MAX", 0)
     bj = sorted(map(tuple, M.emb_decontaminate(spark, SF).collect()))
     assert lit == bj
+
+
+def test_emb_decontaminate_empty_benchmark(spark, tmp_path):
+    """With no benchmark vectors (no label-9 rows) the whole corpus is
+    returned unflagged with a null score — not an IndexError from an
+    empty literal fold and not a row-dropping empty crossJoin."""
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import (
+        emb_decontaminate,
+    )
+
+    src = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("label") != 9)
+    n = src.count()
+    src.write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = emb_decontaminate(spark, str(tmp_path)).collect()
+    assert len(out) == n
+    assert all(r.max_bench_cos is None and r.contaminated is False for r in out)
