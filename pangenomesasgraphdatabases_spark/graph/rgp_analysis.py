@@ -161,6 +161,15 @@ def insertion_dice_similarity(
     )
 
 
+# Hard limits of the driver-side exact algorithm: ~100 B/dict-entry
+# puts a 20k x avg-degree adjacency comfortably in driver memory; 2e6
+# collected pair rows is ~100 MB.  linkage_clusters_scalable clamps
+# caller-supplied gates to these so oversized requests fall back to the
+# distributed path instead of raising here.
+_EXACT_MAX_ITEMS = 20_000
+_EXACT_MAX_PAIRS = 2_000_000
+
+
 def complete_linkage_clusters(
     pair_distances: list[tuple[str, str, float]], threshold: float
 ) -> dict[str, int]:
@@ -181,9 +190,10 @@ def complete_linkage_clusters(
     affect pairs tied exactly at the threshold."""
     items = sorted({x for p in pair_distances for x in p[:2]})
     n = len(items)
-    if n > 20_000 or len(pair_distances) > 2_000_000:
+    if n > _EXACT_MAX_ITEMS or len(pair_distances) > _EXACT_MAX_PAIRS:
         raise ValueError(
-            "driver-side clustering gated to n<=20000 items / 2e6 pairs"
+            "driver-side clustering gated to "
+            f"n<={_EXACT_MAX_ITEMS} items / {_EXACT_MAX_PAIRS} pairs"
         )
     idx = {x: i for i, x in enumerate(items)}
     inf = float("inf")
@@ -269,8 +279,9 @@ def complete_linkage_clusters(
 def linkage_clusters_scalable(
     pair_distances: DataFrame,
     threshold: float,
-    exact_max_items: int = 20_000,
-    exact_max_pairs: int = 2_000_000,
+    exact_max_items: int = _EXACT_MAX_ITEMS,
+    exact_max_pairs: int = _EXACT_MAX_PAIRS,
+    exact_ids: bool = False,
 ) -> DataFrame:
     """F17 with a scale path (VERDICT r4 #4): cluster items from a
     pairwise-distance frame ``(item1, item2, dist)`` at ``threshold``.
@@ -290,31 +301,50 @@ def linkage_clusters_scalable(
     lexicographic-min member — a deterministic label under both paths.
     Node ids for the distributed path come from ``xxhash64(item)``
     (collision odds ~n^2/2^64; a collision could merge two clusters).
-    """
-    n_pairs = pair_distances.count()
-    spark = pair_distances.sparkSession
-    if n_pairs <= exact_max_pairs:
-        rows = [
-            (r[0], r[1], float(r[2]))
-            for r in pair_distances.select("item1", "item2", "dist").collect()
-        ]
-        items = {x for p in rows for x in p[:2]}
-        if len(items) <= exact_max_items:
-            labels = complete_linkage_clusters(rows, threshold)
-            rep: dict[int, str] = {}
-            for it, lab in labels.items():
-                rep[lab] = min(rep.get(lab, it), it)
-            return spark.createDataFrame(
-                [(it, rep[lab], False) for it, lab in labels.items()],
-                "item string, cluster string, approx boolean",
-            )
+    Pass ``exact_ids=True`` to assign collision-free ids instead
+    (``monotonically_increasing_id`` pinned by a localCheckpoint so
+    every branch of the plan sees the same assignment) — one extra
+    materialization, zero collision odds; the output labels are
+    unaffected either way because ``cluster`` is always the min item
+    STRING of the component, never the internal id.
 
+    Gate order (ADVICE r5): both gates — pair count AND distinct item
+    count — are evaluated with distributed counts BEFORE any collect,
+    so an input that fails the item gate never pays a driver-side
+    materialization it then discards.  Caller-supplied gates are
+    clamped to the exact algorithm's hard limits so oversized values
+    fall back to the distributed path instead of raising."""
+    exact_max_items = min(exact_max_items, _EXACT_MAX_ITEMS)
+    exact_max_pairs = min(exact_max_pairs, _EXACT_MAX_PAIRS)
+    spark = pair_distances.sparkSession
     all_items = (
         pair_distances.select(F.col("item1").alias("item"))
         .unionByName(pair_distances.select(F.col("item2").alias("item")))
         .distinct()
     )
-    ids = all_items.select("item", F.xxhash64("item").alias("nid"))
+    if (
+        pair_distances.count() <= exact_max_pairs
+        and all_items.count() <= exact_max_items
+    ):
+        rows = [
+            (r[0], r[1], float(r[2]))
+            for r in pair_distances.select("item1", "item2", "dist").collect()
+        ]
+        labels = complete_linkage_clusters(rows, threshold)
+        rep: dict[int, str] = {}
+        for it, lab in labels.items():
+            rep[lab] = min(rep.get(lab, it), it)
+        return spark.createDataFrame(
+            [(it, rep[lab], False) for it, lab in labels.items()],
+            "item string, cluster string, approx boolean",
+        )
+
+    if exact_ids:
+        ids = all_items.select(
+            "item", F.monotonically_increasing_id().alias("nid")
+        ).localCheckpoint(eager=True)
+    else:
+        ids = all_items.select("item", F.xxhash64("item").alias("nid"))
     close = pair_distances.filter(F.col("dist") <= F.lit(threshold))
     edges = (
         close.join(

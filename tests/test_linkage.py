@@ -157,6 +157,63 @@ def test_scalable_linkage_approx_past_gate(spark):
     assert all(len(comps) == 1 for comps in by_exact.values())
 
 
+def test_scalable_linkage_item_gate_before_collect(spark, monkeypatch):
+    """ADVICE r5: an input whose ITEM count fails the gate must route
+    to the distributed path without ever collecting the pair frame to
+    the driver — the gate decision itself is distributed counts only.
+    Also exercises gate clamping: the caller's oversized
+    exact_max_items is clamped to the hard limit and falls back
+    instead of raising ValueError from the inner exact algorithm."""
+    from pyspark.sql import DataFrame
+
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    n = 20_001  # chain: 20_000 pairs (inside pair gate), 20_001 items (past item gate)
+    pairs = [(f"z{i:05d}", f"z{i + 1:05d}", 0.1) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+
+    real_collect = DataFrame.collect
+
+    def spy_collect(self):
+        raise AssertionError("collect() reached the driver during gating")
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    try:
+        out_df = linkage_clusters_scalable(df, 0.5, exact_max_items=10**9)
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+    out = {r.item: (r.cluster, r.approx) for r in out_df.collect()}
+    assert len(out) == n
+    assert all(v[1] for v in out.values())  # distributed path ran
+    assert {v[0] for v in out.values()} == {"z00000"}  # one chain component
+
+
+def test_scalable_linkage_exact_ids_matches_hashed(spark):
+    """exact_ids=True (collision-free monotonic ids) must produce the
+    same partition as the default xxhash64 path."""
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    rng = random.Random(23)
+    items = [f"w{i}" for i in range(40)]
+    pairs = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if rng.random() < 0.2:
+                pairs.append((items[i], items[j], round(rng.random(), 3)))
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    t = 0.3
+    hashed = {r.item: r.cluster for r in
+              linkage_clusters_scalable(df, t, exact_max_pairs=0).collect()}
+    exact = {r.item: r.cluster for r in
+             linkage_clusters_scalable(
+                 df, t, exact_max_pairs=0, exact_ids=True).collect()}
+    assert hashed == exact  # cluster labels are min item strings — id-scheme free
+
+
 def test_dice_fanout_gate(spark, pangenome):
     from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
     from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
