@@ -38,6 +38,11 @@ HEADLINE = [
     "doc_ngram_jaccard_dedup",
     "events_sessionize",
     "pangenome_rgp",
+    # r6: heavy queries new in r5/r6 tracked from birth (VERDICT r5 #4)
+    "ann_ivfpq_topk",
+    "emb_pq_codes",
+    "doc_segment_dedup",
+    "events_gap_fill",
 ]
 
 
@@ -163,6 +168,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": raw,
+                # First-rep (cold) series, explicit: round-over-round
+                # claims should compare median-vs-median from r6 on,
+                # with rep1 available for honest cold-cost accounting
+                # (VERDICT r5 "What's wrong" #2).
+                "rep1": {n: v[0] for n, v in raw.items() if v},
                 "sf": sf,
             }
         )

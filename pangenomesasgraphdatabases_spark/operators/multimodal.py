@@ -193,6 +193,146 @@ def resize_media(
     return media.mapInPandas(proc, MEDIA_SCHEMA)
 
 
+def synthesize_media(ids: DataFrame) -> DataFrame:
+    """Deterministic fixture media from an integer id frame (column
+    ``media_id``): each id seeds a pixel/sample array by a fixed
+    integer recurrence and is encoded through the REAL encoders
+    (media_codecs) — BMP for ``id % 3 == 0``, P6 PPM for ``1``, PCM
+    WAV for ``2``.  The generators are pure integer arithmetic so an
+    SQL oracle can recompute every byte-level fact from the id alone:
+
+    * images: ``w = 8 + id % 9``, ``h = 6 + id % 7``, flat RGB value
+      ``v[k] = (id*31 + 7*k) % 256`` (row-major, interleaved);
+    * audio: ``ns = 64 + id % 101`` samples at 8 kHz,
+      ``s[k] = ((id*13 + 11*k) % 65536) - 32768``.
+
+    Runs executor-side in mapInPandas — the driver never sees a
+    payload; at scale this is the fixture-injection path a pipeline
+    uses to canary the decode stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+            encode_bmp,
+            encode_ppm,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            mids, mts, payloads, mws, mhs = [], [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                kind = mid % 3
+                if kind < 2:
+                    w, h = 8 + mid % 9, 6 + mid % 7
+                    k = np.arange(3 * w * h, dtype=np.int64)
+                    v = ((mid * 31 + 7 * k) % 256).astype(np.uint8)
+                    arr = v.reshape(h, w, 3)
+                    if kind == 0:
+                        mt, payload = "image/bmp", encode_bmp(arr)
+                    else:
+                        mt, payload = "image/x-portable-pixmap", encode_ppm(arr)
+                    mw, mh = w, h
+                else:
+                    ns = 64 + mid % 101
+                    k = np.arange(ns, dtype=np.int64)
+                    s = (((mid * 13 + 11 * k) % 65536) - 32768).astype(np.int16)
+                    mt, payload = "audio/wav", encode_wav(s, 8000)
+                    mw, mh = ns, 1
+                mids.append(mid)
+                mts.append(mt)
+                payloads.append(payload)
+                mws.append(mw)
+                mhs.append(mh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta_width": pd.Series(mws, dtype="int32"),
+                    "meta_height": pd.Series(mhs, dtype="int32"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+INT_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("pix_sum", T.LongType(), True),
+        T.StructField("lum_num", T.LongType(), True),
+    ]
+)
+
+
+def real_decode_integer_features(media: DataFrame) -> DataFrame:
+    """Decode payloads with the REAL library-free codecs and emit
+    exact-INTEGER features — the hash-checkable twin of
+    ``extract_features(decode_stub=False)`` (whose float luminance/RMS
+    would hash-diverge on summation order at the last ulp):
+
+    * images: ``pix_sum`` = sum of all decoded RGB bytes, ``lum_num``
+      = sum of the Rec.601 luma numerator ``299 R + 587 G + 114 B``
+      per pixel (milli-scaled, exact bigint);
+    * audio: ``pix_sum`` = sum of int16 samples, ``lum_num`` = signal
+      energy ``sum(s^2)``.
+
+    Any garbled byte in encode/decode (padding, BGR order, row flip,
+    header length) shifts the sums — a driver hash over this output
+    pins the whole real codec path.  Narrow mapInPandas, no shuffle."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+            IMAGE_DECODERS,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            n_bytes, sums, lums = [], [], []
+            for mt, b in zip(pdf["media_type"], pdf["payload"]):
+                n_bytes.append(len(b) if b is not None else 0)
+                if b is None:
+                    sums.append(0)
+                    lums.append(0)
+                elif mt in IMAGE_DECODERS:
+                    a = IMAGE_DECODERS[mt](b).astype(np.int64)
+                    sums.append(int(a.sum()))
+                    lums.append(
+                        int(
+                            (
+                                a[..., 0] * 299
+                                + a[..., 1] * 587
+                                + a[..., 2] * 114
+                            ).sum()
+                        )
+                    )
+                elif mt == "audio/wav":
+                    s = decode_wav(b)[0].astype(np.int64)
+                    sums.append(int(s.sum()))
+                    lums.append(int((s * s).sum()))
+                else:
+                    raise NotImplementedError(
+                        f"no library-free decoder for {mt!r}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                    "lum_num": pd.Series(lums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(proc, INT_FEATURE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1314,6 +1314,75 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_real_decode_features",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id, doc_id % 3 AS kind,
+               8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+               64 + doc_id % 101 AS ns
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    img AS (
+        SELECT i.media_id,
+               CASE WHEN i.kind = 0 THEN 'image/bmp'
+                    ELSE 'image/x-portable-pixmap' END AS media_type,
+               CAST(CASE WHEN i.kind = 0
+                    THEN 54 + i.h * (((3 * i.w + 3) // 4) * 4)
+                    ELSE length('P6' || chr(10) || i.w || ' ' || i.h
+                                || chr(10) || '255' || chr(10))
+                         + 3 * i.w * i.h
+               END AS INTEGER) AS n_bytes,
+               CAST(sum((i.media_id * 31 + 7 * g.k) % 256) AS BIGINT)
+                   AS pix_sum,
+               CAST(sum((CASE g.k % 3 WHEN 0 THEN 299 WHEN 1 THEN 587
+                         ELSE 114 END)
+                        * ((i.media_id * 31 + 7 * g.k) % 256)) AS BIGINT)
+                   AS lum_num
+        FROM ids i, generate_series(0, 575) g(k)
+        WHERE i.kind IN (0, 1) AND g.k < 3 * i.w * i.h
+        GROUP BY 1, 2, 3
+    ),
+    wav AS (
+        SELECT i.media_id, 'audio/wav' AS media_type,
+               CAST(44 + 2 * i.ns AS INTEGER) AS n_bytes,
+               CAST(sum(((i.media_id * 13 + 11 * g.k) % 65536) - 32768)
+                    AS BIGINT) AS pix_sum,
+               CAST(sum((((i.media_id * 13 + 11 * g.k) % 65536) - 32768)
+                        * (((i.media_id * 13 + 11 * g.k) % 65536) - 32768))
+                    AS BIGINT) AS lum_num
+        FROM ids i, generate_series(0, 164) g(k)
+        WHERE i.kind = 2 AND g.k < i.ns
+        GROUP BY 1, 2, 3
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM wav
+    """,
+    tags=("ext-multimodal",),
+)
+def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, driver-hashed (VERDICT r5 #2): every fifth
+    doc_id seeds a deterministic BMP / P6 PPM / PCM WAV payload,
+    encoded AND decoded executor-side through the real library-free
+    codecs (operators/media_codecs), then reduced to exact-integer
+    features (pixel sum, Rec.601 luma numerator, audio energy).  The
+    oracle recomputes the same integers from the seed arithmetic and
+    the format specs' header sizes — any garbled byte in either codec
+    direction (row padding, BGR order, bottom-up flip, RIFF chunk
+    layout) shifts a sum and fails the hash.  Unlike
+    `media_feature_extract` (byte-level stub over text payloads), this
+    row pins the decode_stub=False path."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        real_decode_integer_features,
+        synthesize_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return real_decode_integer_features(synthesize_media(ids))
+
+
+@register(
     "doc_tfidf_top_terms",
     oracle="""
     WITH toks AS (

@@ -154,3 +154,46 @@ def test_real_resize_bmp(spark):
     got = decode_bmp(bytes(out.payload))
     assert np.array_equal(got, resize_nearest(img, 2, 2))
     assert np.array_equal(got, img[::2, ::2])
+
+
+def test_synthesize_and_real_decode_integer_features(spark):
+    """synthesize_media encodes seeded arrays through the real codecs;
+    real_decode_integer_features decodes them back and the integer
+    sums match an independent python recomputation of the seed
+    recurrences — the full encode->decode->reduce loop, no stub."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        real_decode_integer_features,
+        synthesize_media,
+    )
+
+    mids = [0, 1, 2, 17, 100, 101, 102]
+    ids = spark.createDataFrame([(m,) for m in mids], "media_id long")
+    rows = {r.media_id: r for r in
+            real_decode_integer_features(synthesize_media(ids)).collect()}
+    assert set(rows) == set(mids)
+    for mid in mids:
+        kind = mid % 3
+        r = rows[mid]
+        if kind < 2:
+            w, h = 8 + mid % 9, 6 + mid % 7
+            k = np.arange(3 * w * h, dtype=np.int64)
+            v = (mid * 31 + 7 * k) % 256
+            assert r.pix_sum == int(v.sum())
+            coef = np.tile([299, 587, 114], w * h)
+            assert r.lum_num == int((coef * v).sum())
+            if kind == 0:
+                assert r.media_type == "image/bmp"
+                assert r.n_bytes == 54 + h * ((3 * w + 3) & ~3)
+            else:
+                assert r.media_type == "image/x-portable-pixmap"
+                assert r.n_bytes == len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+        else:
+            ns = 64 + mid % 101
+            k = np.arange(ns, dtype=np.int64)
+            s = ((mid * 13 + 11 * k) % 65536) - 32768
+            assert r.media_type == "audio/wav"
+            assert r.n_bytes == 44 + 2 * ns
+            assert r.pix_sum == int(s.sum())
+            assert r.lum_num == int((s * s).sum())
