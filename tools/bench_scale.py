@@ -1,0 +1,139 @@
+"""Self-scale bench: the heaviest queries at sf0.1 vs a self-made 10x
+scale point (VERDICT r5 #5 — one real 10x datapoint catches the
+driver-side or skew surprises that plan reading and sf0.1 hide).
+
+Runs each heavy sf-table query against /root/testdata/sf0.1 and
+.scale/sf1 (built by tools/gen_scale_data.py), and the graph-build +
+RGP pipeline at 770x6000 vs 770x60000 features, then prints one JSON
+line and rewrites SCALE.md.
+
+A scaling factor near the data ratio (10x) means linear data-parallel
+behavior; sublinear means fixed overheads still dominate at sf0.1;
+superlinear needs an explanation (pair blowup, skew, driver
+bottleneck) or a fix.
+
+Usage: python tools/bench_scale.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pangenomesasgraphdatabases_spark.queries.registry import all_queries
+from pangenomesasgraphdatabases_spark.session import get_spark
+
+SMALL = "/root/testdata/sf0.1"
+BIG = os.path.join(REPO, ".scale", "sf1")
+WARM = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "doc_ngram_jaccard_dedup",
+    "doc_lsh_near_dup_pairs",
+    "doc_segment_dedup",
+    "ann_ivfpq_topk",
+    "events_gap_fill",
+]
+
+GRAPH_SMALL = (770, 6_000)
+GRAPH_BIG = (770, 60_000)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_reps(fn, reps: int, clear) -> list[float]:
+    out = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        out.append(round(time.time() - t0, 3))
+        clear()
+    return out
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_spark("pangenome-scale-bench")
+    registry = all_queries()
+    clear = spark.catalog.clearCache
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        q = registry[name]
+        _force(q.fn(spark, WARM))  # codegen warmup
+        clear()
+        small = _time_reps(lambda: _force(q.fn(spark, SMALL)), reps, clear)
+        big = _time_reps(lambda: _force(q.fn(spark, BIG)), reps, clear)
+        s, b = statistics.median(small), statistics.median(big)
+        results[name] = {
+            "sf0_1_sec": s,
+            "sf1_sec": b,
+            "factor": round(b / s, 2),
+            "reps_small": small,
+            "reps_big": big,
+        }
+        print(f"{name}: {s:.2f}s -> {b:.2f}s ({b / s:.1f}x)", file=sys.stderr)
+
+    from pangenomesasgraphdatabases_spark.graph.build import build_graph
+    from pangenomesasgraphdatabases_spark.graph.fixtures import (
+        synthetic_feature_tables,
+    )
+    from pangenomesasgraphdatabases_spark.graph.rgp import find_rgps
+
+    def run_graph(n_strains: int, per_strain: int) -> tuple[float, float]:
+        f, c, comp = synthetic_feature_tables(spark, n_strains, per_strain)
+        for src in (f, c, comp):
+            src.persist().count()
+        t0 = time.time()
+        g = build_graph(spark, f, c, comp, persist=True)
+        for tbl in (
+            "features",
+            "clusters",
+            "ortholog",
+            "feature_neighbour",
+            "cluster_neighbour",
+            "feature_in_strain",
+            "cluster_in_strain",
+            "strains",
+        ):
+            _force(getattr(g, tbl))
+        t_build = round(time.time() - t0, 3)
+        t0 = time.time()
+        _force(find_rgps(g, n_strains=n_strains))
+        t_rgp = round(time.time() - t0, 3)
+        clear()
+        return t_build, t_rgp
+
+    sb, sr = run_graph(*GRAPH_SMALL)
+    bb, br = run_graph(*GRAPH_BIG)
+    ratio = GRAPH_BIG[1] / GRAPH_SMALL[1]
+    results["graph_build"] = {
+        "sf0_1_sec": sb,
+        "sf1_sec": bb,
+        "factor": round(bb / sb, 2),
+        "data_ratio": ratio,
+    }
+    results["rgp_pipeline"] = {
+        "sf0_1_sec": sr,
+        "sf1_sec": br,
+        "factor": round(br / sr, 2),
+        "data_ratio": ratio,
+    }
+    print(
+        f"graph build: {sb:.1f}s -> {bb:.1f}s; rgp: {sr:.1f}s -> {br:.1f}s",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({"metric": "scale_10x", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
