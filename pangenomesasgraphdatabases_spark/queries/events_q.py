@@ -742,10 +742,10 @@ def cms_counts(
     )
 
 
-@register(
-    "events_cms_counts",
-    oracle=f"""
-    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+# Shared CTE chain for the CMS oracles (events_cms_counts and
+# events_heavy_hitters build on the same sketch algebra).
+_CMS_ORACLE_CTES = f"""
+    ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
     hashed AS (
         {" UNION ALL ".join(
             f'''SELECT uid, {r} AS r,
@@ -769,7 +769,13 @@ def cms_counts(
         SELECT u.uid, min(s.n_cell) AS est_n
         FROM ucells u JOIN sketch s ON u.r = s.r AND u.cell = s.cell
         GROUP BY u.uid
-    )
+    )"""
+
+
+@register(
+    "events_cms_counts",
+    oracle=f"""
+    WITH {_CMS_ORACLE_CTES}
     SELECT CAST(e.uid AS BIGINT) AS user_id, e.exact_n, m.est_n,
            m.est_n >= e.exact_n AS never_undercounts,
            m.est_n - e.exact_n AS overcount
@@ -791,6 +797,53 @@ def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameterized API with the eps/delta sizing formula."""
     e = table(spark, sf_dir, "events").select("user_id")
     return cms_counts(e, "user_id", _CMS_D, _CMS_W)
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=f"""
+    WITH {_CMS_ORACLE_CTES},
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev)
+    SELECT CAST(e.uid AS BIGINT) AS user_id, e.exact_n, m.est_n,
+           CAST(t.n // 200 AS BIGINT) AS threshold_n,
+           m.est_n >= t.n // 200 AS is_heavy_est,
+           e.exact_n >= t.n // 200 AS is_heavy_exact,
+           (m.est_n >= t.n // 200) OR NOT (e.exact_n >= t.n // 200)
+               AS no_false_negative
+    FROM exact e JOIN est m ON e.uid = m.uid CROSS JOIN total t
+    """,
+    tags=("ext-events", "sketch", "heavy-hitters"),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitters from the Count-Min Sketch (extension — the
+    standard CMS application): a user is reported heavy when its
+    sketch estimate reaches phi * N (phi = 0.5%, integer threshold
+    ``N div 200``).  Because est >= exact, every TRUE heavy hitter is
+    reported (`no_false_negative` uniformly true — the one-sided CMS
+    guarantee, driver-hashed); false positives are keys whose
+    over-counted estimate crosses the bar, bounded by the eps = e/w
+    sketch error.  Exact counts ride along as the verification tier.
+
+    Scale shape: the d x w sketch and the scalar N both broadcast; the
+    candidate scan is the same one aggregation as `cms_counts` — at
+    100 TB you'd keep ONLY keys with est >= threshold (a filter on
+    this frame) and never compute exact_n; it is included here so the
+    guarantee itself is what the driver hashes."""
+    e = table(spark, sf_dir, "events").select("user_id")
+    counts = cms_counts(e, "user_id", _CMS_D, _CMS_W)
+    total = e.agg(F.count(F.lit(1)).alias("n"))
+    th = F.expr("n div 200")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        th.cast("bigint").alias("threshold_n"),
+        (F.col("est_n") >= th).alias("is_heavy_est"),
+        (F.col("exact_n") >= th).alias("is_heavy_exact"),
+        (
+            (F.col("est_n") >= th) | ~(F.col("exact_n") >= th)
+        ).alias("no_false_negative"),
+    )
 
 
 @register(

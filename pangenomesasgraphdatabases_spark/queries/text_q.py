@@ -1536,3 +1536,192 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.md5(F.array_join(kept_sorted, " ")).alias("clean_md5"),
     )
+
+
+# Bloom-filter incremental dedup: the scale path for "is this new
+# document already in the corpus?" when the corpus fingerprint set is
+# too big to join against per batch.  m bits / k hash functions over
+# the md5 idiom both engines share — the filter itself is SQL algebra,
+# so the one-sided guarantee is driver-hashable like the CMS.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_bit(j: int, fp):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{j}"), fp)), 1, 7), 16, 10)
+        .cast("long")
+        % _BLOOM_M
+    )
+
+
+@register(
+    "doc_bloom_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    corpus AS (SELECT fp FROM d WHERE doc_id % 10 < 8),
+    batch AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 >= 8),
+    bits AS (
+        SELECT DISTINCT j, bit FROM (
+            {" UNION ALL ".join(
+                f'''SELECT {j} AS j,
+                   CAST(('0x' || substr(md5('bf{j}' || fp), 1, 7)) AS BIGINT)
+                       % {_BLOOM_M} AS bit
+                FROM corpus''' for j in range(_BLOOM_K)
+            )}
+        )
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f'''SELECT doc_id, {j} AS j,
+               CAST(('0x' || substr(md5('bf{j}' || fp), 1, 7)) AS BIGINT)
+                   % {_BLOOM_M} AS bit
+            FROM batch''' for j in range(_BLOOM_K)
+        )}
+    ),
+    hit AS (
+        SELECT p.doc_id, count(b.bit) = {_BLOOM_K} AS bloom_hit
+        FROM probes p LEFT JOIN bits b ON p.j = b.j AND p.bit = b.bit
+        GROUP BY p.doc_id
+    ),
+    exact AS (
+        SELECT b.doc_id,
+               max(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) = 1
+                   AS is_dup_exact
+        FROM batch b
+        LEFT JOIN (SELECT DISTINCT fp FROM corpus) c USING (fp)
+        GROUP BY b.doc_id
+    )
+    SELECT h.doc_id, h.bloom_hit, e.is_dup_exact,
+           h.bloom_hit OR NOT e.is_dup_exact AS no_false_negative,
+           h.bloom_hit AND NOT e.is_dup_exact AS false_positive
+    FROM hit h JOIN exact e USING (doc_id)
+    """,
+    tags=("ext-text", "dedup", "bloom"),
+)
+def doc_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-screen for incremental corpus dedup
+    (extension — the constant-space complement of
+    `dedup_increment_split`'s exact anti-join): the corpus (doc_id
+    % 10 < 8) is folded into an m=4096-bit / k=3 filter; each batch
+    doc (% 10 >= 8) probes its k bits and is flagged `bloom_hit` only
+    when ALL are set.  The Bloom guarantee — no false negatives, every
+    true duplicate is flagged — is a driver-hashed boolean column;
+    false positives are the price, rate ~(1 - e^(-kn/m))^k.
+
+    Scale shape: the filter is a DISTINCT over a BOUNDED domain
+    (m bits x k rows, KB-sized regardless of corpus size) built in one
+    map-side-combinable pass, then broadcast; each batch probes via
+    broadcast join — the corpus itself is never rejoined.  The
+    `is_dup_exact` column (an exact join) is the verification tier
+    that makes the guarantee hashable; a production pipeline drops it
+    and sends only bloom_hit=true docs to exact verification, cutting
+    that join's input to the hit rate."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    corpus = d.filter(F.col("doc_id") % 10 < 8).select("fp")
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    bits = None
+    for j in range(_BLOOM_K):
+        part = corpus.select(
+            F.lit(j).alias("j"), _bloom_bit(j, F.col("fp")).alias("bit")
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct().withColumn("present", F.lit(1))
+    probes = None
+    for j in range(_BLOOM_K):
+        part = batch.select(
+            "doc_id", F.lit(j).alias("j"), _bloom_bit(j, F.col("fp")).alias("bit")
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    hit = (
+        probes.join(F.broadcast(bits), ["j", "bit"], "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.coalesce("present", F.lit(0))) == F.lit(_BLOOM_K)).alias(
+                "bloom_hit"
+            )
+        )
+    )
+    exact = (
+        batch.join(
+            F.broadcast(
+                corpus.distinct().withColumn("in_corpus", F.lit(1))
+            ),
+            "fp",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg((F.max(F.coalesce("in_corpus", F.lit(0))) == 1).alias("is_dup_exact"))
+    )
+    return hit.join(exact, "doc_id").select(
+        "doc_id",
+        "bloom_hit",
+        "is_dup_exact",
+        (F.col("bloom_hit") | ~F.col("is_dup_exact")).alias("no_false_negative"),
+        (F.col("bloom_hit") & ~F.col("is_dup_exact")).alias("false_positive"),
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+    lp AS (
+        SELECT f.tok,
+               CAST(round(ln(CAST(f.cnt AS DOUBLE) / t.t) * 10000) AS BIGINT)
+                   AS lp_fx
+        FROM freq f CROSS JOIN tot t
+    )
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(l.lp_fx) AS BIGINT) AS sum_lp_fx
+    FROM toks k JOIN lp l USING (tok)
+    GROUP BY k.doc_id
+    """,
+    tags=("ext-text", "quality", "lm"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model log-probability per document (extension
+    — the CCNet/KenLM-style perplexity quality signal, reduced to the
+    unigram case so it is exactly recomputable): each token scores
+    ln(count(tok)/T) against corpus-wide frequencies, quantized to
+    1e-4 fixed point PER DISTINCT TOKEN (one ln + one round each side;
+    the per-doc reduction is then an exact integer sum — no float
+    accumulation-order hazard).  Low (very negative) sums per token
+    flag rare-word-heavy documents, the same direction a real LM
+    perplexity filter cuts.
+
+    Scale shape: the frequency table is token-keyed (vocab-sized);
+    it joins back to the token stream on tok — at 100 TB vocab follows
+    a Zipf curve, so AQE's skew handling (or a salt on the head
+    tokens) keeps the join balanced; the per-doc aggregation shuffles
+    on doc_id.  Two shuffles total, both on natural keys."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    lp = freq.select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.lit(float(total))) * 10000)
+        .cast("bigint")
+        .alias("lp_fx"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_fx").alias("sum_lp_fx"),
+        )
+    )

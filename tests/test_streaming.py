@@ -360,3 +360,27 @@ def test_scd2_intervals_partition_time(spark):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from  # contiguous, no overlap
             assert a.value_micro != b.value_micro
+
+
+def test_heavy_hitters_guarantee(spark):
+    """CMS heavy hitters: est >= exact makes the reporter one-sided —
+    every exact-heavy user is est-heavy (no_false_negative uniformly
+    true), and the threshold is the integer phi * N."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = events_heavy_hitters(spark, sf).cache()
+    assert out.filter(~F.col("no_false_negative")).isEmpty()
+    n = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert out.select("threshold_n").distinct().collect()[0][0] == n // 200
+    # Flags are consistent with the carried exact/est columns.
+    bad = out.filter(
+        (F.col("is_heavy_exact") != (F.col("exact_n") >= F.col("threshold_n")))
+        | (F.col("is_heavy_est") != (F.col("est_n") >= F.col("threshold_n")))
+    )
+    assert bad.isEmpty()
+    spark.catalog.clearCache()

@@ -441,3 +441,56 @@ def test_segment_dedup_invariants(spark):
     # The planted near-dup corpus makes dedup non-vacuous.
     assert got_total < out.agg(F.sum("n_segs")).collect()[0][0]
     spark.catalog.clearCache()
+
+
+def test_bloom_dedup_no_false_negatives_planted(spark, tmp_path):
+    """A batch doc whose text exactly matches a corpus doc MUST be
+    bloom_hit (the one-sided guarantee), and a unique batch doc must
+    not be an exact dup; no_false_negative holds row-wise."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import doc_bloom_dedup
+
+    rows = [
+        # corpus (doc_id % 10 < 8)
+        (1, "alpha beta gamma", "en", "web", 16),
+        (2, "delta epsilon zeta", "en", "web", 18),
+        (3, "unique corpus text", "en", "web", 18),
+        # batch (doc_id % 10 >= 8): 18 dups corpus doc 1, 19 is new
+        (18, "alpha beta gamma", "en", "web", 16),
+        (19, "never seen before", "en", "web", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in doc_bloom_dedup(spark, str(tmp_path)).collect()}
+    assert set(out) == {18, 19}
+    assert out[18].is_dup_exact and out[18].bloom_hit
+    assert not out[19].is_dup_exact
+    assert all(r.no_false_negative for r in out.values())
+    assert all(r.false_positive == (r.bloom_hit and not r.is_dup_exact)
+               for r in out.values())
+
+
+def test_unigram_logprob_ranks_rare_tokens_lower(spark, tmp_path):
+    """Per-token fixed-point log-probs sum exactly; a doc made of
+    corpus-frequent tokens scores higher (less negative per token)
+    than a doc of rare tokens."""
+    import math
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_unigram_logprob,
+    )
+
+    rows = [
+        (0, "the the the the", "en", "web", 15),
+        (1, "the the rareword", "en", "web", 16),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in doc_unigram_logprob(spark, str(tmp_path)).collect()}
+    # corpus: "the" x6, "rareword" x1, T=7
+    lp_the = round(math.log(6 / 7) * 10000)
+    lp_rare = round(math.log(1 / 7) * 10000)
+    assert out[0].n_tokens == 4 and out[0].sum_lp_fx == 4 * lp_the
+    assert out[1].n_tokens == 3 and out[1].sum_lp_fx == 2 * lp_the + lp_rare
+    assert out[0].sum_lp_fx / 4 > out[1].sum_lp_fx / 3

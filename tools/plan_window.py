@@ -102,14 +102,22 @@ def main() -> None:
         default="",
         help="comma-separated query names whose code changed this round",
     )
+    ap.add_argument(
+        "--queued",
+        default="",
+        help="comma-separated names added AFTER this round's window was "
+        "frozen (locally verified, deferred to the next round's window)",
+    )
     args = ap.parse_args()
     changed = [n for n in args.changed.split(",") if n]
+    queued = {n for n in args.queued.split(",") if n}
 
-    names = registry_order()
+    all_names = registry_order()
+    names = [n for n in all_names if n not in queued]
     checked = last_checked()
 
     by_round: dict[int, list[str]] = {}
-    for n in names:
+    for n in all_names:
         by_round.setdefault(checked.get(n, 0), []).append(n)
     print("# Staleness ledger (last green driver round; 0 = never)")
     for rnd in sorted(by_round):
@@ -122,7 +130,7 @@ def main() -> None:
     for n in window:
         print(f'    "{n}",')
 
-    current = names[:WINDOW]
+    current = [n for n in all_names if n not in queued][:WINDOW]
     if current == window:
         print("\n# PRIORITY head MATCHES the proposal")
     else:
