@@ -306,6 +306,54 @@ def test_cms_parameterized_widths(spark):
     spark.catalog.clearCache()
 
 
+def test_hll_accuracy_and_merge(spark):
+    """HLL registers merge by MAX across arbitrary shards (the
+    mergeable-sketch property the 100 TB path relies on): building one
+    sketch over the whole frame and max-merging two half-frame
+    sketches must give IDENTICAL registers, hence identical estimates;
+    and the estimate lands within 3 standard errors (1.04/sqrt(m)) of
+    the true cardinality in the raw regime."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i, "g",) for i in range(n)], "k long, grp string"
+    )
+    out = hll_distinct(df, "k", ["grp"], p=6).collect()[0]
+    assert out["exact_distinct"] == n
+    se = 1.04 / (64 ** 0.5)
+    assert abs(out["est_distinct"] - n) <= 3 * se * n
+    assert out["rel_err_bp"] == abs(out["est_distinct"] - n) * 10000 // n
+
+    whole = hll_registers(df, "k", ["grp"], p=6)
+    halves = (
+        hll_registers(df.filter(F.col("k") % 2 == 0), "k", ["grp"], p=6)
+        .unionByName(hll_registers(df.filter(F.col("k") % 2 == 1), "k", ["grp"], p=6))
+        .groupBy("grp", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, halves.collect())
+    )
+
+
+def test_hll_zero_registers_small_range(spark):
+    """Below ~2.5m distinct keys the raw estimator is biased low and
+    n_zero_registers > 0 flags it — the column callers use to detect
+    the linear-counting regime the estimator deliberately omits."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import hll_distinct
+
+    df = spark.createDataFrame([(i, "g") for i in range(20)], "k long, grp string")
+    out = hll_distinct(df, "k", ["grp"], p=6).collect()[0]
+    assert out["exact_distinct"] == 20
+    assert out["n_zero_registers"] > 0
+
+
 def test_gap_fill_dense_spine_and_locf(spark):
     """Gap filling: the spine is dense (every type x every 15-min
     bucket in range), zero-event buckets are exactly the filled ones,
