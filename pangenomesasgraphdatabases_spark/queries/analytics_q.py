@@ -99,3 +99,68 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos", "tok")
     )
+
+
+@register(
+    "interval_sweep_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT least(CAST(epoch(o.o_orderdate) AS BIGINT) // 86400,
+                     CAST(epoch(l.l_shipdate) AS BIGINT) // 86400) AS lo,
+               greatest(CAST(epoch(o.o_orderdate) AS BIGINT) // 86400,
+                        CAST(epoch(l.l_shipdate) AS BIGINT) // 86400) AS hi
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+        SELECT lo AS day, CAST(1 AS BIGINT) AS delta FROM iv
+        UNION ALL
+        SELECT hi + 1 AS day, CAST(-1 AS BIGINT) AS delta FROM iv
+    ),
+    net AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS net_delta
+        FROM deltas GROUP BY day
+    )
+    SELECT day, net_delta,
+           CAST(sum(net_delta) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_intervals
+    FROM net
+    """,
+    tags=("ext-analytics", "interval", "sweep"),
+)
+def interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (extension — the genomic
+    coverage-depth / orders-in-flight operator): each lineitem defines
+    an inclusive day interval spanning its order and ship dates (via
+    least/greatest — the synthetic data orders the two dates both
+    ways), and the result is the number of OPEN intervals on every day
+    the count changes.  The classic sweep turns each interval into two
+    boundary deltas (+1 at lo, -1 after hi), nets them per day, and
+    takes a running sum over the day order — O(distinct days) output
+    rows with NO per-position expansion, the same algebra that scales
+    read-coverage depth over a 3 Gb genome or concurrent sessions over
+    a year of traffic.
+
+    Scale shape: the lineitem-orders join is a keyed shuffle join
+    (bucketing co-locates it at deployment); the delta aggregation is
+    map-side combinable into at most 2x distinct-days rows; the global
+    running sum uses operators/prefix.global_cumsum — range partition
+    + per-partition window + broadcast partition offsets — NOT a
+    single-partition Window.orderBy, so the sweep stays distributed at
+    any day range."""
+    from pangenomesasgraphdatabases_spark.operators.prefix import global_cumsum
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    day = lambda c: F.expr(f"CAST(unix_timestamp({c}) AS BIGINT) div 86400")
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.least(day("o_orderdate"), day("l_shipdate")).alias("lo"),
+        F.greatest(day("o_orderdate"), day("l_shipdate")).alias("hi"),
+    )
+    deltas = iv.select(F.col("lo").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select((F.col("hi") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    net = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net_delta"))
+    return global_cumsum(net, ["day"], "net_delta", "open_intervals").select(
+        "day", "net_delta", F.col("open_intervals").cast("bigint").alias("open_intervals")
+    )

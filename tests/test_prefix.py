@@ -72,3 +72,41 @@ def test_pack_sequences_covers_corpus_contiguously(spark):
         assert r.seq_id == r.start_tok // 256
         assert r.offset_in_seq == r.start_tok % 256
         pos += r.n_tok
+
+
+def test_interval_sweep_invariants(spark):
+    """Sweep-line concurrency: never negative, closes at zero (every
+    +1 has its -1), peak bounded by the interval count, and the exact
+    day-by-day count matches a brute-force cover check on a sample of
+    days."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.analytics_q import (
+        interval_sweep_concurrency,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = interval_sweep_concurrency(spark, sf).cache()
+    rows = sorted(out.collect(), key=lambda r: r.day)
+    assert all(r.open_intervals >= 0 for r in rows)
+    assert rows[-1].open_intervals == 0, "sweep must close at zero"
+    assert sum(r.net_delta for r in rows) == 0
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    n_iv = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert max(r.open_intervals for r in rows) <= n_iv
+
+    day = lambda c: F.expr(f"CAST(unix_timestamp({c}) AS BIGINT) div 86400")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.least(day("o_orderdate"), day("l_shipdate")).alias("lo"),
+            F.greatest(day("o_orderdate"), day("l_shipdate")).alias("hi"),
+        )
+        .collect()
+    )
+    for r in rows[::200]:
+        brute = sum(1 for p in iv if p.lo <= r.day <= p.hi)
+        assert brute == r.open_intervals, f"day {r.day}"
+    spark.catalog.clearCache()
