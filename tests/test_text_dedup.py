@@ -494,3 +494,61 @@ def test_unigram_logprob_ranks_rare_tokens_lower(spark, tmp_path):
     assert out[0].n_tokens == 4 and out[0].sum_lp_fx == 4 * lp_the
     assert out[1].n_tokens == 3 and out[1].sum_lp_fx == 2 * lp_the + lp_rare
     assert out[0].sum_lp_fx / 4 > out[1].sum_lp_fx / 3
+
+
+def test_fuzzy_match_blocking_is_exact(spark):
+    """The length-band blocking must lose NO pair admitted by the
+    declared predicate: compare against an unblocked quadratic join on
+    the small sf and check the lev=0 tier equals the exact-prefix
+    self-join."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _FUZZ_LEN,
+        _FUZZ_MAXD,
+        _FUZZ_PFX,
+        doc_fuzzy_match_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_a, r.doc_b, r.prefix_lev)
+        for r in doc_fuzzy_match_pairs(spark, sf).collect()
+    }
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.substring(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
+                1,
+                _FUZZ_PFX,
+            ).alias("pfx"),
+        )
+        .collect()
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            a, b = d[i], d[j]
+            if abs(a.n_chars - b.n_chars) > _FUZZ_LEN:
+                continue
+            dist = lev(a.pfx, b.pfx)
+            if dist <= _FUZZ_MAXD:
+                pair = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id), dist)
+                want.add(pair)
+    assert got == want
+    assert any(p[2] == 0 for p in got), "corpus has planted exact dups"
