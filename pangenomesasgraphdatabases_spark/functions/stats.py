@@ -63,6 +63,21 @@ DF_WELCH_SQL = (
 )
 
 
+def z_pvalue_sql(z: str) -> str:
+    """Two-sided p-value fragment for a standard-normal deviate `z`
+    (a SQL sub-expression): p = erfc(|z|/sqrt(2)) via the same A&S
+    7.1.26 polynomial as :func:`t_pvalue_sql` (|eps| <= 1.5e-7).
+    Kept separate from the t path so the existing Welch fragments stay
+    byte-identical (their driver hashes must not move)."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    u = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(((((1.061405429*{u} - 1.453152027)*{u} + 1.421413741)*{u}"
+        f" - 0.284496736)*{u} + 0.254829592)*{u})"
+    )
+    return f"({poly} * exp(-{x}*{x}))"
+
+
 def t_pvalue_col(t, df):
     """Column-API twin of :func:`t_pvalue_sql` (same math, same
     constants) for plans built with pyspark Columns rather than SQL

@@ -330,3 +330,106 @@ def welch_ttest_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments.createOrReplaceTempView("moments")
     return spark.sql(_TTEST_FINAL)
+
+
+# Mann–Whitney U via the value HISTOGRAM, not per-row global ranks: a
+# rank window over the raw rows is a single-partition sort at scale,
+# while the histogram form shuffles once on the (bounded) distinct
+# value domain and folds with exact integers.  Shared final fragment
+# so both engines build the identical IEEE expression tree.
+_MWU_FINAL = (
+    "sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)"
+    " * ((n1 + n2 + 1.0)"
+    " - CAST(tt AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1.0))))"
+)
+_MWU_Z = f"((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / (2.0 * {_MWU_FINAL}))"
+
+
+@register(
+    "events_mannwhitney_value",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    hist AS (
+        SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+               CAST(count(*) - sum(is_a) AS BIGINT) AS cb
+        FROM ev GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ca, cb,
+               CAST(coalesce(sum(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cumb
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+               CAST(sum(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
+               CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                    AS BIGINT) AS tt
+        FROM cum
+    )
+    SELECT n1, n2, u2, tt,
+           round({_MWU_Z}, 4) AS z_stat,
+           round({st.z_pvalue_sql(_MWU_Z)}, 6) AS p_two_sided
+    FROM agg
+    """,
+    tags=("ext-stats", "rank-test"),
+)
+def events_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank test comparing `value` between 'purchase'
+    and 'click' events (extension — the nonparametric complement of
+    the Welch t machinery, F14): 2U_A = sum over distinct values of
+    ca * (2 * cumB_less + cb) with average-tie handling, kept at 2x
+    scale so every term is an exact integer; z uses the tie-corrected
+    normal approximation WITHOUT continuity correction, and the
+    two-sided p comes from the shared A&S erfc fragment — identical
+    expression text on both engines, rounded like the Welch p.
+
+    Scale shape: per-row global ranks need a total sort (dead at
+    100 TB); the histogram form aggregates to the distinct-value
+    domain (map-side combinable), runs the exclusive cumulative count
+    through operators/prefix.global_cumsum (range partition +
+    broadcast offsets, never a single-partition window), and closes
+    with one scalar fold.  At production scale you'd additionally
+    bucket continuous values; the micros quantization here IS that
+    bucketing, declared in the semantics."""
+    from pangenomesasgraphdatabases_spark.operators.prefix import global_cumsum
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    hist = (
+        e.select(
+            (F.col("event_type") == "purchase").cast("long").alias("is_a"),
+            F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("is_a")).alias("cb"),
+        )
+    )
+    cum = global_cumsum(hist, ["v"], "cb", "cumb_incl").withColumn(
+        "cumb", F.col("cumb_incl") - F.col("cb")
+    )
+    t = F.col("ca") + F.col("cb")
+    agg = cum.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+        F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("cb")))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(t * t * t - t).cast("bigint").alias("tt"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "u2",
+        "tt",
+        F.expr(f"round({_MWU_Z}, 4)").alias("z_stat"),
+        F.expr(f"round({st.z_pvalue_sql(_MWU_Z)}, 6)").alias("p_two_sided"),
+    )

@@ -168,3 +168,45 @@ def test_t_pvalue_approximation_error_bound():
     for t in (0.0, 0.5, 1.0, 2.0, 3.0, 5.0):
         for df, bound in ((10, 2e-3), (30, 2e-4), (100, 2e-5), (5000, 2e-7)):
             assert abs(p_approx(t, df) - p_exact(t, df)) < bound, (t, df)
+
+
+def test_mannwhitney_matches_bruteforce(spark):
+    """2U from the histogram fold equals the O(n^2) pair definition
+    (#{a>b} + half-ties, doubled), and the rounded z/p agree with a
+    direct Python evaluation of the same tie-corrected normal
+    approximation (A&S erfc error is ~1e-7, far under the rounding)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.functions_q import (
+        events_mannwhitney_value,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = events_mannwhitney_value(spark, sf).collect()[0]
+
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", F.round(F.col("value") * 1000000).cast("bigint").alias("v"))
+        .collect()
+    )
+    a = [r.v for r in ev if r.event_type == "purchase"]
+    b = [r.v for r in ev if r.event_type == "click"]
+    assert (row.n1, row.n2) == (len(a), len(b))
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in a for y in b)
+    assert row.u2 == u2
+
+    from collections import Counter
+
+    ties = Counter(a + b)
+    tt = sum(t**3 - t for t in ties.values())
+    assert row.tt == tt
+    n1, n2, n = len(a), len(b), len(a) + len(b)
+    sigma = math.sqrt((n1 * n2 / 12.0) * ((n + 1.0) - tt / (n * (n - 1.0))))
+    z = (u2 - n1 * n2) / (2.0 * sigma)
+    assert abs(row.z_stat - round(z, 4)) <= 1e-4
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    assert abs(row.p_two_sided - p) <= 1e-5
+    assert 0.0 <= row.p_two_sided <= 1.0
