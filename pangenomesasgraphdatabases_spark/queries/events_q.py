@@ -1204,3 +1204,81 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to", F.lit(9223372036854775807)).alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+
+_EWMA_W = 8  # window length; alpha = 1/2 so weights are powers of two
+
+
+@register(
+    "events_ewma_value",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 1000000) AS BIGINT) AS value_micro, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lagged AS (
+        SELECT event_id, user_id, value_micro,
+               lag(value_micro, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l0,
+               lag(value_micro, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+               lag(value_micro, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+               lag(value_micro, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3,
+               lag(value_micro, 4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l4,
+               lag(value_micro, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l5,
+               lag(value_micro, 6) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l6,
+               lag(value_micro, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l7
+        FROM v
+    ),
+    folded AS (
+        SELECT event_id, user_id, value_micro,
+               CAST(coalesce(l0, 0) * 128 + coalesce(l1, 0) * 64 + coalesce(l2, 0) * 32 + coalesce(l3, 0) * 16 + coalesce(l4, 0) * 8 + coalesce(l5, 0) * 4 + coalesce(l6, 0) * 2 + coalesce(l7, 0) * 1 AS BIGINT) AS ewma_num,
+               CAST(CASE WHEN l0 IS NULL THEN 0 ELSE 128 END + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS ewma_den
+        FROM lagged
+    )
+    SELECT event_id, user_id, value_micro, ewma_num, ewma_den,
+           CAST(ewma_num // ewma_den AS BIGINT) AS ewma_micro
+    FROM folded
+    """,
+    tags=("ext-events", "window", "ewma"),
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of purchase values per
+    user (extension — the decayed-feature window of an online feature
+    store), made hash-exact by choosing alpha = 1/2 over the last 8
+    observations: weights 2^7..2^0 are dyadic, so the numerator and
+    the truncated-renormalization denominator are exact integer sums
+    over micros-quantized values, and the EWMA itself is one integer
+    division — no float accumulation anywhere.  Windows order by the
+    full-resolution event time (ts_ns plus event_id tiebreak — the
+    SCD2 lesson), so same-second events cannot reorder between
+    engines; the current observation carries weight 2^7 (lag 0).
+
+    Scale shape: one shuffle on user_id; the 8 lag() calls share one
+    window spec (one sort — Spark collapses same-spec windows); no
+    join, no global window.  The truncating div renormalization at
+    series heads (< 8 observations) is the standard finite-window
+    EWMA bias handling, here exact."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+    d = e.select("event_id", "user_id", vm.alias("value_micro"), "ts_ns")
+    for i in range(_EWMA_W):
+        d = d.withColumn(f"l{i}", F.lag("value_micro", i).over(w))
+    num, den = None, None
+    for i in range(_EWMA_W):
+        wt = 1 << (_EWMA_W - 1 - i)
+        num_t = F.coalesce(F.col(f"l{i}"), F.lit(0)) * wt
+        den_t = F.when(F.col(f"l{i}").isNull(), 0).otherwise(wt)
+        num = num_t if num is None else num + num_t
+        den = den_t if den is None else den + den_t
+    folded = d.select(
+        "event_id",
+        "user_id",
+        "value_micro",
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+    )
+    return folded.withColumn(
+        "ewma_micro", F.expr("ewma_num div ewma_den").cast("bigint")
+    )

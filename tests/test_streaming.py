@@ -432,3 +432,51 @@ def test_heavy_hitters_guarantee(spark):
     )
     assert bad.isEmpty()
     spark.catalog.clearCache()
+
+
+def test_ewma_dyadic_weights(spark):
+    """EWMA invariants: a user's first purchase has den=128 and
+    ewma = its own value; a full 8-deep window has den=255; and every
+    row's num/den match the explicit weighted fold of that user's
+    ordered history."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        _EWMA_W,
+        events_ewma_value,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_id: r for r in events_ewma_value(spark, sf).collect()}
+
+    hist = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+            "ts_ns",
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(hist, key=lambda r: (r.user_id, r.ts_ns, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(out) == len(hist)
+    for user, rows in by_user.items():
+        for idx, r in enumerate(rows):
+            got = out[r.event_id]
+            num = den = 0
+            for i in range(min(_EWMA_W, idx + 1)):
+                wt = 1 << (_EWMA_W - 1 - i)
+                num += rows[idx - i].vm * wt
+                den += wt
+            assert (got.ewma_num, got.ewma_den) == (num, den), r.event_id
+            assert got.ewma_micro == num // den
+            if idx == 0:
+                assert got.ewma_den == 1 << (_EWMA_W - 1)
+                assert got.ewma_micro == r.vm
+            if idx >= _EWMA_W - 1:
+                assert got.ewma_den == (1 << _EWMA_W) - 1
