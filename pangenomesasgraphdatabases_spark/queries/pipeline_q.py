@@ -415,3 +415,76 @@ def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("mix_rank"),
         (F.col("rk") <= F.col("cap")).alias("selected"),
     )
+
+
+# Systematic (stride) weighted sampling: the deterministic counterpart
+# of weighted reservoir sampling.  Target ~128 picks.
+_SYS_K = 128
+
+
+@register(
+    "doc_weighted_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, wt,
+               CAST(sum(wt) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_w
+        FROM w
+    ),
+    tot AS (
+        SELECT greatest(CAST(sum(wt) AS BIGINT) // {_SYS_K}, 1) AS step FROM w
+    )
+    SELECT c.doc_id, c.source, c.wt, c.cum_w,
+           CAST(c.cum_w // t.step - (c.cum_w - c.wt) // t.step AS BIGINT)
+               AS n_picks,
+           c.cum_w // t.step > (c.cum_w - c.wt) // t.step AS selected
+    FROM cum c CROSS JOIN tot t
+    """,
+    tags=("ext-pipeline", "sampling", "weighted"),
+)
+def doc_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sampling (extension — the
+    deterministic, engine-exact counterpart of weighted reservoir /
+    A-ES sampling, whose u^(1/w) keys are a cross-engine float
+    hazard): documents are laid on a line in md5-shuffled order, each
+    occupying a span equal to its weight (n_chars); a stride boundary
+    every total_weight/128 units picks the document it lands in, so
+    inclusion probability is proportional to weight, heavy documents
+    can be picked multiple times (`n_picks` is the multiplicity — the
+    importance-sampling repeat count), and the draw is a pure function
+    of the data.
+
+    Scale shape: the cumulative weight runs through
+    operators/prefix.global_cumsum (range partition on the md5 order
+    key + broadcast offsets — no single-partition window); the stride
+    is ONE scalar broadcast.  This is how you draw a
+    weight-proportional validation slice from a 100 TB corpus in one
+    pass without per-row RNG or a global sort bottleneck."""
+    from pangenomesasgraphdatabases_spark.operators.prefix import global_cumsum
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("wt"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = global_cumsum(d, ["h", "doc_id"], "wt", "cum_w").drop("h")
+    step = d.agg(
+        F.greatest(F.expr(f"sum(wt) div {_SYS_K}"), F.lit(1)).alias("step")
+    )
+    return cum.crossJoin(F.broadcast(step)).select(
+        "doc_id",
+        "source",
+        "wt",
+        F.col("cum_w").cast("bigint").alias("cum_w"),
+        F.expr("cum_w div step - (cum_w - wt) div step")
+        .cast("bigint")
+        .alias("n_picks"),
+        F.expr("cum_w div step > (cum_w - wt) div step").alias("selected"),
+    )

@@ -190,3 +190,36 @@ def test_rate_limited_sample_cap_holds(spark):
     again = events_rate_limited_sample(spark, SF)
     assert out.exceptAll(again).isEmpty() and again.exceptAll(out).isEmpty()
     spark.catalog.clearCache()
+
+
+def test_systematic_sample_weight_proportional(spark):
+    """Stride sampling invariants: total picks = floor(total_weight /
+    step) (within the boundary document), every document's pick count
+    equals the number of stride boundaries inside its weight span,
+    and a document twice the step weight is always picked at least
+    twice."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        _SYS_K,
+        doc_weighted_systematic_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = doc_weighted_systematic_sample(spark, sf).cache()
+    rows = sorted(out.collect(), key=lambda r: r.cum_w)
+    tw = rows[-1].cum_w
+    step = max(tw // _SYS_K, 1)
+    assert sum(r.n_picks for r in rows) == tw // step
+    for r in rows:
+        lo, hi = r.cum_w - r.wt, r.cum_w
+        assert r.n_picks == hi // step - lo // step
+        assert r.selected == (r.n_picks > 0)
+        if r.wt >= 2 * step:
+            assert r.n_picks >= 2
+    # Selection count is near the target: at most K, at least K/2
+    # (picks can only be "lost" to multi-pick heavy docs).
+    n_sel = sum(1 for r in rows if r.selected)
+    assert n_sel <= _SYS_K
+    assert n_sel >= _SYS_K // 2
+    spark.catalog.clearCache()
