@@ -923,27 +923,8 @@ def hll_distinct(
     rounded IEEE op both engines share.  The exact count rides along
     for verification; a production pipeline drops it and keeps only
     the register frame (KB per group at any input size)."""
-    m = 1 << p
-    w_len = 48 - p
-    scale = 1 << (w_len + 1)
-    # Shared float literal: alpha * m^2 * 2^(w_len+1), computed once in
-    # Python so both engines divide by the *same* double.
-    num = repr(_hll_alpha(m) * m * m * scale)
     regs = hll_registers(df, key, group_cols, p)
-    est = regs.groupBy(*group_cols).agg(
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_len + 1} - max_rho)"))
-            + (F.lit(m) - F.count(F.lit(1))) * F.lit(scale)
-        ).alias("sum_fx"),
-        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("n_zero_registers"),
-    )
-    est = est.select(
-        *group_cols,
-        F.expr(f"CAST(floor({num} / CAST(sum_fx AS DOUBLE)) AS BIGINT)").alias(
-            "est_distinct"
-        ),
-        "n_zero_registers",
-    )
+    est = hll_estimate_from_registers(regs, group_cols, p)
     exact = df.groupBy(*group_cols).agg(
         F.count_distinct(key).alias("exact_distinct")
     )
@@ -956,6 +937,35 @@ def hll_distinct(
         F.expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct")
         .cast("bigint")
         .alias("rel_err_bp"),
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list, p: int = _HLL_P
+) -> DataFrame:
+    """Folds an ``hll_registers`` frame (possibly max-merged from many
+    partial sketches) into the per-group cardinality estimate — the
+    finalize step, separated so batch, incremental, and streaming
+    builds share one estimator."""
+    m = 1 << p
+    w_len = 48 - p
+    scale = 1 << (w_len + 1)
+    # Shared float literal: alpha * m^2 * 2^(w_len+1), computed once in
+    # Python so both engines divide by the *same* double.
+    num = repr(_hll_alpha(m) * m * m * scale)
+    est = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_len + 1} - max_rho)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(scale)
+        ).alias("sum_fx"),
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("n_zero_registers"),
+    )
+    return est.select(
+        *group_cols,
+        F.expr(f"CAST(floor({num} / CAST(sum_fx AS DOUBLE)) AS BIGINT)").alias(
+            "est_distinct"
+        ),
+        "n_zero_registers",
     )
 
 
@@ -1281,4 +1291,48 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return folded.withColumn(
         "ewma_micro", F.expr("ewma_num div ewma_den").cast("bigint")
+    )
+
+
+@register(
+    "stream_hll_distinct",
+    oracle=_hll_oracle(_HLL_P),
+    tags=("ext-stream", "sketch", "hll", "streaming"),
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming build of the HyperLogLog registers
+    (extension — the sketch family running where it earns its keep:
+    a max-aggregated register table is exactly the state a streaming
+    distinct-count keeps, m rows per group forever, versus the
+    unbounded key set exact distinct would hold).  The register
+    aggregation runs as an incremental streaming query (groupBy max,
+    complete mode, AvailableNow); the finalize fold and the exact
+    verification tier run batch-side on the materialized registers —
+    the same two-phase composition as stream_windowed_topk.  Register
+    determinism makes the batch HLL oracle hash-identical."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir).select(
+        "event_type", F.col("event_id").cast("string").alias("k")
+    )
+    regs_stream = hll_registers(stream, "k", ["event_type"], _HLL_P)
+    regs = run_available_now(regs_stream, spark, output_mode="complete")
+    est = hll_estimate_from_registers(regs, ["event_type"], _HLL_P)
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("exact_distinct"))
+    )
+    return exact.join(est, ["event_type"]).select(
+        "event_type",
+        "exact_distinct",
+        "est_distinct",
+        "n_zero_registers",
+        F.abs(F.col("est_distinct") - F.col("exact_distinct")).alias("abs_err"),
+        F.expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct")
+        .cast("bigint")
+        .alias("rel_err_bp"),
     )

@@ -480,3 +480,18 @@ def test_ewma_dyadic_weights(spark):
                 assert got.ewma_micro == r.vm
             if idx >= _EWMA_W - 1:
                 assert got.ewma_den == (1 << _EWMA_W) - 1
+
+
+def test_stream_hll_matches_batch(spark):
+    """The streaming register build (incremental groupBy max under
+    AvailableNow) must produce byte-identical estimates to the batch
+    HLL — register determinism is what makes the sketch portable
+    across execution modes."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_hll_distinct,
+        stream_hll_distinct,
+    )
+
+    got = sorted(map(tuple, stream_hll_distinct(spark, SF).collect()))
+    want = sorted(map(tuple, events_hll_distinct(spark, SF).collect()))
+    assert got == want
