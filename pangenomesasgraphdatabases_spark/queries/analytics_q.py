@@ -164,3 +164,95 @@ def interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_cumsum(net, ["day"], "net_delta", "open_intervals").select(
         "day", "net_delta", F.col("open_intervals").cast("bigint").alias("open_intervals")
     )
+
+
+@register(
+    "order_basket_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders_part
+        FROM d GROUP BY l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           fa.n_orders_part AS freq_a, fb.n_orders_part AS freq_b,
+           CAST(p.support * 1000000 // fa.n_orders_part AS BIGINT)
+               AS conf_a_to_b_micro,
+           CAST(p.support * n.n_orders * 1000000
+                // (fa.n_orders_part * fb.n_orders_part) AS BIGINT)
+               AS lift_micro
+    FROM pairs p
+    JOIN freq fa ON p.part_a = fa.l_partkey
+    JOIN freq fb ON p.part_b = fb.l_partkey
+    CROSS JOIN n
+    """,
+    tags=("ext-analytics", "basket", "cooccurrence"),
+)
+def order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (extension — the co-occurrence /
+    frequent-itemset operator of recommendation and data-curation
+    pipelines): part pairs appearing in the same order, with support,
+    per-item frequencies, directed confidence, and lift — confidence
+    and lift in exact fixed-point micros (integer multiply before
+    integer divide), so no float ratio ever crosses engines.
+
+    Scale shape: pair expansion is a SELF-JOIN WITHIN the basket key
+    (l_orderkey) — cost sum over baskets of |basket|^2, bounded by the
+    max basket (13 parts here; a pathological mega-basket is the skew
+    watch item, capped in production by a basket-size filter).  The
+    pair aggregation shuffles on (part_a, part_b); frequency tables
+    shuffle on part; the order count is one scalar broadcast.  The
+    support >= 2 floor prunes the singleton long tail before the
+    frequency joins — the same docfreq-pruning idea as the n-gram
+    dedup index."""
+    d = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    freq = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders_part"))
+    n = d.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders_part").alias("freq_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders_part").alias("freq_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "freq_a",
+            "freq_b",
+            F.expr("support * 1000000 div freq_a")
+            .cast("bigint")
+            .alias("conf_a_to_b_micro"),
+            F.expr("support * n_orders * 1000000 div (freq_a * freq_b)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )

@@ -1336,3 +1336,142 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rel_err_bp"),
     )
+
+
+# Fixed-grid quantile histogram: bucket width 2^20 micros (~1.05
+# value units) on a data-INDEPENDENT grid, so partial histograms from
+# any shard/batch merge by addition — the quantile entry of the
+# mergeable-sketch family (CMS/Bloom/HLL).
+_QH_SHIFT = 20
+_QH_QS = (50, 90, 99)
+
+
+@register(
+    "events_quantile_histogram",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS vm,
+               event_id
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, vm // {1 << _QH_SHIFT} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_bucket
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bucket, n_bucket,
+               CAST(sum(n_bucket) OVER (PARTITION BY event_type
+                    ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_n
+        FROM hist
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+    ),
+    ks AS (
+        SELECT t.event_type, q.q_pct, t.n,
+               CAST((t.n * q.q_pct + 99) // 100 AS BIGINT) AS k
+        FROM tot t CROSS JOIN (SELECT unnest([{", ".join(map(str, _QH_QS))}])
+                               AS q_pct) q
+    ),
+    est AS (
+        SELECT k.event_type, k.q_pct, k.n, k.k,
+               min(c.bucket) AS est_bucket
+        FROM ks k JOIN cum c
+          ON k.event_type = c.event_type AND c.cum_n >= k.k
+        GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT event_type, vm,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY vm, event_id) AS rn
+        FROM v
+    )
+    SELECT e.event_type, CAST(e.q_pct AS BIGINT) AS q_pct, e.n, e.k,
+           CAST(e.est_bucket AS BIGINT) AS est_bucket,
+           CAST((e.est_bucket + 1) * {1 << _QH_SHIFT} AS BIGINT)
+               AS est_hi_micro,
+           r.vm AS exact_micro,
+           r.vm // {1 << _QH_SHIFT} = e.est_bucket AS in_est_bucket
+    FROM est e JOIN ranked r
+      ON e.event_type = r.event_type AND r.rn = e.k
+    """,
+    tags=("ext-events", "sketch", "quantile"),
+)
+def events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-grid mergeable histogram
+    (extension — the quantile entry of the sketch family; the same
+    role a t-digest/GK sketch plays, reduced to a data-independent
+    grid so it is exactly reproducible): p50/p90/p99 of `value` per
+    event_type located as the first histogram bucket whose cumulative
+    count reaches k = ceil(q*n/100).  Bucket width is 2^20 micros on
+    a fixed grid — partial histograms merge by ADDITION across
+    shards/batches (CMS algebra), error is bounded by one bucket
+    width, and the exact k-th order statistic rides along with the
+    `in_est_bucket` guarantee column (uniformly true by
+    construction — driver-hashed).
+
+    Scale shape: the sketch build is one map-side-combinable count
+    into O(value_range / 2^20) cells per group; the cumulative scan
+    and bucket pick run over the TINY histogram (hundreds of rows),
+    partitioned by group — never over raw rows.  Only the exact
+    verification tier sorts raw rows (a per-group window); production
+    drops it and keeps the histogram, which answers any quantile
+    without re-reading data."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        "event_id",
+    )
+    width = 1 << _QH_SHIFT
+    hist = v.groupBy(
+        "event_type", F.expr(f"vm div {width}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_bucket"))
+    cum = hist.withColumn(
+        "cum_n",
+        F.sum("n_bucket").over(
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    qs = tot.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q_pct"),
+    ).withColumn("k", F.expr("CAST((n * q_pct + 99) div 100 AS BIGINT)"))
+    est = (
+        qs.join(cum, "event_type")
+        .filter(F.col("cum_n") >= F.col("k"))
+        .groupBy("event_type", "q_pct", "n", "k")
+        .agg(F.min("bucket").alias("est_bucket"))
+    )
+    ranked = v.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("vm", "event_id")
+        ),
+    ).select("event_type", "vm", "rn")
+    return (
+        est.join(
+            ranked,
+            (est.event_type == ranked.event_type) & (ranked.rn == est.k),
+        )
+        .select(
+            est.event_type,
+            F.col("q_pct").cast("bigint").alias("q_pct"),
+            "n",
+            "k",
+            F.col("est_bucket").cast("bigint").alias("est_bucket"),
+            ((F.col("est_bucket") + 1) * width).cast("bigint").alias("est_hi_micro"),
+            F.col("vm").alias("exact_micro"),
+            (F.expr(f"vm div {width}") == F.col("est_bucket")).alias(
+                "in_est_bucket"
+            ),
+        )
+    )

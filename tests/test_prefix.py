@@ -110,3 +110,20 @@ def test_interval_sweep_invariants(spark):
         brute = sum(1 for p in iv if p.lo <= r.day <= p.hi)
         assert brute == r.open_intervals, f"day {r.day}"
     spark.catalog.clearCache()
+
+
+def test_basket_pairs_measures(spark):
+    """Support/confidence/lift consistency: support <= min(freq_a,
+    freq_b), conf = support/freq_a in micros, and support >= 2 floor
+    holds."""
+    from pangenomesasgraphdatabases_spark.queries.analytics_q import (
+        order_basket_pairs,
+    )
+
+    rows = order_basket_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 has co-occurring pairs"
+    for r in rows:
+        assert 2 <= r.support <= min(r.freq_a, r.freq_b)
+        assert r.conf_a_to_b_micro == r.support * 1_000_000 // r.freq_a
+        assert r.conf_a_to_b_micro <= 1_000_000
+        assert r.lift_micro > 0

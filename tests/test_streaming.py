@@ -495,3 +495,43 @@ def test_stream_hll_matches_batch(spark):
     got = sorted(map(tuple, stream_hll_distinct(spark, SF).collect()))
     want = sorted(map(tuple, events_hll_distinct(spark, SF).collect()))
     assert got == want
+
+
+def test_quantile_histogram_merge_and_guarantee(spark):
+    """The fixed-grid histogram must merge by addition (partial
+    histograms from two shards sum to the whole-frame histogram), the
+    guarantee column is uniformly true, and the exact k-th statistic
+    never exceeds the bucket's upper edge."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        _QH_SHIFT,
+        events_quantile_histogram,
+    )
+
+    out = events_quantile_histogram(spark, SF).collect()
+    assert len(out) == 5 * 3  # event types x quantiles
+    for r in out:
+        assert r.in_est_bucket
+        assert r.exact_micro <= r.est_hi_micro
+        assert r.exact_micro > r.est_hi_micro - (1 << _QH_SHIFT)
+
+    # Additive merge of partial histograms.
+    v = table(spark, SF, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        "event_id",
+    )
+    def hist(df):
+        return df.groupBy(
+            "event_type", F.expr(f"vm div {1 << _QH_SHIFT}").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    whole = {(r.event_type, r.bucket): r.n for r in hist(v).collect()}
+    parts = {}
+    for half in (v.filter("event_id % 2 = 0"), v.filter("event_id % 2 = 1")):
+        for r in hist(half).collect():
+            key = (r.event_type, r.bucket)
+            parts[key] = parts.get(key, 0) + r.n
+    assert whole == parts
