@@ -216,3 +216,40 @@ def test_genbank_scan_single_stage(spark):
         read_genbank_features(spark, "/root/repo/fixtures_data/genbank/*.gbk")
     )
     assert "Join" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_fuzzy_match_join_free_of_cartesian(spark):
+    """The fuzzy join must stay equi-joined on the band key — a
+    cartesian/nested-loop product here is the N^2 plan the blocking
+    exists to prevent."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_fuzzy_match_pairs,
+    )
+
+    plan = _plan(doc_fuzzy_match_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sweep_and_basket_single_partition_is_tiny_only(spark):
+    """interval_sweep_concurrency may funnel ONLY the per-partition
+    offsets frame (numPartitions rows) into one partition; the basket
+    plan's nested-loop join must be the 1-row scalar broadcast, not a
+    data-data product."""
+    from pangenomesasgraphdatabases_spark.queries.analytics_q import (
+        interval_sweep_concurrency,
+        order_basket_pairs,
+    )
+
+    sweep = _plan(interval_sweep_concurrency(spark, SF))
+    assert sweep.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in sweep
+
+    basket = _plan(order_basket_pairs(spark, SF))
+    assert "CartesianProduct" not in basket
+    # The only nested-loop join allowed is against the one-row
+    # distinct-order count (scalar broadcast).
+    assert basket.count("BroadcastNestedLoopJoin") <= 1
+    assert basket.count("SortMergeJoin") + basket.count("ShuffledHashJoin") + basket.count(
+        "BroadcastHashJoin"
+    ) >= 3
