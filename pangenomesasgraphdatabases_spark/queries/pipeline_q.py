@@ -488,3 +488,70 @@ def doc_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("n_picks"),
         F.expr("cum_w div step > (cum_w - wt) div step").alias("selected"),
     )
+
+
+_H_BITS = 8
+_H_FILES = 64
+_H_SHIFT = (1 << (2 * _H_BITS)) // _H_FILES
+
+
+def _hilbert_oracle() -> str:
+    from pangenomesasgraphdatabases_spark.operators.hilbert import (
+        hilbert_index_oracle_sql,
+    )
+
+    n = 1 << _H_BITS
+    base = (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+        f" CAST(l_partkey % {n} AS BIGINT) AS hx,"
+        f" CAST(l_suppkey % {n} AS BIGINT) AS hy"
+        " FROM lineitem"
+    )
+    inner = hilbert_index_oracle_sql(
+        base, "l_orderkey, l_linenumber, l_partkey, l_suppkey", _H_BITS
+    )
+    return (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, hval,"
+        f" CAST(hval // {_H_SHIFT} AS BIGINT) AS hfile FROM ({inner})"
+    )
+
+
+@register(
+    "lineitem_hilbert_layout",
+    oracle=_hilbert_oracle(),
+    tags=("ext-layout", "hilbert"),
+)
+def lineitem_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key (extension — the locality upgrade of
+    `lineitem_zorder_layout`): maps (l_partkey, l_suppkey) mod 256
+    onto the 256x256 Hilbert curve, so range-partitioning by hval
+    gives every file ONE contiguous curve segment = one compact blob
+    of the 2-D key space.  Unlike the Morton Z, consecutive Hilbert
+    indexes are always grid neighbours, so per-file min/max bounding
+    boxes are strictly tighter on the same data — better parquet
+    file pruning for predicates on either key.  The index is the
+    classic quadrant recursion unrolled to 8 arithmetic steps
+    (div/mod/CASE, whole-stage codegen, no UDF), one expression
+    generator shared with the DuckDB oracle; `hfile` is the 64-way
+    file assignment applied by operators/hilbert.hilbert_repartition.
+
+    Scale shape: map-only (zero shuffles) for the key computation;
+    the layout write is the one repartitionByRange any clustering
+    rewrite needs."""
+    from pangenomesasgraphdatabases_spark.operators.hilbert import (
+        with_hilbert_index,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_hilbert_index(
+        li, "l_partkey", "l_suppkey", _H_BITS, "hval"
+    ).selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "hval",
+        f"CAST(hval div {_H_SHIFT} AS BIGINT) AS hfile",
+    )

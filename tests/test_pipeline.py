@@ -223,3 +223,83 @@ def test_systematic_sample_weight_proportional(spark):
     assert n_sel <= _SYS_K
     assert n_sel >= _SYS_K // 2
     spark.catalog.clearCache()
+
+
+def test_hilbert_reference_properties():
+    """The defining Hilbert properties at two resolutions:
+    bijectivity and unit-stride adjacency (consecutive indexes are
+    grid neighbours) — what Z-order does NOT have."""
+    from pangenomesasgraphdatabases_spark.operators.hilbert import hilbert_d_py
+
+    for bits in (3, 4):
+        n = 1 << bits
+        pos = {}
+        for x in range(n):
+            for y in range(n):
+                pos[hilbert_d_py(x, y, bits)] = (x, y)
+        assert len(pos) == n * n
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_matches_reference(spark):
+    """The unrolled selectExpr chain equals the Python reference on
+    the full 16x16 grid."""
+    from pangenomesasgraphdatabases_spark.operators.hilbert import (
+        hilbert_d_py,
+        with_hilbert_index,
+    )
+
+    bits = 4
+    n = 1 << bits
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.hval
+        for r in with_hilbert_index(df, "x", "y", bits).collect()
+    }
+    for (x, y), hv in got.items():
+        assert hv == hilbert_d_py(x, y, bits)
+
+
+def test_hilbert_tighter_file_bounds_than_zorder():
+    """The layout claim, measured: with file counts ALIGNED to the
+    power-of-4 recursion both curves tile identical rectangles (the
+    honest caveat), but for every unaligned count — the real-world
+    case, where file count is set by target file size, not the curve
+    — Hilbert's unit-stride adjacency gives strictly smaller summed
+    per-file bounding boxes than Morton's seam-jumping Z."""
+    from pangenomesasgraphdatabases_spark.operators.hilbert import hilbert_d_py
+
+    def morton(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    bits = 5
+    n = 1 << bits
+
+    def bbox_area_sum(index_fn, files):
+        boxes = {}
+        for x in range(n):
+            for y in range(n):
+                f = index_fn(x, y, bits) * files // (n * n)
+                lo = boxes.get(f)
+                if lo is None:
+                    boxes[f] = [x, x, y, y]
+                else:
+                    lo[0] = min(lo[0], x); lo[1] = max(lo[1], x)
+                    lo[2] = min(lo[2], y); lo[3] = max(lo[3], y)
+        return sum(
+            (b[1] - b[0] + 1) * (b[3] - b[2] + 1) for b in boxes.values()
+        )
+
+    assert bbox_area_sum(hilbert_d_py, 16) == bbox_area_sum(morton, 16)
+    for files in (3, 5, 6, 7, 12, 24):
+        assert bbox_area_sum(hilbert_d_py, files) < bbox_area_sum(
+            morton, files
+        ), files
