@@ -1820,3 +1820,74 @@ def doc_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    folded AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_chars_counted,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 10000)
+                    AS BIGINT)) AS BIGINT) AS sum_clnc_fx
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, n_distinct_chars, sum_clnc_fx,
+           CAST(round(ln(CAST(n_chars_counted AS DOUBLE)) * 10000) AS BIGINT)
+               - sum_clnc_fx // n_chars_counted AS entropy_fx
+    FROM folded
+    """,
+    tags=("ext-text", "quality", "entropy"),
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (extension — the
+    Gopher-family quality signal that flags boilerplate/repetition and
+    encoding garbage): H = ln(n) - (1/n) * sum(c * ln(c)) over
+    per-character counts, in nats at 1e-4 fixed point.  The ln of each
+    small integer count is quantized BEFORE the per-doc reduction (the
+    unigram-LM trick), so the reduction is an exact integer sum and
+    the closing step is one integer division — no float accumulation
+    order anywhere.  Low entropy = repeated characters/boilerplate;
+    high = diverse text.
+
+    Scale shape: explode to (doc, char) pairs, count (map-side
+    combinable, alphabet-bounded per doc), fold per doc — two shuffles
+    on doc_id-prefixed keys.  The oracle splits on the empty regex;
+    Spark's split('') drops nothing because we filter the empty
+    terminator both sides."""
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    folded = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 10000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_clnc_fx"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        "sum_clnc_fx",
+        (
+            F.round(F.log(F.col("n_chars_counted").cast("double")) * 10000).cast(
+                "bigint"
+            )
+            - F.expr("sum_clnc_fx div n_chars_counted")
+        ).alias("entropy_fx"),
+    )

@@ -1348,3 +1348,145 @@ def emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(y * 10000 + F.lit(0.5)).cast("bigint").cast("string")
         )
     return e.select("vec_id", F.concat_ws(";", *comps).alias("proj_q"))
+
+
+@register(
+    "ann_rrf_fusion",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                   AS dot,
+               sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))
+                   AS qn2,
+               sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                   AS cn2,
+               sum(CASE WHEN i <= 32 THEN CAST(q.embedding[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE) ELSE 0 END) AS dot_t,
+               sum(CASE WHEN i <= 32 THEN CAST(q.embedding[i] AS DOUBLE)
+                        * CAST(q.embedding[i] AS DOUBLE) ELSE 0 END) AS qn2_t,
+               sum(CASE WHEN i <= 32 THEN CAST(c.embedding[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE) ELSE 0 END) AS cn2_t
+        FROM q, c, generate_series(1, 64) t(i)
+        WHERE q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dot / (sqrt(qn2) * sqrt(cn2)), 6) DESC,
+                            neighbor_id ASC) AS rank_full,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dot_t / (sqrt(qn2_t) * sqrt(cn2_t)), 6) DESC,
+                            neighbor_id ASC) AS rank_trunc
+        FROM dots
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(rank_full AS BIGINT) AS rank_full,
+               CAST(rank_trunc AS BIGINT) AS rank_trunc,
+               CAST(CASE WHEN rank_full <= 20
+                         THEN 1000000000 // (60 + rank_full) ELSE 0 END
+                  + CASE WHEN rank_trunc <= 20
+                         THEN 1000000000 // (60 + rank_trunc) ELSE 0 END
+                    AS BIGINT) AS rrf_fx
+        FROM ranked
+    )
+    SELECT query_id, neighbor_id, rank_full, rank_trunc, rrf_fx,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_fx DESC, neighbor_id ASC) AS fused_rank
+        FROM scored s
+    ) WHERE fused_rank <= 10
+    """,
+    tags=("ext-vector", "ann", "fusion"),
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankers (extension —
+    the hybrid-search merge step: in production, BM25 x embedding;
+    here full 64-dim cosine x truncated 32-dim cosine, the
+    matryoshka-style cheap ranker, which genuinely disagrees with the
+    full ranking): each ranker contributes 1e9 div (60 + rank) for
+    its top-20 — classic RRF k=60, lifted to EXACT integer fixed
+    point so the fused score is an order-independent integer sum, no
+    float rank arithmetic.  Fused top-10 per query with both source
+    ranks exposed.  (A cosine-vs-euclidean pairing would be
+    degenerate: the corpus embeddings are unit-norm, making those
+    orders identical.)
+
+    Scale shape: one broadcast of the tiny query set, one candidate
+    pass computing both scores from the SAME pair scan (the truncated
+    accumulators reuse the first 32 products), four row_number
+    windows all partitioned on query_id — one shuffle total.  At
+    scale each ranker would be its own probe-limited index query
+    (IVF-PQ here, an inverted text index there) emitting
+    (query, candidate, rank) — the fusion itself stays this exact
+    integer algebra."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    qt = F.slice(F.col("q_emb"), 1, 32)
+    ct = F.slice(F.col("c_emb"), 1, 32)
+    cos_full = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    cos_trunc = _dot(qt, ct) / (F.sqrt(_dot(qt, qt)) * F.sqrt(_dot(ct, ct)))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos_full, 6).alias("cos_full"),
+        F.round(cos_trunc, 6).alias("cos_trunc"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).cast("bigint").alias("rank_full"),
+        F.row_number().over(w_trunc).cast("bigint").alias("rank_trunc"),
+    )
+    rrf = ranked.withColumn(
+        "rrf_fx",
+        (
+            F.expr(
+                "CASE WHEN rank_full <= 20 THEN 1000000000 div (60 + rank_full)"
+                " ELSE 0 END"
+            )
+            + F.expr(
+                "CASE WHEN rank_trunc <= 20 THEN 1000000000 div (60 + rank_trunc)"
+                " ELSE 0 END"
+            )
+        ).cast("bigint"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_fx"), F.asc("neighbor_id")
+    )
+    return (
+        rrf.withColumn("fused_rank", F.row_number().over(w_f).cast("bigint"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_full",
+            "rank_trunc",
+            "rrf_fx",
+            "fused_rank",
+        )
+    )

@@ -552,3 +552,28 @@ def test_fuzzy_match_blocking_is_exact(spark):
                 want.add(pair)
     assert got == want
     assert any(p[2] == 0 for p in got), "corpus has planted exact dups"
+
+
+def test_char_entropy_orders_quality(spark):
+    """Entropy sanity on crafted docs: a single repeated character
+    gives ~0 nats; uniformly distinct characters approach ln(n); a
+    natural-text doc sits in between."""
+    import math
+    import tempfile
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import doc_char_entropy
+
+    docs = [
+        (1, "aaaaaaaaaaaaaaaa", "en", "s", 16),
+        (2, "abcdefghijklmnop", "en", "s", 16),
+        (3, "the quick brown fox", "en", "s", 19),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(tmp + "/documents.parquet")
+        out = {r.doc_id: r for r in doc_char_entropy(spark, tmp).collect()}
+    assert out[1].entropy_fx == 0
+    assert abs(out[2].entropy_fx - round(math.log(16) * 10000)) <= 1
+    assert 0 < out[3].entropy_fx < out[2].entropy_fx + 10000
+    assert out[2].n_distinct_chars == 16 and out[1].n_distinct_chars == 1

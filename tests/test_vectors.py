@@ -217,3 +217,28 @@ def test_ivfpq_composition_recall(spark):
     assert set(got) == set(exact)
     recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_rrf_fusion_blends_rankers(spark):
+    """RRF must (a) reproduce each contribution exactly as
+    1e9 div (60 + rank) over the top-20, (b) actually blend: the two
+    source rankers disagree somewhere in the corpus (unnormalized
+    vectors), and fused rank 1 tops both contributions."""
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import ann_rrf_fusion
+
+    rows = ann_rrf_fusion(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 50  # 5 queries x top-10
+    for r in rows:
+        want = 0
+        if r.rank_full <= 20:
+            want += 1_000_000_000 // (60 + r.rank_full)
+        if r.rank_trunc <= 20:
+            want += 1_000_000_000 // (60 + r.rank_trunc)
+        assert r.rrf_fx == want
+    assert any(r.rank_full != r.rank_trunc for r in rows), "rankers must disagree"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        top = min(rs, key=lambda r: r.fused_rank)
+        assert top.rrf_fx == max(r.rrf_fx for r in rs)
