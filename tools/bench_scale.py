@@ -39,6 +39,13 @@ QUERIES = [
     "doc_segment_dedup",
     "ann_ivfpq_topk",
     "events_gap_fill",
+    # round-6 extensions: the join/explode/prefix-sum-heavy new ops
+    "doc_fuzzy_match_pairs",
+    "doc_char_entropy",
+    "events_hll_distinct",
+    "events_mannwhitney_value",
+    "order_basket_pairs",
+    "interval_sweep_concurrency",
 ]
 
 GRAPH_SMALL = (770, 6_000)

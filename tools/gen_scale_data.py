@@ -48,6 +48,7 @@ DOC_ID_STRIDE = 1_000_000
 VEC_ID_STRIDE = 1_000_000
 EVENT_ID_STRIDE = 100_000_000
 USER_ID_STRIDE = 1_000_000
+ORDER_KEY_STRIDE = 100_000_000
 
 
 def _rot_alphabet(k: int) -> tuple[str, str]:
@@ -103,7 +104,38 @@ def main() -> None:
         f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/events.parquet' (FORMAT PARQUET)"
     )
 
-    for t in ("documents", "embeddings", "events"):
+    # lineitem + orders: 10 copies with offset order keys and
+    # UNCHANGED part/supp keys and dates — basket-size distribution,
+    # per-part frequencies, and the date range are preserved, so
+    # basket pairs see 10x support per pair and the interval sweep
+    # sees 10x concurrent intervals over the same day spine (the
+    # workload-shape analogue of the documents Caesar trick).
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            f"""SELECT l_orderkey + {k * ORDER_KEY_STRIDE} AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM read_parquet('{SRC}/lineitem.parquet')"""
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            f"""SELECT o_orderkey + {k * ORDER_KEY_STRIDE} AS o_orderkey,
+                   o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM read_parquet('{SRC}/orders.parquet')"""
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/orders.parquet' (FORMAT PARQUET)"
+    )
+
+    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
         ).fetchone()[0]
