@@ -1475,3 +1475,145 @@ def events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_exact_median_2pass",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, vm // {1 << _QH_SHIFT} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_bucket
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bucket, n_bucket,
+               CAST(sum(n_bucket) OVER (PARTITION BY event_type
+                    ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_n
+        FROM hist
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST((count(*) + 1) // 2 AS BIGINT) AS k
+        FROM v GROUP BY 1
+    ),
+    target AS (
+        SELECT t.event_type, t.n, t.k,
+               min(c.bucket) AS bucket
+        FROM tot t JOIN cum c
+          ON t.event_type = c.event_type AND c.cum_n >= t.k
+        GROUP BY 1, 2, 3
+    ),
+    below AS (
+        SELECT tg.event_type,
+               CAST(coalesce(sum(c.n_bucket), 0) AS BIGINT) AS n_below
+        FROM target tg LEFT JOIN cum c
+          ON tg.event_type = c.event_type AND c.bucket < tg.bucket
+        GROUP BY 1
+    ),
+    inbucket AS (
+        SELECT v.event_type, v.vm,
+               row_number() OVER (PARTITION BY v.event_type
+                   ORDER BY v.vm) AS rn
+        FROM v JOIN target tg
+          ON v.event_type = tg.event_type
+         AND v.vm // {1 << _QH_SHIFT} = tg.bucket
+    )
+    SELECT tg.event_type, tg.n, tg.k,
+           CAST(tg.bucket AS BIGINT) AS bucket,
+           i.vm AS median_micro
+    FROM target tg
+    JOIN below b ON tg.event_type = b.event_type
+    JOIN inbucket i
+      ON i.event_type = tg.event_type AND i.rn = tg.k - b.n_below
+    """,
+    tags=("ext-events", "median", "two-pass"),
+)
+def events_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median per event_type WITHOUT a global sort (extension —
+    the two-pass refinement pattern that makes exact order statistics
+    tractable at 100 TB): pass 1 builds the fixed-grid histogram
+    (map-side combinable, tiny) and locates the bucket containing the
+    k-th element plus the count below it; pass 2 ranks ONLY the rows
+    inside that one bucket (a per-group window over ~1/n_buckets of
+    the data) and picks rank k - n_below.  Lower median
+    (k = (n+1) div 2); ties make the value unique regardless of
+    tiebreak.
+
+    Scale shape: the full data is scanned twice but SORTED never; the
+    second pass's window covers one bucket per group — with B buckets
+    the sorted fraction is ~1/B, and a third pass would square that.
+    This is the exact complement of `events_quantile_histogram`'s
+    bounded-error single pass: same sketch, plus one targeted
+    refinement scan."""
+    e = table(spark, sf_dir, "events")
+    width = 1 << _QH_SHIFT
+    v = e.select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    hist = v.groupBy(
+        "event_type", F.expr(f"vm div {width}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_bucket"))
+    cum = hist.withColumn(
+        "cum_n",
+        F.sum("n_bucket").over(
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST((count(1) + 1) div 2 AS BIGINT)").alias("k"),
+    )
+    target = (
+        tot.join(cum, "event_type")
+        .filter(F.col("cum_n") >= F.col("k"))
+        .groupBy("event_type", "n", "k")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    below = (
+        target.select("event_type", F.col("bucket").alias("tb"))
+        .join(cum, "event_type", "left")
+        .filter(F.col("bucket") < F.col("tb"))
+        .groupBy("event_type")
+        .agg(F.sum("n_bucket").cast("bigint").alias("n_below"))
+    )
+    # Groups whose target bucket is the FIRST bucket have no below rows.
+    target_b = target.join(below, "event_type", "left").withColumn(
+        "n_below", F.coalesce("n_below", F.lit(0))
+    )
+    inb = (
+        v.join(
+            F.broadcast(target_b.select("event_type", F.col("bucket").alias("tb"))),
+            "event_type",
+        )
+        .filter(F.expr(f"vm div {width}") == F.col("tb"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("vm")
+            ),
+        )
+    )
+    return (
+        target_b.join(
+            inb.select("event_type", "vm", "rn"),
+            ["event_type"],
+        )
+        .filter(F.col("rn") == F.col("k") - F.col("n_below"))
+        .select(
+            "event_type",
+            "n",
+            "k",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("vm").alias("median_micro"),
+        )
+    )

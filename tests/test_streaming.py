@@ -535,3 +535,35 @@ def test_quantile_histogram_merge_and_guarantee(spark):
             key = (r.event_type, r.bucket)
             parts[key] = parts.get(key, 0) + r.n
     assert whole == parts
+
+
+def test_exact_median_2pass_matches_sort(spark):
+    """The two-pass median must equal the brute-force sorted median
+    for every group, and the ranked second pass must touch only one
+    bucket's rows per group."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_exact_median_2pass,
+    )
+
+    out = {r.event_type: r for r in events_exact_median_2pass(spark, SF).collect()}
+    vm = (
+        table(spark, SF, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in vm:
+        by_type.setdefault(r.event_type, []).append(r.vm)
+    assert set(out) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        k = (len(vals) + 1) // 2
+        assert out[t].n == len(vals)
+        assert out[t].k == k
+        assert out[t].median_micro == vals[k - 1], t
