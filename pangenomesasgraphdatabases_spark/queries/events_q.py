@@ -1346,9 +1346,7 @@ _QH_SHIFT = 20
 _QH_QS = (50, 90, 99)
 
 
-@register(
-    "events_quantile_histogram",
-    oracle=f"""
+_QH_ORACLE = f"""
     WITH v AS (
         SELECT event_type,
                CAST(round(value * 1000000) AS BIGINT) AS vm,
@@ -1398,7 +1396,12 @@ _QH_QS = (50, 90, 99)
            r.vm // {1 << _QH_SHIFT} = e.est_bucket AS in_est_bucket
     FROM est e JOIN ranked r
       ON e.event_type = r.event_type AND r.rn = e.k
-    """,
+    """
+
+
+@register(
+    "events_quantile_histogram",
+    oracle=_QH_ORACLE,
     tags=("ext-events", "sketch", "quantile"),
 )
 def events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,15 +1425,27 @@ def events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops it and keeps the histogram, which answers any quantile
     without re-reading data."""
     e = table(spark, sf_dir, "events")
-    v = e.select(
+    width = 1 << _QH_SHIFT
+    hist = e.select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    ).groupBy(
+        "event_type", F.expr(f"vm div {width}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_bucket"))
+    return _qh_finalize(spark, sf_dir, hist)
+
+
+def _qh_finalize(spark: SparkSession, sf_dir: str, hist: DataFrame) -> DataFrame:
+    """Quantile location + exact verification tier over a materialized
+    (group, bucket, n_bucket) histogram — shared by the batch and
+    streaming sketch builds (the histogram merges by addition, so any
+    build path that sums counts per bucket lands here)."""
+    width = 1 << _QH_SHIFT
+    v = table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
         "event_id",
     )
-    width = 1 << _QH_SHIFT
-    hist = v.groupBy(
-        "event_type", F.expr(f"vm div {width}").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n_bucket"))
     cum = hist.withColumn(
         "cum_n",
         F.sum("n_bucket").over(
@@ -1617,3 +1632,34 @@ def events_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vm").alias("median_micro"),
         )
     )
+
+
+@register(
+    "stream_quantile_histogram",
+    oracle=_QH_ORACLE,
+    tags=("ext-stream", "sketch", "quantile", "streaming"),
+)
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming build of the fixed-grid quantile
+    histogram (extension — the additive-merge twin of
+    stream_hll_distinct's max-merge): the per-(group, bucket) counts
+    are exactly the state a streaming count aggregation keeps, so the
+    sketch build runs as an incremental streaming query (complete
+    mode, AvailableNow) and the quantile location + exact
+    verification tier run batch-side on the materialized histogram.
+    Bucket determinism makes the batch oracle hash-identical."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    width = 1 << _QH_SHIFT
+    stream = events_stream(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    hist_stream = stream.groupBy(
+        "event_type", F.expr(f"vm div {width}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_bucket"))
+    hist = run_available_now(hist_stream, spark, output_mode="complete")
+    return _qh_finalize(spark, sf_dir, hist)

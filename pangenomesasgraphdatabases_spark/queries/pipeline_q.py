@@ -726,3 +726,62 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(1).alias("v")),
     )
     return fk.unionByName(dup).unionByName(rng).unionByName(nn).unionByName(dt)
+
+
+@register(
+    "user_forget_cascade",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_value_micro
+    FROM events
+    WHERE user_id % 97 <> 0
+    GROUP BY 1, 2
+    """,
+    tags=("ext-pipeline", "gdpr", "retraction"),
+)
+def user_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade by RETRACTION algebra (extension
+    — the deletion counterpart of `events_incremental_rollup`'s
+    additive IVM): users with user_id % 97 == 0 request erasure.
+    Instead of rescanning the event log, the maintained hourly rollup
+    subtracts the tombstoned users' partial rollup:
+
+        rollup(remaining) = rollup(all) - rollup(tombstoned)
+
+    computed here as a merge of the full rollup with the NEGATED
+    tombstone partials, dropping groups whose count reaches zero.
+    The oracle recomputes the rollup over the remaining events
+    directly — the driver hash verifies the retraction algebra on
+    real data.
+
+    Scale shape: the erase scans ONLY the tombstoned users' events
+    (a semi-join against the tombstone list — at 100 TB a bucketed /
+    partition-pruned read), never the full log; counts and integer
+    micro sums are abelian-group aggregates, so subtraction is exact
+    and order-independent.  avg-style ratios are derived after the
+    merge, never maintained."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket_start")
+    vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+
+    def rollup(df, sign):
+        return df.groupBy(bucket, "event_type").agg(
+            (F.count(F.lit(1)) * sign).alias("n_events"),
+            (F.sum(vm) * sign).alias("sum_value_micro"),
+        )
+
+    full = rollup(e, F.lit(1))
+    tomb = rollup(e.filter(F.col("user_id") % 97 == 0), F.lit(-1))
+    return (
+        full.unionByName(tomb)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_micro").cast("bigint").alias("sum_value_micro"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

@@ -1490,3 +1490,112 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+@register(
+    "ann_truncation_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                   AS dot,
+               sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))
+                   AS qn2,
+               sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                   AS cn2,
+               sum(CASE WHEN i <= 32 THEN CAST(q.embedding[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE) ELSE 0 END) AS dot_t,
+               sum(CASE WHEN i <= 32 THEN CAST(q.embedding[i] AS DOUBLE)
+                        * CAST(q.embedding[i] AS DOUBLE) ELSE 0 END) AS qn2_t,
+               sum(CASE WHEN i <= 32 THEN CAST(c.embedding[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE) ELSE 0 END) AS cn2_t
+        FROM q, c, generate_series(1, 64) t(i)
+        WHERE q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dot / (sqrt(qn2) * sqrt(cn2)), 6) DESC,
+                            neighbor_id ASC) AS rank_full,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dot_t / (sqrt(qn2_t) * sqrt(cn2_t)), 6) DESC,
+                            neighbor_id ASC) AS rank_trunc
+        FROM dots
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (WHERE rank_full <= 10 AND rank_trunc <= 10)
+                AS BIGINT) AS n_overlap_at_10,
+           CAST(count(*) FILTER (WHERE rank_full <= 10 AND rank_trunc <= 50)
+                AS BIGINT) AS n_recall_at_50,
+           CAST(min(CASE WHEN rank_full = 1 THEN rank_trunc END) AS BIGINT)
+               AS trunc_rank_of_top1
+    FROM ranked
+    GROUP BY query_id
+    """,
+    tags=("ext-vector", "ann", "evaluation"),
+)
+def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the truncated (matryoshka)
+    ranker against the full ranking (extension — the recall@k eval
+    every ANN deployment runs before trading precision for speed):
+    per query, the top-10 overlap, recall@50 (how many of the true
+    top-10 the cheap ranker keeps within its top-50 — the reranking
+    window question), and where the true best neighbour lands in the
+    truncated order.  Pure integer counts over the two rankings; the
+    rankings share one pair scan.
+
+    Scale shape: identical to ann_rrf_fusion — broadcast queries, one
+    candidate pass, windows partitioned by query_id.  In production
+    the same frame evaluates IVF/PQ/int8 variants: swap the second
+    ranking, keep the metric algebra."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    qt = F.slice(F.col("q_emb"), 1, 32)
+    ct = F.slice(F.col("c_emb"), 1, 32)
+    cos_full = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    cos_trunc = _dot(qt, ct) / (F.sqrt(_dot(qt, qt)) * F.sqrt(_dot(ct, ct)))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos_full, 6).alias("cos_full"),
+        F.round(cos_trunc, 6).alias("cos_trunc"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).alias("rank_full"),
+        F.row_number().over(w_trunc).alias("rank_trunc"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.count(F.when((F.col("rank_full") <= 10) & (F.col("rank_trunc") <= 10), 1))
+        .cast("bigint")
+        .alias("n_overlap_at_10"),
+        F.count(F.when((F.col("rank_full") <= 10) & (F.col("rank_trunc") <= 50), 1))
+        .cast("bigint")
+        .alias("n_recall_at_50"),
+        F.min(F.when(F.col("rank_full") == 1, F.col("rank_trunc")))
+        .cast("bigint")
+        .alias("trunc_rank_of_top1"),
+    )

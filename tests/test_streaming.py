@@ -567,3 +567,49 @@ def test_exact_median_2pass_matches_sort(spark):
         assert out[t].n == len(vals)
         assert out[t].k == k
         assert out[t].median_micro == vals[k - 1], t
+
+
+def test_stream_quantile_histogram_matches_batch(spark):
+    """Additive-merge symmetry: the streaming histogram build must be
+    hash-identical to the batch sketch."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_quantile_histogram,
+        stream_quantile_histogram,
+    )
+
+    got = sorted(map(tuple, stream_quantile_histogram(spark, SF).collect()))
+    want = sorted(map(tuple, events_quantile_histogram(spark, SF).collect()))
+    assert got == want
+
+
+def test_forget_cascade_retraction_equals_filter(spark):
+    """rollup(all) - rollup(tombstoned) == rollup(remaining), and the
+    tombstone set is non-empty (else the proof is vacuous)."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        user_forget_cascade,
+    )
+
+    e = table(spark, SF, "events")
+    assert e.filter(F.col("user_id") % 97 == 0).count() > 0
+    got = sorted(map(tuple, user_forget_cascade(spark, SF).collect()))
+    want = sorted(
+        map(
+            tuple,
+            e.filter(F.col("user_id") % 97 != 0)
+            .groupBy(
+                F.unix_timestamp(F.date_trunc("hour", "ts")).alias("b"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+                .cast("bigint")
+                .alias("s"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want

@@ -242,3 +242,23 @@ def test_rrf_fusion_blends_rankers(spark):
     for q, rs in by_q.items():
         top = min(rs, key=lambda r: r.fused_rank)
         assert top.rrf_fx == max(r.rrf_fx for r in rs)
+
+
+def test_truncation_recall_bounds(spark):
+    """Metric sanity: overlap@10 <= 10, recall@50 >= overlap@10, the
+    true top-1's truncated rank is >= 1, and the cheap ranker is
+    imperfect somewhere (some query has overlap < 10) while far from
+    random (every query keeps at least half the true top-10 within
+    its top-50)."""
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        ann_truncation_recall,
+    )
+
+    rows = ann_truncation_recall(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_overlap_at_10 <= 10
+        assert r.n_overlap_at_10 <= r.n_recall_at_50 <= 10
+        assert r.trunc_rank_of_top1 >= 1
+        assert r.n_recall_at_50 >= 5
+    assert any(r.n_overlap_at_10 < 10 for r in rows)
