@@ -1982,3 +1982,103 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("sum_clnc_fx div n_chars_counted")
         ).alias("entropy_fx"),
     )
+
+
+_SH_MAXD = 3  # max Hamming distance; 4 blocks make the blocking exact
+
+
+@register(
+    "doc_simhash_hamming_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {_SIMHASH_GROUPS_SQL}
+        FROM toks
+        GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               printf('%04x', g0) || printf('%04x', g1)
+                   || printf('%04x', g2) || printf('%04x', g3) AS simhash64
+        FROM votes
+    ),
+    blocks AS (
+        SELECT doc_id, g, substr(simhash64, 4 * g + 1, 4) AS blk
+        FROM sig, generate_series(0, {_SIMHASH_GROUPS - 1}) t(g)
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM blocks a JOIN blocks b
+          ON a.g = b.g AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(
+               f'''bit_count(xor(
+                   CAST(('0x' || substr(sa.simhash64, {4 * g + 1}, 4)) AS BIGINT),
+                   CAST(('0x' || substr(sb.simhash64, {4 * g + 1}, 4)) AS BIGINT)))'''
+               for g in range(_SIMHASH_GROUPS)
+           )} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    WHERE {" + ".join(
+        f'''bit_count(xor(
+            CAST(('0x' || substr(sa.simhash64, {4 * g + 1}, 4)) AS BIGINT),
+            CAST(('0x' || substr(sb.simhash64, {4 * g + 1}, 4)) AS BIGINT)))'''
+        for g in range(_SIMHASH_GROUPS)
+    )} <= {_SH_MAXD}
+    """,
+    tags=("ext-text", "dedup", "simhash"),
+)
+def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING (extension — closes the SimHash
+    family: `doc_simhash` computes signatures, this query finds the
+    pairs): documents whose 64-bit SimHashes differ in at most 3
+    bits.  Blocking is the classic block-pigeonhole: the signature
+    splits into 4 sixteen-bit blocks, and Hamming distance <= 3
+    forces at least one block to match EXACTLY — so candidates are an
+    equi-join on (block index, block value) with zero recall loss,
+    and the Hamming verify (XOR + bit_count, pure JVM integer ops)
+    runs only on collisions.  Random 64-bit signatures sit at ~32
+    bits apart, so the threshold has a wide margin.
+
+    Scale shape: the same shape Google's original SimHash dedup paper
+    deploys at web scale — candidates shuffle on block value (4
+    emissions per doc), never the pair space; a hot block (all-zero
+    signatures from empty docs) is the skew watch item, handled by
+    salting that one key if it appears."""
+    sig = simhash_of(table(spark, sf_dir, "documents")).cache()
+    blocks = None
+    for g in range(_SIMHASH_GROUPS):
+        part = sig.select(
+            "doc_id",
+            F.lit(g).alias("g"),
+            F.substring("simhash64", 4 * g + 1, 4).alias("blk"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.select(
+        F.col("doc_id").alias("a_id"), "g", F.col("blk").alias("blk")
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("b_id"), "g", F.col("blk").alias("blk")
+    )
+    cand = (
+        a.join(b, ["g", "blk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sb"))
+    ham = simhash_hamming(F.col("sa"), F.col("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(ham <= _SH_MAXD)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+    )

@@ -1,0 +1,98 @@
+"""Property tests for the mergeable-sketch family: the guarantees the
+queries hash (one-sidedness, mergeability, bucket containment) must
+hold on ADVERSARIAL inputs, not just the driver testdata."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60)
+)
+@SLOW
+def test_cms_one_sided_on_random_multisets(spark, keys):
+    """est >= exact for every key of any multiset, even at width 2
+    (maximal collisions)."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import cms_counts
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    out = cms_counts(df, "user_id", depth=2, width=2).collect()
+    assert {r.user_id for r in out} == set(keys)
+    for r in out:
+        assert r.est_n >= r.exact_n == keys.count(r.user_id)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=80
+    ),
+    split=st.integers(min_value=0, max_value=7),
+)
+@SLOW
+def test_hll_registers_merge_invariant(spark, keys, split):
+    """Any partition of the input into shards max-merges to the same
+    registers as the one-shot build — the property that makes the
+    sketch safe to build incrementally / distributed."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import hll_registers
+
+    df = spark.createDataFrame([(k, "g") for k in keys], "k long, grp string")
+    whole = sorted(
+        map(tuple, hll_registers(df, "k", ["grp"], p=4).collect())
+    )
+    sh1 = hll_registers(
+        df.filter(F.col("k") % 8 <= split), "k", ["grp"], p=4
+    )
+    sh2 = hll_registers(
+        df.filter(F.col("k") % 8 > split), "k", ["grp"], p=4
+    )
+    merged = sorted(
+        map(
+            tuple,
+            sh1.unionByName(sh2)
+            .groupBy("grp", "reg")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .collect(),
+        )
+    )
+    assert whole == merged
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**7), max_value=10**7),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SLOW
+def test_bloom_has_no_false_negatives(spark, vals):
+    """Every corpus member probed against the filter must hit — the
+    one-sided Bloom guarantee on arbitrary integer corpora."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _BLOOM_K,
+        _bloom_bit,
+    )
+
+    df = spark.createDataFrame([(v,) for v in set(vals)], "x long").select(
+        F.md5(F.col("x").cast("string")).alias("fp")
+    )
+    bits = None
+    for j in range(_BLOOM_K):
+        part = df.select(F.lit(j).alias("j"), _bloom_bit(j, F.col("fp")).alias("bit"))
+        bits = part if bits is None else bits.unionByName(part)
+    present = {(r.j, r.bit) for r in bits.distinct().collect()}
+    probes = bits.collect()
+    for r in probes:
+        assert (r.j, r.bit) in present

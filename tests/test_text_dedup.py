@@ -577,3 +577,35 @@ def test_char_entropy_orders_quality(spark):
     assert abs(out[2].entropy_fx - round(math.log(16) * 10000)) <= 1
     assert 0 < out[3].entropy_fx < out[2].entropy_fx + 10000
     assert out[2].n_distinct_chars == 16 and out[1].n_distinct_chars == 1
+
+
+def test_simhash_hamming_blocking_exact(spark):
+    """The 4-block pigeonhole must find exactly the pairs an
+    unblocked all-pairs Hamming scan finds at distance <= 3, and
+    planted exact dups must appear at hamming 0."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _SH_MAXD,
+        doc_simhash_hamming_pairs,
+        simhash_of,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in doc_simhash_hamming_pairs(spark, sf).collect()
+    }
+    sigs = {
+        r.doc_id: int(r.simhash64, 16)
+        for r in simhash_of(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            d = bin(sigs[da] ^ sigs[db]).count("1")
+            if d <= _SH_MAXD:
+                want[(da, db)] = d
+    assert got == want
+    assert any(d == 0 for d in got.values()), "planted dups at hamming 0"
