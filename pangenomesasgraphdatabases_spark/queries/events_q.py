@@ -1663,3 +1663,121 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_bucket"))
     hist = run_available_now(hist_stream, spark, output_mode="complete")
     return _qh_finalize(spark, sf_dir, hist)
+
+
+_WHLL_P = 4  # m=16 registers: distinct users per window (~150) sits
+#              in the raw regime (> 2.5m = 40); SE ~= 1.04/4 = 26%
+
+
+def _whll_oracle() -> str:
+    p = _WHLL_P
+    m = 1 << p
+    w_len = 48 - p
+    scale = 1 << (w_len + 1)
+    num = repr(_hll_alpha(m) * m * m * scale)
+    bits = " + ".join(f"CAST(w >= {1 << j} AS BIGINT)" for j in range(w_len))
+    return f"""
+    WITH ev AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT)
+                   AS bucket,
+               CAST(user_id AS VARCHAR) AS k
+        FROM events
+    ),
+    hashed AS (
+        SELECT bucket,
+               CAST(('0x' || substr(md5('hll' || k), 1, 12)) AS BIGINT) AS h
+        FROM ev
+    ),
+    rho AS (
+        SELECT bucket, h % {m} AS reg, {w_len + 1} - ({bits}) AS rho
+        FROM (SELECT bucket, h, h // {m} AS w FROM hashed)
+    ),
+    bregs AS (
+        SELECT bucket, reg, max(rho) AS max_rho
+        FROM rho GROUP BY bucket, reg
+    ),
+    wregs AS (
+        SELECT b.bucket - offs.o AS window_start, b.reg,
+               max(b.max_rho) AS max_rho
+        FROM bregs b, (SELECT unnest([0, 900, 1800, 2700]) AS o) offs
+        GROUP BY 1, 2
+    ),
+    folded AS (
+        SELECT window_start,
+               CAST(sum(CAST(1 AS BIGINT) << ({w_len + 1} - max_rho))
+                    + ({m} - count(*)) * {scale} AS BIGINT) AS sum_fx,
+               CAST({m} - count(*) AS BIGINT) AS n_zero_registers
+        FROM wregs GROUP BY window_start
+    ),
+    est AS (
+        SELECT window_start,
+               CAST(floor({num} / CAST(sum_fx AS DOUBLE)) AS BIGINT)
+                   AS est_distinct,
+               n_zero_registers
+        FROM folded
+    ),
+    exact AS (
+        SELECT e.bucket - offs.o AS window_start,
+               CAST(count(DISTINCT e.k) AS BIGINT) AS exact_distinct
+        FROM ev e, (SELECT unnest([0, 900, 1800, 2700]) AS o) offs
+        GROUP BY 1
+    )
+    SELECT x.window_start, x.exact_distinct, e.est_distinct,
+           e.n_zero_registers,
+           abs(e.est_distinct - x.exact_distinct) AS abs_err
+    FROM exact x JOIN est e USING (window_start)
+    """
+
+
+@register(
+    "events_windowed_hll_rollup",
+    oracle=_whll_oracle(),
+    tags=("ext-events", "sketch", "hll", "window"),
+)
+def events_windowed_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users answered from PRE-AGGREGATED
+    HLL sketches (extension — the production rollup pattern: raw data
+    is scanned once into per-15-min register frames, and ANY window
+    is answered by max-merging stored sketches, never re-reading
+    events): 1-hour windows sliding every 15 minutes, each merging 4
+    bucket sketches (m=16 registers; the ~150-user cardinality sits
+    in the raw estimator regime, standard error ~26%).  The exact
+    per-window distinct count rides along as the verification tier.
+
+    Scale shape: the event scan builds bucket sketches map-side
+    (bounded state: m rows per bucket); window answers touch ONLY
+    sketch rows (4m per window).  This is the algebra a streaming
+    foreachBatch store or a warehouse rollup table uses — windows,
+    retention ranges, or ad-hoc date spans all merge from the same
+    bucket sketches."""
+    e = table(spark, sf_dir, "events")
+    bucketed = e.select(
+        F.expr("((ts_ns div 1000000000) div 900) * 900")
+        .cast("bigint")
+        .alias("bucket"),
+        F.col("user_id").alias("k"),
+    )
+    bregs = hll_registers(bucketed, "k", ["bucket"], _WHLL_P)
+    offs = F.array(*[F.lit(o) for o in (0, 900, 1800, 2700)])
+    wregs = (
+        bregs.select(
+            F.explode(offs).alias("o"), "bucket", "reg", "max_rho"
+        )
+        .select((F.col("bucket") - F.col("o")).alias("window_start"), "reg", "max_rho")
+        .groupBy("window_start", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = hll_estimate_from_registers(wregs, ["window_start"], _WHLL_P)
+    exact = (
+        bucketed.select(F.explode(offs).alias("o"), "bucket", "k")
+        .select((F.col("bucket") - F.col("o")).alias("window_start"), "k")
+        .groupBy("window_start")
+        .agg(F.count_distinct("k").alias("exact_distinct"))
+    )
+    return exact.join(est, "window_start").select(
+        "window_start",
+        "exact_distinct",
+        "est_distinct",
+        "n_zero_registers",
+        F.abs(F.col("est_distinct") - F.col("exact_distinct")).alias("abs_err"),
+    )

@@ -613,3 +613,37 @@ def test_forget_cascade_retraction_equals_filter(spark):
         )
     )
     assert got == want
+
+
+def test_windowed_hll_rollup_answers_from_sketches(spark):
+    """The window estimate must equal an HLL built DIRECTLY on the
+    window's raw members (merge-from-buckets loses nothing), and the
+    exact tier must match a brute-force window distinct count."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        _WHLL_P,
+        events_windowed_hll_rollup,
+        hll_distinct,
+    )
+
+    out = {r.window_start: r for r in events_windowed_hll_rollup(spark, SF).collect()}
+    assert out, "windows exist"
+    e = table(spark, SF, "events").select(
+        F.expr("((ts_ns div 1000000000) div 900) * 900").alias("bucket"),
+        F.col("user_id").alias("k"),
+    )
+    exploded = e.select(
+        F.explode(F.array(*[F.lit(o) for o in (0, 900, 1800, 2700)])).alias("o"),
+        "bucket",
+        "k",
+    ).select((F.col("bucket") - F.col("o")).alias("window_start"), "k")
+    direct = {
+        r.window_start: r
+        for r in hll_distinct(exploded, "k", ["window_start"], _WHLL_P).collect()
+    }
+    assert set(out) == set(direct)
+    for w, r in out.items():
+        assert r.est_distinct == direct[w].est_distinct, w
+        assert r.exact_distinct == direct[w].exact_distinct, w
