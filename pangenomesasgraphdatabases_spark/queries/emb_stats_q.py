@@ -27,7 +27,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pangenomesasgraphdatabases_spark.data import table
@@ -692,4 +692,80 @@ def emb_power_iteration_pc2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         _lit_proj(v).alias("pc1"),
         _lit_proj(u).alias("pc2"),
+    )
+
+
+@register(
+    "emb_ood_scores",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 127) AS BIGINT) AS qv
+        FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    dims AS (
+        SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY i
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    scores AS (
+        SELECT q.vec_id, q.label,
+               CAST(sum((q.qv * n.n - d.s) * (q.qv * n.n - d.s)) AS BIGINT)
+                   AS score_n2
+        FROM q JOIN dims d ON q.i = d.i CROSS JOIN n
+        GROUP BY q.vec_id, q.label
+    )
+    SELECT vec_id, label, score_n2, CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT s.*, row_number() OVER (ORDER BY score_n2 DESC, vec_id) AS rk
+        FROM scores s
+    ) WHERE rk <= 50
+    """,
+    tags=("ext-vector", "ood", "quality"),
+)
+def emb_ood_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution scoring for embeddings (extension — the
+    outlier filter an embedding-quality pipeline runs before
+    training): distance-to-centroid computed entirely in EXACT
+    integers on the int8-quantized space (q = round(x * 127);
+    score_n2 = sum over dims of (q*n - s_d)^2, i.e. n^2 times the
+    squared distance to the quantized mean — no float mean, no
+    accumulation-order hazard).  Top-50 most-distant vectors with
+    global rank; deterministic tie-break on vec_id.
+
+    Scale shape: one map pass quantizes; per-dim sums are a 64-row
+    aggregate broadcast back; the per-vector score is a second
+    map-side fold, and only the global top-50 sorts (TakeOrdered —
+    heap per partition, no full shuffle).  Caveat at extreme n: the
+    q*n term overflows int64 around n ~ 3e9 vectors — swap to a
+    fixed-point quantized mean there, same algebra."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * 127).cast("bigint").alias("qv"),
+    )
+    dims = q.groupBy("i").agg(F.sum("qv").alias("s"))
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    scores = (
+        q.join(F.broadcast(dims), "i")
+        .crossJoin(F.broadcast(n))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("qv") * F.col("n") - F.col("s"))
+                * (F.col("qv") * F.col("n") - F.col("s"))
+            )
+            .cast("bigint")
+            .alias("score_n2")
+        )
+    )
+    w = Window.orderBy(F.desc("score_n2"), F.asc("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 50)
     )

@@ -262,3 +262,34 @@ def test_truncation_recall_bounds(spark):
         assert r.trunc_rank_of_top1 >= 1
         assert r.n_recall_at_50 >= 5
     assert any(r.n_overlap_at_10 < 10 for r in rows)
+
+
+def test_ood_scores_find_planted_outlier(spark):
+    """A vector far from the corpus mean must rank first, and
+    score_n2 must equal the exact integer n^2 * squared distance to
+    the quantized centroid computed in Python."""
+    import tempfile
+
+    from pangenomesasgraphdatabases_spark.queries.emb_stats_q import emb_ood_scores
+
+    dims = 64
+    rows = []
+    for i in range(40):
+        v = [0.1] * dims
+        v[i % dims] = 0.2
+        rows.append((i, v, 0))
+    rows.append((99, [-1.0] * dims, 1))  # planted outlier
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(tmp + "/embeddings.parquet")
+        out = emb_ood_scores(spark, tmp).collect()
+
+    top = min(out, key=lambda r: r.rank)
+    assert top.vec_id == 99
+
+    qs = {r[0]: [round(float(x) * 127) for x in r[1]] for r in rows}
+    n = len(rows)
+    s = [sum(q[d] for q in qs.values()) for d in range(dims)]
+    want99 = sum((qs[99][d] * n - s[d]) ** 2 for d in range(dims))
+    assert top.score_n2 == want99
