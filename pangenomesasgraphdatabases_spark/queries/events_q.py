@@ -1781,3 +1781,102 @@ def events_windowed_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_registers",
         F.abs(F.col("est_distinct") - F.col("exact_distinct")).alias("abs_err"),
     )
+
+
+@register(
+    "events_attribution_touchpoints",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS age_us,
+               row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn_last,
+               row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.ts ASC, c.event_id ASC) AS rn_first,
+               count(*) OVER (PARTITION BY p.event_id) AS n_touches
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 24 HOURS
+    )
+    SELECT l.purchase_id, l.user_id,
+           f.click_id AS first_touch_id,
+           l.click_id AS last_touch_id,
+           l.age_us AS last_touch_age_us,
+           CAST(l.n_touches AS BIGINT) AS n_touches
+    FROM pairs l JOIN pairs f
+      ON l.purchase_id = f.purchase_id AND l.rn_last = 1 AND f.rn_first = 1
+    """,
+    tags=("ext-events", "attribution", "asof-join"),
+)
+def events_attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution touchpoint resolution (extension — the
+    inverse direction of `events_asof_join`): for every purchase, the
+    FIRST-touch and LAST-touch click within the preceding 24 hours,
+    plus the touch count — the three numbers first-touch / last-touch
+    / multi-touch attribution models divide credit over.  Ties break
+    on (ts, event_id) in both engines.
+
+    Scale shape: one user-keyed range join (bounded by the 24 h
+    horizon — the same bucketing bound as the as-of join), then two
+    row_number windows and a count sharing ONE purchase_id partition
+    sort.  At 100 TB the horizon bound is what keeps the join linear:
+    each purchase meets only its own user's day of clicks."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("age_us"),
+        "cts",
+    )
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.desc("cts"), F.desc("click_id")
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy(
+        F.asc("cts"), F.asc("click_id")
+    )
+    w_cnt = Window.partitionBy("purchase_id")
+    marked = pairs.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "age_us",
+        F.row_number().over(w_last).alias("rn_last"),
+        F.row_number().over(w_first).alias("rn_first"),
+        F.count(F.lit(1)).over(w_cnt).cast("bigint").alias("n_touches"),
+    )
+    last = marked.filter(F.col("rn_last") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("click_id").alias("last_touch_id"),
+        F.col("age_us").alias("last_touch_age_us"),
+        "n_touches",
+    )
+    first = marked.filter(F.col("rn_first") == 1).select(
+        "purchase_id", F.col("click_id").alias("first_touch_id")
+    )
+    return last.join(first, "purchase_id").select(
+        "purchase_id",
+        "user_id",
+        "first_touch_id",
+        "last_touch_id",
+        "last_touch_age_us",
+        "n_touches",
+    )

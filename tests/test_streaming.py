@@ -647,3 +647,43 @@ def test_windowed_hll_rollup_answers_from_sketches(spark):
     for w, r in out.items():
         assert r.est_distinct == direct[w].est_distinct, w
         assert r.exact_distinct == direct[w].exact_distinct, w
+
+
+def test_attribution_first_last_and_count(spark):
+    """Crafted history: purchase with 3 prior clicks inside 24h picks
+    the earliest as first touch, the latest as last touch, counts 3;
+    clicks outside the horizon or after the purchase don't count;
+    purchases with no touch are absent."""
+    import datetime as dt
+    import tempfile
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_attribution_touchpoints,
+    )
+
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+    def row(eid, hours, user, typ):
+        ts = t0 + dt.timedelta(hours=hours)
+        return (eid, int(ts.timestamp() * 1_000_000) * 1000, user, typ, 1.0, "{}")
+
+    rows = [
+        row(1, -30.0, 1, "click"),   # outside 24h horizon
+        row(2, -5.0, 1, "click"),    # first touch
+        row(3, -2.0, 1, "click"),
+        row(4, -0.5, 1, "click"),    # last touch
+        row(5, 0.0, 1, "purchase"),
+        row(6, 1.0, 1, "click"),     # after purchase
+        row(7, 0.0, 2, "purchase"),  # user 2: no clicks at all
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).write.parquet(tmp + "/events.parquet")
+        out = events_attribution_touchpoints(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.purchase_id, r.first_touch_id, r.last_touch_id, r.n_touches) == (
+        5, 2, 4, 3,
+    )
+    assert r.last_touch_age_us == int(0.5 * 3600 * 1_000_000)
