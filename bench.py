@@ -43,6 +43,11 @@ HEADLINE = [
     "emb_pq_codes",
     "doc_segment_dedup",
     "events_gap_fill",
+    # r6 session 2: the join-heavy extension operators, tracked from birth
+    "doc_fuzzy_match_pairs",
+    "order_basket_pairs",
+    "interval_sweep_concurrency",
+    "events_hll_distinct",
 ]
 
 

@@ -785,3 +785,99 @@ def user_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") > 0)
     )
+
+
+@register(
+    "orders_merge_into",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                    WHEN o_orderkey % 13 = 0 THEN 'U' END AS op,
+               CAST(round(o_totalprice * 110) AS BIGINT) AS new_price_cents
+        FROM orders
+        WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'I',
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderkey % 19 = 0
+    )
+    SELECT t.o_orderkey,
+           coalesce(t.o_custkey, -1) AS o_custkey,
+           t.price_cents,
+           t.src
+    FROM (
+        SELECT o.o_orderkey, o.o_custkey,
+               CASE WHEN c.op = 'U' THEN c.new_price_cents
+                    ELSE CAST(round(o.o_totalprice * 100) AS BIGINT) END
+                   AS price_cents,
+               CASE WHEN c.op = 'U' THEN 'updated' ELSE 'kept' END AS src
+        FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op = 'U'
+        UNION ALL
+        SELECT c.o_orderkey, NULL, c.new_price_cents, 'inserted'
+        FROM changes c
+        WHERE c.op = 'I'
+    ) t
+    """,
+    tags=("ext-pipeline", "merge", "upsert"),
+)
+def orders_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (extension — the
+    lakehouse upsert: WHEN MATCHED AND op='U' THEN UPDATE, WHEN
+    MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED THEN INSERT),
+    expressed Spark-first as ONE outer-join pass over the snapshot:
+    a deterministic change batch (updates for orderkey % 13, deletes
+    for % 17, inserts for % 19 at offset keys) applies in a single
+    left join + filter + union, producing the next snapshot version
+    with per-row provenance (`kept`/`updated`/`inserted`).  Prices
+    in integer cents.
+
+    Scale shape: the snapshot-side scan joins the (much smaller)
+    change batch on the merge key — broadcast when the batch fits,
+    shuffle-on-key otherwise; deletes are a filter on the same join,
+    never a second pass.  This is exactly the shuffle plan a
+    Delta/Iceberg MERGE compiles to, minus the transaction-log
+    bookkeeping."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.round(F.col("o_totalprice") * 110).cast("bigint").alias("price110_cents"),
+    )
+    upd_del = o.filter(
+        (F.col("o_orderkey") % 17 == 0) | (F.col("o_orderkey") % 13 == 0)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 17 == 0, "D").otherwise("U").alias("op"),
+        F.col("price110_cents").alias("new_price_cents"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.col("price_cents").alias("new_price_cents"),
+    )
+    matched = (
+        o.join(F.broadcast(upd_del), "o_orderkey", "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("op") == "U", F.col("new_price_cents"))
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+            F.when(F.col("op") == "U", "updated").otherwise("kept").alias("src"),
+        )
+    )
+    inserted = ins.select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.col("new_price_cents").alias("price_cents"),
+        F.lit("inserted").alias("src"),
+    )
+    return matched.unionByName(inserted).select(
+        "o_orderkey",
+        F.coalesce("o_custkey", F.lit(-1)).alias("o_custkey"),
+        "price_cents",
+        "src",
+    )

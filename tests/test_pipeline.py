@@ -303,3 +303,47 @@ def test_hilbert_tighter_file_bounds_than_zorder():
         assert bbox_area_sum(hilbert_d_py, files) < bbox_area_sum(
             morton, files
         ), files
+
+
+def test_merge_into_semantics(spark):
+    """MERGE semantics row-by-row: deletes gone, updates repriced at
+    110 cents-per-unit, inserts present at offset keys with src
+    'inserted', untouched rows intact — and the next snapshot's size
+    equals base - deletes + inserts."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        orders_merge_into,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.o_orderkey: r for r in orders_merge_into(spark, sf).collect()}
+    base = {
+        r.o_orderkey: r
+        for r in table(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+            F.round(F.col("o_totalprice") * 110).cast("bigint").alias("pc110"),
+        )
+        .collect()
+    }
+    n_del = n_upd = n_ins = 0
+    for k, b in base.items():
+        if k % 17 == 0:
+            assert k not in out, "deleted row survived"
+            n_del += 1
+        elif k % 13 == 0:
+            assert out[k].price_cents == b.pc110 and out[k].src == "updated"
+            n_upd += 1
+        else:
+            assert out[k].price_cents == b.pc and out[k].src == "kept"
+        if k % 19 == 0:
+            ins = out[k + 100000000]
+            assert ins.src == "inserted" and ins.price_cents == b.pc
+            assert ins.o_custkey == -1
+            n_ins += 1
+    assert len(out) == len(base) - n_del + n_ins
+    assert n_del > 0 and n_upd > 0 and n_ins > 0
