@@ -881,3 +881,97 @@ def orders_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents",
         "src",
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    nxt AS (
+        SELECT o.o_orderkey,
+               CASE WHEN o.o_orderkey % 13 = 0 AND o.o_orderkey % 17 <> 0
+                    THEN CAST(round(o.o_totalprice * 110) AS BIGINT)
+                    ELSE CAST(round(o.o_totalprice * 100) AS BIGINT) END
+                   AS price_cents
+        FROM orders o WHERE o.o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderkey % 19 = 0
+    )
+    SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           b.price_cents AS old_price_cents,
+           n.price_cents AS new_price_cents
+    FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey
+    WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR b.price_cents <> n.price_cents
+    """,
+    tags=("ext-pipeline", "diff", "audit"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (extension — the audit complement of
+    `orders_merge_into`): compares the base orders snapshot against
+    the post-merge version (reconstructed from the same deterministic
+    change rules) and emits ONLY the rows that differ, labeled
+    added / removed / changed with old and new values.  This is the
+    time-travel "what changed between versions" query a lakehouse
+    table log answers; on plain parquet it is one full-outer join on
+    the key with a value-inequality filter.
+
+    Scale shape: a key-keyed full outer join (bucketed/co-partitioned
+    at deployment); unchanged rows — the overwhelming majority — are
+    filtered before any downstream work, so the diff output is
+    change-sized, not table-sized."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.round(F.col("o_totalprice") * 110).cast("bigint").alias("price110_cents"),
+    )
+    base = o.select("o_orderkey", "price_cents")
+    nxt = (
+        o.filter(F.col("o_orderkey") % 17 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                (F.col("o_orderkey") % 13 == 0), F.col("price110_cents")
+            )
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 19 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "price_cents",
+            )
+        )
+    )
+    b = base.select(
+        F.col("o_orderkey").alias("b_key"), F.col("price_cents").alias("old_price_cents")
+    )
+    n = nxt.select(
+        F.col("o_orderkey").alias("n_key"), F.col("price_cents").alias("new_price_cents")
+    )
+    return (
+        b.join(n, b.b_key == n.n_key, "full_outer")
+        .filter(
+            F.col("b_key").isNull()
+            | F.col("n_key").isNull()
+            | (F.col("old_price_cents") != F.col("new_price_cents"))
+        )
+        .select(
+            F.coalesce("b_key", "n_key").alias("o_orderkey"),
+            F.when(F.col("b_key").isNull(), "added")
+            .when(F.col("n_key").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            "old_price_cents",
+            "new_price_cents",
+        )
+    )

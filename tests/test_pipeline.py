@@ -347,3 +347,39 @@ def test_merge_into_semantics(spark):
             n_ins += 1
     assert len(out) == len(base) - n_del + n_ins
     assert n_del > 0 and n_upd > 0 and n_ins > 0
+
+
+def test_snapshot_diff_is_change_sized_and_consistent(spark):
+    """The diff must contain exactly the merge's deletions (removed),
+    repricings (changed, old != new), and insertions (added) — and
+    nothing else."""
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        orders_snapshot_diff,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = orders_snapshot_diff(spark, sf).collect()
+    base_keys = {
+        r.o_orderkey
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    }
+    for r in rows:
+        if r.change == "removed":
+            assert r.o_orderkey % 17 == 0 and r.new_price_cents is None
+        elif r.change == "changed":
+            assert r.o_orderkey % 13 == 0 and r.o_orderkey % 17 != 0
+            assert r.old_price_cents != r.new_price_cents
+        else:
+            assert r.change == "added"
+            assert (r.o_orderkey - 100000000) in base_keys
+            assert r.old_price_cents is None
+    want_removed = sum(1 for k in base_keys if k % 17 == 0)
+    want_changed = sum(1 for k in base_keys if k % 13 == 0 and k % 17 != 0)
+    want_added = sum(1 for k in base_keys if k % 19 == 0)
+    got = {c: sum(1 for r in rows if r.change == c) for c in
+           ("removed", "changed", "added")}
+    assert got == {
+        "removed": want_removed, "changed": want_changed, "added": want_added,
+    }

@@ -253,3 +253,29 @@ def test_sweep_and_basket_single_partition_is_tiny_only(spark):
     assert basket.count("SortMergeJoin") + basket.count("ShuffledHashJoin") + basket.count(
         "BroadcastHashJoin"
     ) >= 3
+
+
+def test_new_join_ops_stay_equi_joined(spark):
+    """The round-6 join operators (attribution range join, MERGE,
+    snapshot diff, SimHash pairing) must never compile to a
+    cartesian product; MERGE's change batch must broadcast."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_attribution_touchpoints,
+    )
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        orders_merge_into,
+        orders_snapshot_diff,
+    )
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_simhash_hamming_pairs,
+    )
+
+    for fn in (
+        events_attribution_touchpoints,
+        orders_merge_into,
+        orders_snapshot_diff,
+        doc_simhash_hamming_pairs,
+    ):
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+    assert "BroadcastHashJoin" in _plan(orders_merge_into(spark, SF))
