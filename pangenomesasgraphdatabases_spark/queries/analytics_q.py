@@ -7,7 +7,7 @@ array surface (F12 exists/any; A4 explode-with-position).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pangenomesasgraphdatabases_spark.data import table
@@ -255,4 +255,63 @@ def order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("lift_micro"),
         )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(max(epoch(o_orderdate)) AS BIGINT) AS last_order_es,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order_es, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY last_order_es, o_custkey) AS BIGINT)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT)
+               AS m_score
+    FROM rfm
+    """,
+    tags=("ext-analytics", "rfm", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (extension — the classic
+    recency/frequency/monetary scoring): per customer, last order
+    time, order count, and lifetime cents, each scored into ntile(5)
+    quintiles with a deterministic (value, custkey) total order so
+    both engines assign identical buckets.  Higher = more recent /
+    frequent / valuable.
+
+    Scale shape: one groupBy on custkey, then three ntile windows.
+    The windows are GLOBAL orderings — the honest cost of exact
+    quintiles; at 100 TB you swap ntile for thresholds from
+    `events_quantile_histogram`'s sketch (score = bucket lookup,
+    map-only) and keep this exact form as the auditable spec.  The
+    customer aggregate frame (one row per customer) is already ~1000x
+    smaller than orders."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate")).cast("bigint").alias("last_order_es"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    w_r = Window.orderBy("last_order_es", "o_custkey")
+    w_f = Window.orderBy("frequency", "o_custkey")
+    w_m = Window.orderBy("monetary_cents", "o_custkey")
+    return rfm.select(
+        "o_custkey",
+        "last_order_es",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
     )

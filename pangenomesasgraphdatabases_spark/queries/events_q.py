@@ -1880,3 +1880,58 @@ def events_attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFram
         "last_touch_age_us",
         "n_touches",
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n, tt.n_from,
+           CAST(t.n * 1000000 // tt.n_from AS BIGINT) AS p_micro
+    FROM trans t JOIN totals tt USING (prev_type)
+    """,
+    tags=("ext-events", "markov", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (extension — the behavioural-model / next-event-
+    prediction primitive): events order by full-resolution time per
+    user, each (previous type -> next type) step counts once, and
+    row-normalized transition probabilities come out in exact integer
+    micros (count * 1e6 div row total).
+
+    Scale shape: one lag window per user partition (the sessionize
+    shuffle), then a 25-cell aggregate (|types|^2) — the matrix is
+    vocabulary-sized, not data-sized, and partial matrices from
+    shards merge by adding counts (the rollup algebra again)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return trans.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_from",
+        F.expr("n * 1000000 div n_from").cast("bigint").alias("p_micro"),
+    )

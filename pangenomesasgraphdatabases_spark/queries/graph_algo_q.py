@@ -662,3 +662,102 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("community_size"),
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH adj AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cdeg AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS cdeg FROM adj GROUP BY cust
+    ),
+    sdeg AS (
+        SELECT supp, CAST(count(*) AS BIGINT) AS sdeg FROM adj GROUP BY supp
+    ),
+    pairs AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b, a.cust
+        FROM adj a JOIN adj b
+          ON a.cust = b.cust AND a.supp < b.supp
+    ),
+    scored AS (
+        SELECT p.supp_a, p.supp_b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(10000000000 //
+                    CAST(round(ln(CAST(c.cdeg AS DOUBLE)) * 10000) AS BIGINT))
+                    AS BIGINT) AS adamic_adar_fx
+        FROM pairs p JOIN cdeg c ON p.cust = c.cust
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT s.supp_a, s.supp_b, s.common_neighbors,
+           CAST(s.common_neighbors * 1000000
+                // (da.sdeg + db.sdeg - s.common_neighbors) AS BIGINT)
+               AS jaccard_micro,
+           s.adamic_adar_fx
+    FROM scored s
+    JOIN sdeg da ON s.supp_a = da.supp
+    JOIN sdeg db ON s.supp_b = db.supp
+    """,
+    tags=("ext-graph", "link-prediction"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier one-mode projection of the
+    customer-supplier purchase graph (extension — the
+    common-neighbors / Jaccard / Adamic-Adar triple every graph-ML
+    feature pipeline starts from): supplier pairs sharing >= 3
+    customers, scored by raw common-neighbour count, Jaccard of
+    their customer sets in integer micros, and Adamic-Adar — the
+    degree-discounted sum 1/ln(deg(z)) — in exact fixed point (each
+    customer's ln(deg) quantized to 1e-4 BEFORE the integer-division
+    contribution, so the per-pair reduction is an exact integer sum;
+    shared neighbours always have degree >= 2, so ln > 0).
+
+    Scale shape: pair generation explodes per-customer supplier sets
+    (the basket-pairs shape — sum of per-customer |set|^2, bounded by
+    the busiest customer; salting that hub is the 100 TB watch item);
+    the common-neighbors >= 3 floor prunes the pair tail before the
+    degree joins; degree frames are node-sized and broadcastable."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    adj = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    cdeg = adj.groupBy("cust").agg(F.count(F.lit(1)).alias("cdeg"))
+    sdeg = adj.groupBy("supp").agg(F.count(F.lit(1)).alias("sdeg"))
+    a = adj.select("cust", F.col("supp").alias("supp_a"))
+    b = adj.select("cust", F.col("supp").alias("supp_b"))
+    pairs = a.join(b, "cust").filter(F.col("supp_a") < F.col("supp_b"))
+    aa_term = F.expr(
+        "10000000000 div CAST(round(ln(CAST(cdeg AS DOUBLE)) * 10000) AS BIGINT)"
+    )
+    scored = (
+        pairs.join(F.broadcast(cdeg), "cust")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(aa_term).cast("bigint").alias("adamic_adar_fx"),
+        )
+        .filter(F.col("common_neighbors") >= 3)
+    )
+    da = sdeg.select(F.col("supp").alias("supp_a"), F.col("sdeg").alias("da"))
+    db = sdeg.select(F.col("supp").alias("supp_b"), F.col("sdeg").alias("db"))
+    return (
+        scored.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_neighbors",
+            F.expr(
+                "common_neighbors * 1000000 div (da + db - common_neighbors)"
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+            "adamic_adar_fx",
+        )
+    )

@@ -526,3 +526,96 @@ def test_data_quality_checks_find_known_defect(spark):
         assert rows[name].n_violations == 0, name
         assert rows[name].n_total > 0
     assert rows["unique_lineitem_line"].n_violations > 0
+
+
+def test_rfm_quintiles_balanced_and_monotone(spark):
+    """ntile(5) buckets differ in size by at most one per dimension,
+    and a higher score never has a smaller dimension value at the
+    boundary (monotone by construction of the total order)."""
+    from collections import Counter
+
+    from pangenomesasgraphdatabases_spark.queries.analytics_q import (
+        customer_rfm_segments,
+    )
+
+    rows = customer_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    for col, val in (
+        ("r_score", "last_order_es"),
+        ("f_score", "frequency"),
+        ("m_score", "monetary_cents"),
+    ):
+        sizes = Counter(getattr(r, col) for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        by_score = sorted(rows, key=lambda r: (getattr(r, col), getattr(r, val)))
+        maxes = {}
+        for r in rows:
+            s = getattr(r, col)
+            maxes.setdefault(s, []).append(getattr(r, val))
+        for s in range(1, 5):
+            assert min(maxes[s + 1]) >= min(maxes[s])
+
+
+def test_markov_rows_normalize_and_count_steps(spark):
+    """Per-from-state probabilities sum to ~1e6 (integer division
+    truncation only) and total transitions = events - users-with-
+    events."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_markov_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_markov_transitions(spark, sf).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.prev_type, []).append(r)
+    for ft, rs in by_from.items():
+        total_p = sum(r.p_micro for r in rs)
+        assert 1_000_000 - len(rs) < total_p <= 1_000_000, ft
+        assert all(r.n_from == rs[0].n_from for r in rs)
+        assert sum(r.n for r in rs) == rs[0].n_from
+    e = table(spark, sf, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_link_prediction_scores_consistent(spark):
+    """Jaccard <= 1e6; common_neighbors <= min degree; Adamic-Adar of
+    a pair equals the Python recomputation from the adjacency."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        graph_link_prediction,
+    )
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    rows = graph_link_prediction(spark, sf).collect()
+    assert rows, "pairs exist at sf0.001"
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    adj = {
+        (r.o_custkey, r.l_suppkey)
+        for r in li.join(od, li.l_orderkey == od.o_orderkey).collect()
+    }
+    by_supp = {}
+    cdeg = {}
+    for c, s in adj:
+        by_supp.setdefault(s, set()).add(c)
+        cdeg[c] = cdeg.get(c, 0) + 1
+    for r in rows[:20]:
+        ca, cb = by_supp[r.supp_a], by_supp[r.supp_b]
+        common = ca & cb
+        assert r.common_neighbors == len(common) >= 3
+        assert r.jaccard_micro == len(common) * 1_000_000 // len(ca | cb)
+        want_aa = sum(
+            10_000_000_000 // round(math.log(cdeg[z]) * 10000) for z in common
+        )
+        assert r.adamic_adar_fx == want_aa
