@@ -315,3 +315,78 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
         F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
     )
+
+
+@register(
+    "orders_ols_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400
+                   - (SELECT min(CAST(epoch(o_orderdate) AS BIGINT) // 86400)
+                      FROM orders) AS x,
+               CAST(round(o_totalprice) AS BIGINT) AS y
+        FROM orders
+    ),
+    acc AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, sx, sy, sxy, sxx,
+           CAST((n * sxy - sx * sy) // (n * sxx - sx * sx) * 1000
+                + ((n * sxy - sx * sy) % (n * sxx - sx * sx)) * 1000
+                  // (n * sxx - sx * sx) AS BIGINT) AS slope_milli
+    FROM acc
+    """,
+    tags=("ext-analytics", "regression", "ols"),
+)
+def orders_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed ordinary-least-squares trend per order
+    priority (extension — the per-group regression a metrics pipeline
+    fits without collecting points): slope of order value (whole
+    currency units) over days since the first order, from the five
+    classic accumulators (n, Σx, Σy, Σxy, Σx²) — each an exact
+    integer sum, so the fit is order-independent and identical on
+    both engines.  The slope emits in exact milli-units via STAGED
+    integer division (quotient*1000 + remainder*1000 div denominator)
+    because numerator × 1000 would overflow int64 at this data scale
+    — the standard fixed-point trick for high-magnitude exact
+    ratios.
+
+    Scale shape: one map-side-combinable aggregation; the global min
+    day is one scalar subquery (broadcast).  Accumulators merge by
+    addition across shards — the same rollup algebra as the
+    incremental pipeline, so the fit maintains incrementally too."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400")
+    min_day = o.agg(F.min(day).alias("d0"))
+    pts = o.crossJoin(F.broadcast(min_day)).select(
+        "o_orderpriority",
+        (day - F.col("d0")).alias("x"),
+        F.round("o_totalprice").cast("bigint").alias("y"),
+    )
+    acc = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return acc.select(
+        "o_orderpriority",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(
+            "CAST((n * sxy - sx * sy) div (n * sxx - sx * sx) * 1000"
+            " + ((n * sxy - sx * sy) % (n * sxx - sx * sx)) * 1000"
+            "   div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_milli"),
+    )

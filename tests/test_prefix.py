@@ -127,3 +127,41 @@ def test_basket_pairs_measures(spark):
         assert r.conf_a_to_b_micro == r.support * 1_000_000 // r.freq_a
         assert r.conf_a_to_b_micro <= 1_000_000
         assert r.lift_micro > 0
+
+
+def test_ols_trend_matches_exact_rational(spark):
+    """slope_milli equals the exact rational (n*sxy - sx*sy)/(n*sxx -
+    sx^2) scaled by 1000 and truncated toward zero — verified against
+    Python's Fraction on the raw points, including negative slopes."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.analytics_q import (
+        orders_ols_trend,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.o_orderpriority: r for r in orders_ols_trend(spark, sf).collect()}
+    o = table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400").alias("d"),
+        F.round("o_totalprice").cast("bigint").alias("y"),
+    )
+    pts = o.collect()
+    d0 = min(r.d for r in pts)
+    by_p = {}
+    for r in pts:
+        by_p.setdefault(r.o_orderpriority, []).append((r.d - d0, r.y))
+    assert any(rows[p].slope_milli < 0 for p in rows), "negative slope case"
+    for p, xy in by_p.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        frac = Fraction(n * sxy - sx * sy, n * sxx - sx * sx) * 1000
+        want = int(frac)  # truncation toward zero, matching div/%
+        assert rows[p].slope_milli == want, p
+        assert (rows[p].n, rows[p].sx, rows[p].sy) == (n, sx, sy)
