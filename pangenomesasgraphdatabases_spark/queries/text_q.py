@@ -2082,3 +2082,94 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= _SH_MAXD)
         .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
     )
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, string_split(trim(text), ' ')[i] AS tok
+        FROM documents, generate_series(1, 2000) t(i)
+        WHERE i <= len(string_split(trim(text), ' '))
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM bigrams GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cb GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks
+    ),
+    lp AS (
+        SELECT cb.w1, cb.w2,
+               CAST(round(ln((CAST(cb.c2 AS DOUBLE) + 1.0)
+                             / (c1.c1 + vocab.v)) * 10000) AS BIGINT) AS lp_fx
+        FROM cb JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(l.lp_fx) AS BIGINT) AS sum_lp_fx
+    FROM bigrams g JOIN lp l ON g.w1 = l.w1 AND g.w2 = l.w2
+    GROUP BY g.doc_id
+    """,
+    tags=("ext-text", "quality", "lm"),
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model log-probability per document with
+    add-one smoothing (extension — the context-aware upgrade of
+    `doc_unigram_logprob`, one step closer to the KenLM perplexity
+    filters real curation uses): each adjacent token pair scores
+    ln((c(w1,w2) + 1) / (c(w1) + V)), quantized to 1e-4 fixed point
+    PER DISTINCT BIGRAM TYPE, so the per-doc reduction is an exact
+    integer sum.  Smoothing keeps unseen continuations finite; low
+    sums flag incoherent/shuffled text that unigram frequency alone
+    cannot see.
+
+    Scale shape: bigram formation is a per-doc positional self-join
+    (equi-join on doc_id and pos+1 — Spark uses one lag window, the
+    declared semantics are identical); the bigram count table is
+    corpus-bigram-typed (Zipf head → AQE skew handling on the join
+    back, the unigram lesson); V is one scalar broadcast."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    bigrams = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    cb = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = cb.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    v = toks.agg(F.count_distinct("tok").alias("v"))
+    lp = (
+        cb.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c2").cast("double") + 1.0) / (F.col("c1") + F.col("v")))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("lp_fx"),
+        )
+    )
+    return (
+        bigrams.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_fx").cast("bigint").alias("sum_lp_fx"),
+        )
+    )

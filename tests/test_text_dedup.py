@@ -609,3 +609,49 @@ def test_simhash_hamming_blocking_exact(spark):
                 want[(da, db)] = d
     assert got == want
     assert any(d == 0 for d in got.values()), "planted dups at hamming 0"
+
+
+def test_bigram_logprob_contextual(spark):
+    """Bigram scoring is context-aware where unigram is blind: over a
+    corpus where 'a b' always co-occur but 'a c' never does, the doc
+    containing the unseen transition scores strictly lower per bigram
+    despite identical unigram frequencies; counts and smoothing match
+    a Python recomputation."""
+    import math
+    import tempfile
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import doc_bigram_logprob
+
+    docs = [
+        (1, "a b a b a b", "en", "s", 11),
+        (2, "a b a b a b", "en", "s", 11),
+        (3, "b a c b a c", "en", "s", 11),  # 'a c' unseen elsewhere
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(tmp + "/documents.parquet")
+        out = {r.doc_id: r for r in doc_bigram_logprob(spark, tmp).collect()}
+
+    toks = {i: docs[i - 1][1].split() for i in (1, 2, 3)}
+    from collections import Counter
+
+    big = Counter()
+    for ts in toks.values():
+        big.update(zip(ts, ts[1:]))
+    c1 = Counter()
+    for (w1, _), c in big.items():
+        c1[w1] += c
+    vocab = len({w for ts in toks.values() for w in ts})
+    for i in (1, 2, 3):
+        want = sum(
+            round(math.log((big[bg] + 1) / (c1[bg[0]] + vocab)) * 10000)
+            for bg in zip(toks[i], toks[i][1:])
+        )
+        assert out[i].sum_lp_fx == want, i
+        assert out[i].n_bigrams == len(toks[i]) - 1
+    # per-bigram average: doc 3 (with rare transitions) scores lower
+    assert (
+        out[3].sum_lp_fx / out[3].n_bigrams
+        < out[1].sum_lp_fx / out[1].n_bigrams
+    )
