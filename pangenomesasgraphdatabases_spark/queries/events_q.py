@@ -1935,3 +1935,67 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from",
         F.expr("n * 1000000 div n_from").cast("bigint").alias("p_micro"),
     )
+
+
+@register(
+    "stream_cms_counts",
+    oracle=f"""
+    WITH {_CMS_ORACLE_CTES}
+    SELECT CAST(e.uid AS BIGINT) AS user_id, e.exact_n, m.est_n,
+           m.est_n >= e.exact_n AS never_undercounts,
+           m.est_n - e.exact_n AS overcount
+    FROM exact e JOIN est m ON e.uid = m.uid
+    """,
+    tags=("ext-stream", "sketch", "cms", "streaming"),
+)
+def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming build of the Count-Min sketch
+    (extension — completes the streaming-sketch symmetry: HLL merges
+    by MAX, the quantile histogram and CMS by ADDITION): the d x w
+    cell counts are exactly the state a streaming count aggregation
+    keeps, so the sketch builds as an incremental query (complete
+    mode, AvailableNow) and the per-key point estimates + exact
+    verification tier run batch-side on the materialized cells.
+    Cell determinism makes the batch CMS oracle hash-identical."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir).select("user_id")
+    hashed = None
+    for r in range(_CMS_D):
+        part = stream.select(
+            "user_id",
+            F.lit(r).alias("r"),
+            _cms_cell(f"cms{r}", "user_id", _CMS_W).alias("cell"),
+        )
+        hashed = part if hashed is None else hashed.unionByName(part)
+    sketch_stream = hashed.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    sketch = run_available_now(sketch_stream, spark, output_mode="complete")
+
+    e = table(spark, sf_dir, "events").select("user_id")
+    ucells = None
+    for r in range(_CMS_D):
+        part = e.select(
+            "user_id",
+            F.lit(r).alias("r"),
+            _cms_cell(f"cms{r}", "user_id", _CMS_W).alias("cell"),
+        )
+        ucells = part if ucells is None else ucells.unionByName(part)
+    est = (
+        ucells.distinct()
+        .join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("n_cell").alias("est_n"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("never_undercounts"),
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )

@@ -2173,3 +2173,100 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp_fx").cast("bigint").alias("sum_lp_fx"),
         )
     )
+
+
+_LSH_EVAL_TAU = 0.5  # verified threshold the banding targets
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_HASHED_SQL},
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM shingles GROUP BY doc_id),
+    truth_inter AS (
+        SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM shingles s1 JOIN shingles s2
+          ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT t.doc1, t.doc2, t.n_common,
+               round(CAST(t.n_common AS DOUBLE)
+                     / (z1.sz + z2.sz - t.n_common), 4) AS jaccard
+        FROM truth_inter t
+        JOIN sizes z1 ON t.doc1 = z1.doc_id
+        JOIN sizes z2 ON t.doc2 = z2.doc_id
+        WHERE CAST(t.n_common AS DOUBLE) / (z1.sz + z2.sz - t.n_common)
+              >= {_LSH_EVAL_TAU}
+    )
+    SELECT tr.doc1, tr.doc2, tr.n_common, tr.jaccard,
+           c.doc1 IS NOT NULL AS found_by_lsh
+    FROM truth tr LEFT JOIN cand c
+      ON tr.doc1 = c.doc1 AND tr.doc2 = c.doc2
+    """,
+    tags=("ext-text", "dedup", "evaluation"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the MinHash-LSH banding against exact
+    ground truth (extension — the dedup counterpart of
+    `ann_truncation_recall`): TRUTH = every pair with exact shingle
+    Jaccard >= 0.5, computed from the UNPRUNED shingle inverted index
+    (exhaustive for J > 0, since such a pair shares a shingle by
+    definition — the brute-force yardstick, like ann_bruteforce); the
+    LSH banding's precision is 1 by construction (it verifies exact
+    Jaccard on candidates), so recall — which true pairs the 16x4
+    s-curve surfaces — is THE metric, emitted per pair as
+    `found_by_lsh`.
+
+    Scale shape: the truth side is deliberately the expensive
+    yardstick (unpruned index join; its hot-shingle keys are exactly
+    why production uses docfreq pruning + banding) — run it on an
+    audit sample, not the corpus; the candidate side is the
+    production plan being graded."""
+    sh = _shingles(spark, sf_dir).cache()
+    cand = lsh_candidate_pairs(minhash_sig_of(sh)).withColumn(
+        "found", F.lit(True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    truth = (
+        inter.join(z1, "doc1")
+        .join(z2, "doc2")
+        .filter(jac >= _LSH_EVAL_TAU)
+        .select("doc1", "doc2", "n_common", F.round(jac, 4).alias("jaccard"))
+    )
+    return truth.join(cand, ["doc1", "doc2"], "left").select(
+        "doc1",
+        "doc2",
+        "n_common",
+        "jaccard",
+        F.coalesce("found", F.lit(False)).alias("found_by_lsh"),
+    )

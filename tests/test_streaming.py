@@ -687,3 +687,17 @@ def test_attribution_first_last_and_count(spark):
         5, 2, 4, 3,
     )
     assert r.last_touch_age_us == int(0.5 * 3600 * 1_000_000)
+
+
+def test_stream_cms_matches_batch(spark):
+    """The streaming CMS cell build must be hash-identical to the
+    batch sketch — additive merge symmetry, like the quantile
+    histogram."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_cms_counts,
+        stream_cms_counts,
+    )
+
+    got = sorted(map(tuple, stream_cms_counts(spark, SF).collect()))
+    want = sorted(map(tuple, events_cms_counts(spark, SF).collect()))
+    assert got == want

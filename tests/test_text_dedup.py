@@ -655,3 +655,20 @@ def test_bigram_logprob_contextual(spark):
         out[3].sum_lp_fx / out[3].n_bigrams
         < out[1].sum_lp_fx / out[1].n_bigrams
     )
+
+
+def test_lsh_recall_truth_superset_and_planted_dups_found(spark):
+    """Truth pairs are exactly the exact-Jaccard >= tau set; planted
+    dups (J ~= 0.99) exist and the 16x4 banding finds ALL of them —
+    far above the s-curve midpoint P(candidate) ~ 1."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import dedup_lsh_recall
+
+    rows = dedup_lsh_recall(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "truth pairs exist"
+    near = [r for r in rows if r.jaccard >= 0.95]
+    assert near, "planted near-dups at J >= 0.95"
+    # Far above the s-curve midpoint, P(candidate) is ~1 - recall on
+    # the planted tier must be total.
+    assert all(r.found_by_lsh for r in near)
+    for r in rows:
+        assert r.jaccard >= 0.5
