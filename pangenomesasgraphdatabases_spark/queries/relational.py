@@ -595,3 +595,64 @@ def collect_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("l_returnflag")), ";").alias("flags"),
         F.countDistinct("l_returnflag").alias("n_flags"),
     )
+
+
+@register(
+    "regional_revenue_q5",
+    oracle="""
+    SELECT n.n_name AS nation,
+           r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice
+                    * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    tags=("ext-olap", "tpch-q5", "J1"),
+)
+def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local-supplier revenue by nation and region
+    (extension; the one query exercising ALL six relational tables in
+    a single plan, including the classic same-nation join between the
+    customer and supplier sides): revenue in exact integer cents with
+    the discount applied before quantization.
+
+    Scale shape: the canonical star plan — lineitem-orders is the one
+    big-big shuffle (bucketed/co-located at deployment), customer /
+    supplier / nation / region are dimensions Catalyst broadcasts;
+    the same-nation predicate rides the supplier broadcast join, not
+    a separate shuffle.  Plan-tested for >= 3 broadcast joins."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

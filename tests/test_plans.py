@@ -279,3 +279,17 @@ def test_new_join_ops_stay_equi_joined(spark):
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, fn.__name__
     assert "BroadcastHashJoin" in _plan(orders_merge_into(spark, SF))
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    """The six-table Q5 plan keeps ONE big-big shuffle join
+    (lineitem-orders); customer/supplier/nation/region ride broadcast
+    joins."""
+    from pangenomesasgraphdatabases_spark.queries.relational import (
+        regional_revenue_q5,
+    )
+
+    plan = _plan(regional_revenue_q5(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
