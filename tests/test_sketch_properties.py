@@ -96,3 +96,62 @@ def test_bloom_has_no_false_negatives(spark, vals):
     probes = bits.collect()
     for r in probes:
         assert (r.j, r.bit) in present
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=60),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_passjoin_exact_recall_on_random_text(spark, texts, tmp_path_factory):
+    """PassJoin + short-prefix fallback must find EXACTLY the pairs
+    the declared predicate admits, on adversarial random strings —
+    including prefixes shorter than 40 chars (the fallback path the
+    driver corpus never exercises) and repeated characters (hot
+    segment values)."""
+    import re
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _FUZZ_LEN,
+        _FUZZ_MAXD,
+        _FUZZ_PFX,
+        doc_fuzzy_match_pairs,
+    )
+
+    def norm_prefix(t):
+        return re.sub(r"\s+", " ", t.strip()).lower()[:_FUZZ_PFX]
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    tmp = tmp_path_factory.mktemp("fz")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in doc_fuzzy_match_pairs(spark, str(tmp)).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if abs(a[4] - b[4]) > _FUZZ_LEN:
+                continue
+            if lev(norm_prefix(a[1]), norm_prefix(b[1])) <= _FUZZ_MAXD:
+                want.add((a[0], b[0]))
+    assert got == want

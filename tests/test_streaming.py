@@ -701,3 +701,53 @@ def test_stream_cms_matches_batch(spark):
     got = sorted(map(tuple, stream_cms_counts(spark, SF).collect()))
     want = sorted(map(tuple, events_cms_counts(spark, SF).collect()))
     assert got == want
+
+
+def test_hll_register_store_incremental_equals_batch(spark, tmp_path):
+    """The foreachBatch register store, fed the events in multiple
+    micro-batches, must max-merge to EXACTLY the registers of a
+    one-shot batch build — and a rerun with the same checkpoint adds
+    nothing (exactly-once via the offset log + idempotent per-batch
+    dirs)."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import hll_registers
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        hll_register_store_sink,
+        read_merged_registers,
+    )
+
+    src = str(tmp_path / "src")
+    e = table(spark, SF, "events").select(
+        "event_type", F.col("event_id").cast("string").alias("k")
+    )
+    e.repartition(4).write.parquet(src)  # several files -> several batches
+    schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+        q = hll_register_store_sink(stream, "k", ["event_type"], store, ckpt)
+        assert q.awaitTermination(120)
+
+    run()
+    import glob
+
+    n_dirs = len(glob.glob(store + "/batch_id=*"))
+    assert n_dirs >= 2, "multiple micro-batches expected"
+    merged = sorted(
+        map(tuple, read_merged_registers(spark, store, ["event_type"]).collect())
+    )
+    want = sorted(map(tuple, hll_registers(e, "k", ["event_type"], 6).collect()))
+    assert merged == want
+
+    run()  # same checkpoint: no new partials
+    assert len(glob.glob(store + "/batch_id=*")) == n_dirs
