@@ -1999,3 +1999,60 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_n") >= F.col("exact_n")).alias("never_undercounts"),
         (F.col("est_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+@register(
+    "events_pit_features",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id,
+               CAST(epoch(ts) AS BIGINT) AS es,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, vm AS value_micro,
+           CAST(count(*) OVER w AS BIGINT) AS n_prior_7d,
+           CAST(coalesce(sum(vm) OVER w, 0) AS BIGINT) AS sum_prior_7d_micro,
+           CAST(CASE WHEN count(*) OVER w > 0
+                THEN (sum(vm) OVER w) // (count(*) OVER w) END AS BIGINT)
+               AS avg_prior_7d_micro
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+    """,
+    tags=("ext-events", "feature-store", "point-in-time"),
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature aggregation (extension — the
+    feature-store primitive that prevents label leakage): for every
+    purchase, the user's trailing 7-day purchase count/sum/average
+    computed over a RANGE frame that ends 1 second BEFORE the current
+    event — the feature a model would have seen at serving time,
+    never including the event being scored or same-instant peers.
+    Value-defined frames are tie-order independent, so both engines
+    agree without tie-break columns; the average is an exact integer
+    division of exact integer accumulators.
+
+    Scale shape: one shuffle on user_id and one ordered frame scan
+    per user — the identical plan shape to sessionize; the range
+    bound keeps per-row work proportional to the 7-day event density,
+    not history length."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    es = F.expr("ts_ns div 1000000000")
+    vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+    v = e.select("event_id", "user_id", es.alias("es"), vm.alias("vm"))
+    v.createOrReplaceTempView("_pit_v")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, vm AS value_micro,
+               CAST(count(*) OVER w AS BIGINT) AS n_prior_7d,
+               CAST(coalesce(sum(vm) OVER w, 0) AS BIGINT)
+                   AS sum_prior_7d_micro,
+               CAST(CASE WHEN count(*) OVER w > 0
+                    THEN (sum(vm) OVER w) div (count(*) OVER w) END AS BIGINT)
+                   AS avg_prior_7d_micro
+        FROM _pit_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+        """
+    )

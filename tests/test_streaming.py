@@ -751,3 +751,54 @@ def test_hll_register_store_incremental_equals_batch(spark, tmp_path):
 
     run()  # same checkpoint: no new partials
     assert len(glob.glob(store + "/batch_id=*")) == n_dirs
+
+
+def test_pit_features_no_leakage(spark):
+    """Point-in-time correctness on a crafted history: the current
+    event and same-second peers are NEVER in their own feature
+    window; events beyond 7 days age out; the trailing stats match a
+    Python replay."""
+    import datetime as dt
+    import tempfile
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_pit_features,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+    def row(eid, days, user, val):
+        ts = t0 + dt.timedelta(days=days)
+        return (
+            eid,
+            int(ts.timestamp() * 1_000_000) * 1000,
+            user,
+            "purchase",
+            float(val),
+            "{}",
+        )
+
+    rows = [
+        row(1, -10.0, 1, 100),  # beyond 7d of everything later
+        row(2, -3.0, 1, 10),
+        row(3, -1.0, 1, 20),
+        row(4, 0.0, 1, 30),     # same second as 5
+        row(5, 0.0, 1, 40),     # same second as 4
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).write.parquet(tmp + "/events.parquet")
+        out = {r.event_id: r for r in events_pit_features(spark, tmp).collect()}
+
+    assert out[1].n_prior_7d == 0 and out[1].avg_prior_7d_micro is None
+    # event 1 sits EXACTLY 7 days before event 2: the RANGE bound is
+    # inclusive, so it is still visible there...
+    assert out[2].n_prior_7d == 1 and out[2].sum_prior_7d_micro == 100_000_000
+    # ...and aged out two days later.
+    assert out[3].n_prior_7d == 1 and out[3].sum_prior_7d_micro == 10_000_000
+    # events 4 and 5 share a second: each sees ONLY events 2 and 3.
+    for eid in (4, 5):
+        assert out[eid].n_prior_7d == 2
+        assert out[eid].sum_prior_7d_micro == 30_000_000
+        assert out[eid].avg_prior_7d_micro == 15_000_000
