@@ -2056,3 +2056,150 @@ def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
         """
     )
+
+
+@register(
+    "events_seasonal_profile",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST((CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                     // 3600) % 24 AS BIGINT) AS hour_of_day,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    hod AS (
+        SELECT event_type, hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS sum_micro
+        FROM v GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_total,
+               CAST(sum(sum_micro) AS BIGINT) AS sum_total
+        FROM hod GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_of_day, h.n_events,
+           CAST(h.sum_micro // h.n_events AS BIGINT) AS mean_micro,
+           CAST(h.n_events * 24 * 1000 // t.n_total AS BIGINT)
+               AS volume_lift_milli
+    FROM hod h JOIN tot t USING (event_type)
+    """,
+    tags=("ext-events", "seasonality", "timeseries"),
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type (extension —
+    the decomposition baseline of time-series anomaly detection: a
+    'seasonal naive' forecaster IS this table): per (type, hour),
+    event count, exact integer mean value, and the volume lift vs a
+    uniform 24-hour split in milli-units (1000 = flat; >1000 = that
+    hour is busier than average).  Hour derivation goes through the
+    aligned bucket (integer epoch of time_bucket), dodging the
+    double-epoch rounding at sub-second boundaries.
+
+    Scale shape: one map-side-combinable aggregation to 24 x |types|
+    cells; profiles merge across shards/days by adding counts and
+    sums — the rollup algebra — so the baseline maintains
+    incrementally and any anomaly scorer joins against a
+    KB-sized broadcast table."""
+    e = table(spark, sf_dir, "events")
+    hod = F.expr(
+        "((unix_timestamp(date_trunc('hour', ts)) div 3600) % 24)"
+    ).cast("bigint")
+    vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+    h = e.groupBy("event_type", hod.alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(vm).cast("bigint").alias("sum_micro"),
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_total"),
+    )
+    return h.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.expr("sum_micro div n_events").cast("bigint").alias("mean_micro"),
+        F.expr("n_events * 24 * 1000 div n_total")
+        .cast("bigint")
+        .alias("volume_lift_milli"),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH buckets AS (
+        SELECT event_type,
+               CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               lag(x) OVER (PARTITION BY event_type ORDER BY bucket) AS xp
+        FROM buckets
+    ),
+    acc AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(CASE WHEN xp IS NOT NULL THEN x * xp ELSE 0 END)
+                    AS BIGINT) AS sxxp,
+               CAST(count(xp) AS BIGINT) AS n_pairs
+        FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n, n_pairs, sx, sxx, sxxp,
+           CAST((n * sxxp - sx * sx) // (n * sxx - sx * sx) * 1000
+                + ((n * sxxp - sx * sx) % (n * sxx - sx * sx)) * 1000
+                  // (n * sxx - sx * sx) AS BIGINT) AS autocorr_milli
+    FROM acc
+    """,
+    tags=("ext-events", "autocorrelation", "timeseries"),
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type
+    (extension — the burstiness / temporal-dependence statistic that
+    decides whether a rate forecast needs more than the seasonal
+    baseline): the circular-style estimator
+    (n*sum(x_t*x_{t-1}) - sx^2) / (n*sxx - sx^2) from exact integer
+    accumulators, emitted in milli-units via the same staged integer
+    division as the OLS slope (both engines truncate identically).
+    Near 0 = hourly counts are independent; near 1000 = strongly
+    persistent.
+
+    Scale shape: the series is the bucket table (tiny), the lag is a
+    per-type window over it, and the accumulators merge by addition
+    — identical cost profile to the incremental rollup."""
+    e = table(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = buckets.withColumn("xp", F.lag("x").over(w))
+    acc = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(
+            F.when(F.col("xp").isNotNull(), F.col("x") * F.col("xp")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sxxp"),
+        F.count("xp").cast("bigint").alias("n_pairs"),
+    )
+    return acc.select(
+        "event_type",
+        "n",
+        "n_pairs",
+        "sx",
+        "sxx",
+        "sxxp",
+        F.expr(
+            "CAST((n * sxxp - sx * sx) div (n * sxx - sx * sx) * 1000"
+            " + ((n * sxxp - sx * sx) % (n * sxx - sx * sx)) * 1000"
+            "   div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("autocorr_milli"),
+    )

@@ -802,3 +802,68 @@ def test_pit_features_no_leakage(spark):
         assert out[eid].n_prior_7d == 2
         assert out[eid].sum_prior_7d_micro == 30_000_000
         assert out[eid].avg_prior_7d_micro == 15_000_000
+
+
+def test_seasonal_profile_partitions_and_lift(spark):
+    """Per type: hour counts sum to the type total, lift averages to
+    ~1000 milli (uniform-split normalization), and means are the
+    exact integer division of the per-cell sums."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_seasonal_profile,
+    )
+
+    rows = events_seasonal_profile(spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    e = table(spark, SF, "events")
+    totals = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for t, rs in by_type.items():
+        assert sum(r.n_events for r in rs) == totals[t]
+        assert 0 <= len(rs) <= 24
+        mean_lift = sum(r.volume_lift_milli for r in rs) / len(rs)
+        assert abs(mean_lift - 1000) < 50
+
+
+def test_autocorr_bounded_and_exact(spark):
+    """autocorr_milli stays in [-1000, 1000] + truncation slack, and
+    matches a Fraction recomputation from the bucket series."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_autocorr_lag1,
+    )
+
+    rows = {r.event_type: r for r in events_autocorr_lag1(spark, SF).collect()}
+    e = table(spark, SF, "events")
+    buckets = (
+        e.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in buckets:
+        series.setdefault(r.event_type, []).append((r.b, r.x))
+    for t, pts in series.items():
+        xs = [x for _, x in sorted(pts)]
+        n = len(xs)
+        sx = sum(xs)
+        sxx = sum(x * x for x in xs)
+        sxxp = sum(a * b for a, b in zip(xs[1:], xs[:-1]))
+        got = rows[t]
+        assert (got.n, got.sx, got.sxx, got.sxxp) == (n, sx, sxx, sxxp)
+        want = int(Fraction(n * sxxp - sx * sx, n * sxx - sx * sx) * 1000)
+        assert got.autocorr_milli == want
+        assert -1100 <= got.autocorr_milli <= 1100
