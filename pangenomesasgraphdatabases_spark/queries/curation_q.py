@@ -359,3 +359,50 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cs - n_tok) div {_PACK_BUDGET}").alias("seq_id"),
         ((F.col("cs") - F.col("n_tok")) % _PACK_BUDGET).alias("offset_in_seq"),
     )
+
+
+_KFOLD = 5
+
+
+@register(
+    "doc_kfold_split",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST((rk - 1) % {_KFOLD} AS BIGINT) AS fold,
+           CAST(rk AS BIGINT) AS shuffle_rank
+    FROM ranked
+    """,
+    tags=("ext-curation", "cross-validation", "sampling"),
+)
+def doc_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment (extension — the cross-validation
+    counterpart of `doc_train_split`): documents shuffle
+    deterministically WITHIN each source (md5 rank), then deal
+    round-robin into {_KFOLD} folds — every fold holds an equal
+    (±1) share of every source, and reruns/engines agree exactly.
+    Round-robin over the hash order is the stratified dealing that
+    per-doc `hash mod k` cannot give (mod-k is only balanced in
+    expectation; dealing is balanced by construction).
+
+    Scale shape: one window rank per source partition (same cost
+    envelope as `doc_domain_mixture`); at 100 TB the per-source sort
+    is the price of exact balance — the documented trade against the
+    mod-k approximation."""
+    d = table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        ((rk - 1) % _KFOLD).cast("bigint").alias("fold"),
+        rk.cast("bigint").alias("shuffle_rank"),
+    )

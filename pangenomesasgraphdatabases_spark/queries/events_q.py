@@ -2203,3 +2203,119 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   div (n * sxx - sx * sx) AS BIGINT)"
         ).alias("autocorr_milli"),
     )
+
+
+# Windowed heavy hitters: per-hour CMS partials (depth 4 x width 128)
+# + the phi = 2% per-window threshold.
+_WHH_PHI_DEN = 50  # threshold = N_window div 50
+
+
+@register(
+    "events_windowed_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS window_start,
+               CAST(user_id AS VARCHAR) AS uid
+        FROM events
+    ),
+    hashed AS (
+        {" UNION ALL ".join(
+            f'''SELECT window_start, uid, {r} AS r,
+               CAST(('0x' || substr(md5('cms{r}' || uid), 1, 7)) AS BIGINT)
+                   % {128} AS cell
+            FROM ev''' for r in range(4)
+        )}
+    ),
+    sketch AS (
+        SELECT window_start, r, cell, CAST(count(*) AS BIGINT) AS n_cell
+        FROM hashed GROUP BY 1, 2, 3
+    ),
+    wtotals AS (
+        SELECT window_start, CAST(count(*) AS BIGINT) AS n_window
+        FROM ev GROUP BY 1
+    ),
+    ucells AS (SELECT DISTINCT window_start, uid, r, cell FROM hashed),
+    est AS (
+        SELECT u.window_start, u.uid, min(s.n_cell) AS est_n
+        FROM ucells u JOIN sketch s
+          ON u.window_start = s.window_start AND u.r = s.r AND u.cell = s.cell
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT window_start, uid, CAST(count(*) AS BIGINT) AS exact_n
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT e.window_start, CAST(e.uid AS BIGINT) AS user_id,
+           e.exact_n, m.est_n, t.n_window,
+           m.est_n >= t.n_window // {_WHH_PHI_DEN} AS is_heavy_est,
+           e.exact_n >= t.n_window // {_WHH_PHI_DEN} AS is_heavy_exact,
+           (m.est_n >= t.n_window // {_WHH_PHI_DEN})
+               OR NOT (e.exact_n >= t.n_window // {_WHH_PHI_DEN})
+               AS no_false_negative
+    FROM exact e
+    JOIN est m ON e.window_start = m.window_start AND e.uid = m.uid
+    JOIN wtotals t ON e.window_start = t.window_start
+    """,
+    tags=("ext-events", "sketch", "cms", "heavy-hitters", "window"),
+)
+def events_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window heavy hitters from per-window CMS partials
+    (extension — the windowed composition of `events_heavy_hitters`,
+    and the pattern a streaming top-talkers monitor runs: one sketch
+    per tumbling hour, heavy = estimate >= 2% of that window's
+    volume).  The one-sided CMS guarantee holds PER WINDOW
+    (`no_false_negative` uniformly true, driver-hashed); exact counts
+    ride along as the verification tier.
+
+    Scale shape: sketch cells are keyed (window, r, cell) — bounded
+    state per window, additive merge across shards, exactly what a
+    foreachBatch store would persist (the CMS twin of
+    `hll_register_store_sink`); the candidate estimate joins on the
+    same keys.  A production monitor drops the exact tier and reports
+    only est >= threshold."""
+    e = table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("hour", "ts"))
+        .cast("bigint")
+        .alias("window_start"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    hashed = None
+    for r in range(4):
+        part = e.select(
+            "window_start",
+            "uid",
+            F.lit(r).alias("r"),
+            _cms_cell(f"cms{r}", "uid", 128).alias("cell"),
+        )
+        hashed = part if hashed is None else hashed.unionByName(part)
+    sketch = hashed.groupBy("window_start", "r", "cell").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    wtotals = e.groupBy("window_start").agg(F.count(F.lit(1)).alias("n_window"))
+    est = (
+        hashed.distinct()
+        .join(sketch, ["window_start", "r", "cell"])
+        .groupBy("window_start", "uid")
+        .agg(F.min("n_cell").alias("est_n"))
+    )
+    exact = e.groupBy("window_start", "uid").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    th = F.expr(f"n_window div {_WHH_PHI_DEN}")
+    return (
+        exact.join(est, ["window_start", "uid"])
+        .join(wtotals, "window_start")
+        .select(
+            "window_start",
+            F.col("uid").cast("bigint").alias("user_id"),
+            "exact_n",
+            "est_n",
+            "n_window",
+            (F.col("est_n") >= th).alias("is_heavy_est"),
+            (F.col("exact_n") >= th).alias("is_heavy_exact"),
+            ((F.col("est_n") >= th) | ~(F.col("exact_n") >= th)).alias(
+                "no_false_negative"
+            ),
+        )
+    )

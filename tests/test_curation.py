@@ -106,3 +106,24 @@ def test_vocab_coverage_monotonic_and_bounded(spark):
     ppm = [r.cum_ppm for r in out]
     assert ppm == sorted(ppm), "cumulative coverage is monotonic"
     assert 0 < ppm[-1] <= 1_000_000
+
+
+def test_kfold_balanced_within_every_source(spark):
+    """Round-robin dealing: within each source every fold's share
+    differs by at most one; folds partition the corpus; reruns are
+    identical."""
+    from collections import Counter
+
+    from pangenomesasgraphdatabases_spark.queries.curation_q import doc_kfold_split
+
+    sf = "/root/testdata/sf0.01"
+    a = doc_kfold_split(spark, sf).collect()
+    b = {r.doc_id: r.fold for r in doc_kfold_split(spark, sf).collect()}
+    assert all(b[r.doc_id] == r.fold for r in a)
+    by_source = {}
+    for r in a:
+        by_source.setdefault(r.source, Counter())[r.fold] += 1
+    for src, folds in by_source.items():
+        assert set(folds) <= set(range(5))
+        assert max(folds.values()) - min(folds.values()) <= 1, src
+    assert len(a) == 500

@@ -867,3 +867,24 @@ def test_autocorr_bounded_and_exact(spark):
         want = int(Fraction(n * sxxp - sx * sx, n * sxx - sx * sx) * 1000)
         assert got.autocorr_milli == want
         assert -1100 <= got.autocorr_milli <= 1100
+
+
+def test_windowed_heavy_hitters_guarantee_per_window(spark):
+    """The one-sided CMS guarantee must hold inside EVERY window, and
+    per-window exact masses reconcile with the window totals."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_windowed_heavy_hitters,
+    )
+
+    out = events_windowed_heavy_hitters(spark, SF).cache()
+    assert out.filter(~F.col("no_false_negative")).isEmpty()
+    assert out.filter(F.col("est_n") < F.col("exact_n")).isEmpty()
+    recon = (
+        out.groupBy("window_start", "n_window")
+        .agg(F.sum("exact_n").alias("mass"))
+        .filter(F.col("mass") != F.col("n_window"))
+    )
+    assert recon.isEmpty()
+    spark.catalog.clearCache()
