@@ -390,3 +390,133 @@ def orders_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   div (n * sxx - sx * sx) AS BIGINT)"
         ).alias("slope_milli"),
     )
+
+
+@register(
+    "gene_accumulation_curve",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT l_suppkey AS sk, l_partkey AS gene FROM lineitem
+    ),
+    firsts AS (SELECT gene, min(sk) AS sk FROM pres GROUP BY gene),
+    newg AS (
+        SELECT sk, CAST(count(*) AS BIGINT) AS new_genes
+        FROM firsts GROUP BY sk
+    ),
+    base AS (
+        SELECT s.sk, CAST(coalesce(n.new_genes, 0) AS BIGINT) AS new_genes
+        FROM (SELECT DISTINCT sk FROM pres) s
+        LEFT JOIN newg n ON s.sk = n.sk
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sk) AS BIGINT) AS strain_rank,
+           sk AS suppkey,
+           new_genes,
+           CAST(sum(new_genes) OVER (ORDER BY sk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pangenome_size
+    FROM base
+    """,
+    tags=("ext-domain", "pangenome", "heaps"),
+)
+def gene_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pangenome gene-accumulation (openness / Heaps-law) curve — THE
+    summary statistic of pangenomics (Tettelin 2005; the reference's
+    core/accessory split in PIRATE.ipynb is one point of this curve):
+    add strains in a deterministic order and report how many NEW gene
+    clusters each strain contributes and the cumulative pangenome
+    size.  Star-schema isomorph: strain = supplier, gene cluster =
+    part, presence = the supplier shipped that part.
+
+    The naive formulation re-scans presence per prefix (quadratic);
+    this one is linear: each gene's FIRST strain (min over the strain
+    order) is the only place it increments the curve, so the whole
+    curve is one groupBy(min) + one per-strain count + a running sum.
+
+    Scale shape: presence distinct + first-strain groupBy shuffle on
+    gene; the per-strain frame is #strains rows; the running sums use
+    operators/prefix.global_cumsum (range partition + broadcast
+    offsets), never a single-partition data-sized window — at 1e6
+    strains the curve stays distributed end-to-end."""
+    from pangenomesasgraphdatabases_spark.operators.prefix import global_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    pres = li.select(
+        F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("gene")
+    ).distinct()
+    firsts = pres.groupBy("gene").agg(F.min("sk").alias("sk"))
+    newg = firsts.groupBy("sk").agg(F.count(F.lit(1)).alias("new_genes"))
+    base = (
+        pres.select("sk")
+        .distinct()
+        .join(newg, "sk", "left")
+        .select(
+            "sk",
+            F.coalesce("new_genes", F.lit(0)).cast("bigint").alias("new_genes"),
+            F.lit(1).cast("bigint").alias("one"),
+        )
+    )
+    curve = global_cumsum(base, ["sk"], "new_genes", "pangenome_size")
+    ranked = global_cumsum(curve, ["sk"], "one", "strain_rank")
+    return ranked.select(
+        F.col("strain_rank").cast("bigint").alias("strain_rank"),
+        F.col("sk").alias("suppkey"),
+        "new_genes",
+        F.col("pangenome_size").cast("bigint").alias("pangenome_size"),
+    )
+
+
+@register(
+    "part_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    ),
+    best AS (
+        SELECT p_size, min(price_cents) AS best_price_cents
+        FROM pts GROUP BY p_size
+    ),
+    sky AS (
+        SELECT p_size, best_price_cents,
+               min(best_price_cents) OVER (ORDER BY p_size DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS better_above
+        FROM best
+    )
+    SELECT p_size, best_price_cents
+    FROM sky
+    WHERE better_above IS NULL OR best_price_cents < better_above
+    """,
+    tags=("ext-analytics", "skyline", "pareto"),
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator — maximize p_size, minimize
+    price (extension; the multi-objective shortlist of catalog /
+    model-selection pipelines).  A point survives iff NO other point
+    is at least as large AND strictly cheaper (or larger at the same
+    price).  The quadratic NOT-EXISTS definition collapses to a sort
+    + prefix-min: group to the best (min) price per size, order sizes
+    descending, and keep a size iff its best price beats the running
+    min over all strictly larger sizes.
+
+    Scale shape: one shuffle for the per-size min (map-side
+    combinable); the window runs over the #distinct-sizes frame (50
+    here, bounded by the attribute domain, not the data) — for an
+    unbounded domain the prefix-min swaps onto
+    operators/prefix.global_cumsum's range-partitioned formulation."""
+    p = table(spark, sf_dir, "part")
+    best = (
+        p.select(
+            "p_size",
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        )
+        .groupBy("p_size")
+        .agg(F.min("price_cents").alias("best_price_cents"))
+    )
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+    sky = best.withColumn("better_above", F.min("best_price_cents").over(w))
+    return sky.filter(
+        F.col("better_above").isNull()
+        | (F.col("best_price_cents") < F.col("better_above"))
+    ).select("p_size", "best_price_cents")

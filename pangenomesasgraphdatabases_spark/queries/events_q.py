@@ -2319,3 +2319,74 @@ def events_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(round(value * 1000) AS BIGINT) AS v_milli,
+               (lead(epoch_ns(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                - epoch_ns(ts)) // 1000000 AS dur_ms
+        FROM events
+    ),
+    acc AS (
+        SELECT user_id,
+               CAST(count(dur_ms) AS BIGINT) AS n_segments,
+               CAST(sum(v_milli * dur_ms) AS BIGINT) AS num_milli_ms,
+               CAST(sum(dur_ms) AS BIGINT) AS total_ms
+        FROM seg WHERE dur_ms IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_segments, num_milli_ms, total_ms,
+           CAST(num_milli_ms // total_ms * 1000
+                + (num_milli_ms % total_ms) * 1000 // total_ms AS BIGINT)
+               AS twa_micro
+    FROM acc WHERE total_ms > 0
+    """,
+    tags=("ext-analytics", "time-weighted", "feature"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (extension — the
+    irregular-sampling mean of sensor/metric pipelines, where a plain
+    AVG over-weights bursts): each event's value holds until the next
+    event, so the mean is sum(value x holding-duration) / sum(duration),
+    last observation carrying no weight.  All arithmetic is exact
+    integer fixed-point — value in millis, duration in whole ms from
+    the exact nanosecond epoch (ts_ns div, never a double divide), and
+    the final micro-precision ratio via STAGED integer division
+    (quotient*1000 + remainder*1000 div denominator) so nothing
+    overflows and no float crosses engines.  Magnitude audit:
+    |v_milli| <= 5e5, per-user sum(dur_ms) <= dataset span (~2.6e9 ms)
+    => |num| <= 1.3e15, far inside int64.
+
+    Scale shape: one per-user window (lead) + one map-side-combinable
+    aggregation on the same key — a single shuffle, reused."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seg = e.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    ).withColumn("lead_ns", F.lead("ts_ns").over(w))
+    seg = seg.withColumn("dur_ms", F.expr("(lead_ns - ts_ns) div 1000000")).filter(
+        F.col("dur_ms").isNotNull()
+    )
+    acc = seg.groupBy("user_id").agg(
+        F.count("dur_ms").alias("n_segments"),
+        F.sum(F.col("v_milli") * F.col("dur_ms")).cast("bigint").alias("num_milli_ms"),
+        F.sum("dur_ms").cast("bigint").alias("total_ms"),
+    )
+    return acc.filter(F.col("total_ms") > 0).select(
+        "user_id",
+        "n_segments",
+        "num_milli_ms",
+        "total_ms",
+        F.expr(
+            "CAST(num_milli_ms div total_ms * 1000"
+            " + (num_milli_ms % total_ms) * 1000 div total_ms AS BIGINT)"
+        ).alias("twa_micro"),
+    )

@@ -2270,3 +2270,78 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.coalesce("found", F.lit(False)).alias("found_by_lsh"),
     )
+
+
+@register(
+    "doc_kmer_minimizers",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                         1, 240) AS sq
+        FROM documents
+    ),
+    km AS (
+        SELECT doc_id, i AS pos, substring(sq, i, 6) AS kmer,
+               len(sq) - 5 AS nk
+        FROM s, generate_series(1, 235) t(i)
+        WHERE i <= len(sq) - 5
+    ),
+    mins AS (
+        SELECT doc_id, pos, nk,
+               min(kmer) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minimizer
+        FROM km
+    )
+    SELECT doc_id, minimizer, CAST(count(*) AS BIGINT) AS n_windows
+    FROM mins
+    WHERE pos <= nk - 3
+    GROUP BY doc_id, minimizer
+    """,
+    tags=("ext-domain", "minimizer", "sketch"),
+)
+def doc_kmer_minimizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w,k)-minimizer sketch (k=6, w=4) — the seed-selection scheme of
+    minimap2 / modern genome aligners (Roberts 2004), applied to the
+    normalized document text as the sequence: every window of w
+    consecutive k-mers contributes its lexicographically smallest
+    k-mer, and adjacent windows usually agree, so the sketch is a
+    ~2/(w+1)-density sample of positions that two sequences sharing a
+    long exact stretch are GUARANTEED to sample identically — the
+    exactness property hash-sampling (winnowing on hashes, cf.
+    doc_winnow_fingerprints) gives up when hashes differ across
+    engines; lexicographic minimization needs no hash at all.
+
+    Plan: normalize (lower, strip non-[a-z], cap 240 chars) -> lateral
+    k-mer expansion (transform+posexplode, one row per position) ->
+    per-doc window min over w positions -> group to (doc, minimizer,
+    n_windows).
+
+    Scale shape: expansion factor is the capped length (<=235 rows per
+    doc); the window partitions by doc_id and the final group reuses
+    the same key — one shuffle, no all-pairs anywhere.  Matching docs
+    then join on the minimizer value exactly like the LSH band
+    join."""
+    d = table(spark, sf_dir, "documents")
+    sq = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, 240
+    )
+    base = (
+        d.select("doc_id", sq.alias("sq"))
+        .withColumn("nk", (F.length("sq") - F.lit(5)).cast("int"))
+        .filter(F.col("nk") >= 1)
+    )
+    km = base.select(
+        "doc_id",
+        "nk",
+        F.posexplode(
+            F.expr("transform(sequence(1, nk), i -> substring(sq, i, 6))")
+        ).alias("pos0", "kmer"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, 3)
+    mins = km.withColumn("minimizer", F.min("kmer").over(w))
+    return (
+        mins.filter(F.col("pos0") <= F.col("nk") - 4)
+        .groupBy("doc_id", "minimizer")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )

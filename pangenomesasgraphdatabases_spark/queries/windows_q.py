@@ -255,3 +255,73 @@ def rolling_flag_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("l_quantity").over(w.rowsBetween(-4, 0)) <= 25).cast("int").alias("low_run"),
         )
     )
+
+
+@register(
+    "lineitem_running_distinct",
+    oracle="""
+    WITH seq AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS ship_day,
+               l_orderkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY l_suppkey, l_partkey
+                   ORDER BY CAST(epoch(l_shipdate) AS BIGINT) // 86400,
+                            l_orderkey, l_linenumber) AS occ
+        FROM lineitem
+    )
+    SELECT l_suppkey, ship_day, l_orderkey, l_linenumber,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY ship_day, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_parts_so_far
+    FROM seq
+    """,
+    tags=("ext-window", "running-distinct"),
+)
+def lineitem_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — a shape SQL window
+    frames cannot express directly (extension; per-strain cumulative
+    distinct gene clusters over genome position, or distinct SKUs a
+    supplier has ever shipped as of each shipment).  The classic
+    first-occurrence decomposition: row_number per (key, element)
+    marks each element's first appearance, and a running sum of those
+    marks IS the running distinct count — two windows, exact, no
+    quadratic re-scan.
+
+    Both windows order by the same total key (ship_day, orderkey,
+    linenumber — unique per row), so the frame is deterministic and
+    identical across engines.
+
+    Scale shape: both windows partition by a data key (suppkey /
+    suppkey+partkey) — fully distributed; the shuffles are the two
+    unavoidable key repartitions, and AQE coalesces them at small
+    SF."""
+    li = table(spark, sf_dir, "lineitem")
+    ship_day = F.expr("CAST(unix_timestamp(l_shipdate) AS BIGINT) div 86400")
+    base = li.select(
+        "l_suppkey",
+        "l_partkey",
+        ship_day.alias("ship_day"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_occ = Window.partitionBy("l_suppkey", "l_partkey").orderBy(
+        "ship_day", "l_orderkey", "l_linenumber"
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ship_day", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = base.withColumn(
+        "is_first", (F.row_number().over(w_occ) == 1).cast("int")
+    )
+    return flagged.select(
+        "l_suppkey",
+        "ship_day",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("is_first").over(w_run).cast("bigint").alias("distinct_parts_so_far"),
+    )
