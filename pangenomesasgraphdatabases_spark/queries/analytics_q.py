@@ -520,3 +520,70 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("better_above").isNull()
         | (F.col("best_price_cents") < F.col("better_above"))
     ).select("p_size", "best_price_cents")
+
+
+@register(
+    "orders_pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM rev),
+    cum AS (
+        SELECT o_custkey, cents,
+               CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT c.o_custkey, c.cents,
+           CAST(c.cum_cents * 1000000 // t.total_cents AS BIGINT)
+               AS cum_share_micro,
+           CASE WHEN c.cum_cents * 1000000 // t.total_cents <= 800000
+                THEN 'A'
+                WHEN c.cum_cents * 1000000 // t.total_cents <= 950000
+                THEN 'B' ELSE 'C' END AS abc_class
+    FROM cum c CROSS JOIN tot t
+    """,
+    tags=("ext-analytics", "pareto", "abc"),
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification (extension — the 80/15/5 revenue
+    concentration report): customers ranked by lifetime revenue, the
+    running share of total revenue in exact integer micros, and class
+    A (first 80% of revenue), B (to 95%), C (tail).  Ties on revenue
+    break by custkey so the global order — and therefore every
+    class boundary — is identical across engines.
+
+    Scale shape: the per-customer rollup is one map-side-combinable
+    shuffle; the descending running sum uses
+    operators/prefix.global_cumsum over (-cents, custkey) — range
+    partition + broadcast offsets, no single-partition window over
+    the customer frame; the grand total is one scalar broadcast."""
+    from pangenomesasgraphdatabases_spark.operators.prefix import global_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    ranked = rev.withColumn("neg_cents", -F.col("cents"))
+    cum = global_cumsum(ranked, ["neg_cents", "o_custkey"], "cents", "cum_cents")
+    share = F.expr("CAST(cum_cents * 1000000 div total_cents AS BIGINT)")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "cents",
+            share.alias("cum_share_micro"),
+            F.when(share <= 800000, "A")
+            .when(share <= 950000, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -2390,3 +2390,231 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (num_milli_ms % total_ms) * 1000 div total_ms AS BIGINT)"
         ).alias("twa_micro"),
     )
+
+
+@register(
+    "events_tv_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 1000000000 // 604800 AS BIGINT) AS week,
+               CAST(least(CAST(round(value * 1000) AS BIGINT) // 50000, 9)
+                    AS BIGINT) AS bin
+        FROM events
+    ),
+    scaffold AS (
+        SELECT t.event_type, w.week, b.i AS bin
+        FROM (SELECT DISTINCT event_type FROM binned) t
+        CROSS JOIN (SELECT DISTINCT week FROM binned) w
+        CROSS JOIN generate_series(0, 9) b(i)
+    ),
+    cnt AS (
+        SELECT event_type, week, bin, CAST(count(*) AS BIGINT) AS n
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    shares AS (
+        SELECT s.event_type, s.week, s.bin,
+               coalesce(c.n, 0) AS n,
+               CAST(coalesce(c.n, 0) * 1000000
+                    // sum(coalesce(c.n, 0)) OVER (
+                         PARTITION BY s.event_type, s.week) AS BIGINT)
+                   AS share_micro
+        FROM scaffold s LEFT JOIN cnt c
+          ON s.event_type = c.event_type AND s.week = c.week AND s.bin = c.bin
+    ),
+    weeksum AS (
+        SELECT event_type, week, CAST(sum(n) AS BIGINT) AS week_n
+        FROM shares GROUP BY 1, 2
+    )
+    SELECT a.event_type, b.week AS week,
+           CAST(sum(abs(a.share_micro - b.share_micro)) // 2 AS BIGINT)
+               AS tv_micro
+    FROM shares a
+    JOIN shares b ON a.event_type = b.event_type
+                 AND b.week = a.week + 1 AND a.bin = b.bin
+    JOIN weeksum wa ON wa.event_type = a.event_type AND wa.week = a.week
+    JOIN weeksum wb ON wb.event_type = b.event_type AND wb.week = b.week
+    WHERE wa.week_n > 0 AND wb.week_n > 0
+    GROUP BY 1, 2
+    """,
+    tags=("ext-analytics", "drift", "tv-distance"),
+)
+def events_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week distribution drift per event type, as the exact
+    total-variation distance between value histograms (extension —
+    the data-drift monitor of every production feature pipeline).
+    Values bin into a FIXED 10-bucket grid (50-unit millis buckets,
+    top bucket open) on a scaffold of all (type, week, bin) cells, so
+    bins missing from one week still contribute |p - 0| and the two
+    weekly vectors always align — no outer-join edge cases.  Shares
+    are integer micros (count*1e6 div week-total), TV = sum|p-q| div
+    2 — exact, order-independent, identical across engines.  Week
+    pairs where either side has zero events are excluded (drift
+    against an empty distribution is undefined, not 100%).
+
+    Scale shape: one groupBy on (type, week, bin); the scaffold is
+    |types| x |weeks| x 10 — metadata-sized; the pairing join is an
+    equi-join on (type, bin) + week arithmetic over scaffold-sized
+    frames.  The raw-events shuffle happens once."""
+    e = table(spark, sf_dir, "events")
+    # Explicit integer div for the bin (Spark's / divides as double).
+    binned = e.select(
+        "event_type",
+        F.expr("CAST(ts_ns div 1000000000 div 604800 AS BIGINT)").alias("week"),
+        F.expr(
+            "CAST(least(CAST(round(value * 1000) AS BIGINT) div 50000, 9) AS BIGINT)"
+        ).alias("bin"),
+    )
+    types = binned.select("event_type").distinct()
+    weeks = binned.select("week").distinct()
+    bins = spark.range(0, 10).select(F.col("id").cast("bigint").alias("bin"))
+    scaffold = types.crossJoin(weeks).crossJoin(F.broadcast(bins))
+    cnt = binned.groupBy("event_type", "week", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = scaffold.join(cnt, ["event_type", "week", "bin"], "left").select(
+        "event_type",
+        "week",
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    w_tot = Window.partitionBy("event_type", "week")
+    shares = joined.select(
+        "event_type",
+        "week",
+        "bin",
+        "n",
+        F.expr("n * 1000000").alias("_scaled"),
+        F.sum("n").over(w_tot).alias("_week_n"),
+    ).select(
+        "event_type",
+        "week",
+        "bin",
+        "n",
+        "_week_n",
+        F.expr("CAST(_scaled div _week_n AS BIGINT)").alias("share_micro"),
+    )
+    a = shares.select(
+        "event_type",
+        F.col("week").alias("week_a"),
+        "bin",
+        F.col("share_micro").alias("p"),
+        F.col("_week_n").alias("na"),
+    )
+    b = shares.select(
+        "event_type",
+        F.col("week").alias("week"),
+        "bin",
+        F.col("share_micro").alias("q"),
+        F.col("_week_n").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (a.event_type == b.event_type)
+            & (b.week == a.week_a + 1)
+            & (a.bin == b.bin),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy(a.event_type.alias("event_type"), "week")
+        .agg(
+            F.expr("CAST(sum(abs(p - q)) div 2 AS BIGINT)").alias("tv_micro")
+        )
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+               epoch_ns(ts) AS ts_ns,
+               CAST(round(value * 1000) AS BIGINT) AS v_milli
+        FROM events
+    ),
+    gm AS (
+        SELECT CAST(sum(v_milli) // count(*) AS BIGINT) AS gm_milli FROM v
+    ),
+    cs AS (
+        SELECT user_id, event_id, es,
+               CAST(sum(v_milli - gm.gm_milli) OVER (
+                    PARTITION BY user_id ORDER BY ts_ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cusum_milli
+        FROM v CROSS JOIN gm
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(cusum_milli) AS BIGINT) AS max_cusum_milli,
+               CAST(min(cusum_milli) AS BIGINT) AS min_cusum_milli,
+               CAST(max(abs(cusum_milli)) AS BIGINT) AS peak_abs_milli
+        FROM cs GROUP BY user_id
+    )
+    SELECT s.user_id, s.n_events, s.max_cusum_milli, s.min_cusum_milli,
+           s.peak_abs_milli,
+           CAST(min(c.es) AS BIGINT) AS peak_es
+    FROM stats s
+    JOIN cs c ON c.user_id = s.user_id
+              AND abs(c.cusum_milli) = s.peak_abs_milli
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    tags=("ext-analytics", "cusum", "changepoint"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic per user (extension — the classic
+    sequential drift detector): running sum of deviations from the
+    GLOBAL mean (integer millis, mean as one exact integer division),
+    reporting each user's max / min excursion, the peak |CUSUM|
+    magnitude, and the earliest second at which the peak is attained
+    (min-join on the peak value — deterministic without arg_max tie
+    ambiguity).  A user whose behaviour shifts mid-stream shows a
+    V-shaped CUSUM with a large peak; stationary users hover near 0.
+
+    Scale shape: the global mean is a scalar broadcast; the running
+    sum is a per-user window; the peak-position lookup is a self-join
+    on (user, peak) against the user-sized stats frame.  Two shuffles
+    on user_id, both AQE-coalesced."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(ts_ns div 1000000000 AS BIGINT)").alias("es"),
+        "ts_ns",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    )
+    gm = v.agg(
+        F.expr("CAST(sum(v_milli) div count(*) AS BIGINT)").alias("gm_milli")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = v.crossJoin(F.broadcast(gm)).withColumn(
+        "cusum_milli",
+        F.sum(F.col("v_milli") - F.col("gm_milli")).over(w).cast("bigint"),
+    )
+    stats = cs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("cusum_milli").cast("bigint").alias("max_cusum_milli"),
+        F.min("cusum_milli").cast("bigint").alias("min_cusum_milli"),
+        F.max(F.abs(F.col("cusum_milli"))).cast("bigint").alias("peak_abs_milli"),
+    )
+    peaks = cs.select("user_id", "es", F.abs(F.col("cusum_milli")).alias("_abs"))
+    return (
+        stats.join(
+            peaks,
+            (stats.user_id == peaks.user_id)
+            & (peaks._abs == stats.peak_abs_milli),
+        )
+        .groupBy(
+            stats.user_id.alias("user_id"),
+            "n_events",
+            "max_cusum_milli",
+            "min_cusum_milli",
+            "peak_abs_milli",
+        )
+        .agg(F.min("es").cast("bigint").alias("peak_es"))
+    )

@@ -761,3 +761,92 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adamic_adar_fx",
         )
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL},
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oe e1
+        JOIN oe e2 ON e1.src = e2.src
+                  AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+        JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * coalesce(t.n_triangles, 0) * 1000000
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS clustering_micro
+    FROM vdeg d LEFT JOIN tcount t ON d.node = t.node
+    WHERE d.deg >= 2
+    """,
+    tags=("ext-graph", "clustering-coefficient"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2T(v) / deg(v)(deg(v)-1)
+    in exact integer micros (extension; the transitivity statistic of
+    network biology: how clique-like each gene cluster's synteny
+    neighbourhood is).  Triangle counts come from the degree-ordered
+    orientation (graph_triangle_count above — wedge fan-out bounded by
+    sqrt(2m)); the coefficient is one broadcast-sized join from vdeg
+    and one exact integer division, zero-triangle nodes included via
+    the left join.
+
+    Scale shape: everything downstream of the wedge join is keyed on
+    node; vdeg is |V|-sized.  No new shuffle class beyond the
+    triangle query itself."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        "l_linenumber",
+    )
+    pos = li.select(
+        "o",
+        "p",
+        F.row_number()
+        .over(Window.partitionBy("o").orderBy("l_linenumber", "p"))
+        .alias("rn"),
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .filter(F.col("a.p") != F.col("b.p"))
+        .select(
+            F.least("a.p", "b.p").alias("u"),
+            F.greatest("a.p", "b.p").alias("v"),
+        )
+        .distinct()
+    )
+    vdeg = (
+        adj.select(F.col("u").alias("node"))
+        .unionAll(adj.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tcount = graph_triangle_count(spark, sf_dir)
+    return (
+        vdeg.filter(F.col("deg") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST(2 * coalesce(n_triangles, 0) * 1000000"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("clustering_micro"),
+        )
+    )

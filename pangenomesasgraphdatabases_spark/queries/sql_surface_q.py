@@ -359,3 +359,39 @@ def pricing_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("ext-olap", "grouping-sets"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form CUBE/ROLLUP are sugar
+    for (extension): the priority marginal, the status marginal, and
+    the grand total in ONE pass over orders, NULL-marked per set.
+    Catalyst expands the sets into a single Expand + partial-agg plan
+    (one scan, one shuffle), exactly the multi-marginal report shape
+    dashboards re-scan three times for.
+
+    Scale shape: Expand multiplies rows by the set count (3x) BEFORE
+    the map-side combine — still one shuffle keyed on the grouping
+    columns, and each marginal's cardinality bounds its reduce side."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
