@@ -587,3 +587,139 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+@register(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(round(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT l_returnflag, price_cents, CAST(sum(w) AS BIGINT) AS w
+        FROM pts GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, price_cents, w,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag
+                    ORDER BY price_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        FROM hist
+    )
+    SELECT l_returnflag,
+           CAST(min(price_cents) AS BIGINT) AS weighted_median_cents,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+    tags=("ext-analytics", "weighted-median"),
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group — smallest price whose
+    cumulative quantity-weight reaches half the group's total
+    (extension; the robust location estimate percentile_approx only
+    approximates).  Pre-aggregating to the (group, price) histogram
+    FIRST means the cumulative window runs over the distinct-price
+    frame — bounded by the value domain, not the row count — the same
+    two-level trick as events_exact_median_2pass, all in exact
+    integer cents/units.
+
+    Scale shape: one map-side-combinable shuffle to the histogram;
+    the per-group window orders <= |price domain| rows per group; no
+    full-data window, no collect."""
+    li = table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+            F.round("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "price_cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("w").over(w_tot).cast("bigint").alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").cast("bigint").alias("weighted_median_cents"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS midx,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cohort AS (
+        SELECT o_custkey, CAST(min(midx) AS BIGINT) AS cohort_midx
+        FROM om GROUP BY o_custkey
+    )
+    SELECT c.cohort_midx, CAST(o.midx - c.cohort_midx AS BIGINT) AS age_months,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(o.cents) AS BIGINT) AS total_cents
+    FROM om o JOIN cohort c ON o.o_custkey = c.o_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("ext-analytics", "cohort", "ltv"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix (extension — the acquisition-month
+    x account-age revenue triangle): customers cohorted by first-order
+    month, revenue rolled up by months-since-acquisition.  Month
+    index = year*12 + month - 1 (pure integer calendar arithmetic, no
+    date diff ambiguity), revenue in exact cents.  Complements
+    events_retention_cohorts (activity retention) with the REVENUE
+    dimension.
+
+    Scale shape: cohort assignment is a groupBy(min) on custkey; the
+    matrix rollup joins orders to the customer-sized cohort frame on
+    the same key (broadcast at dimension scale) and shuffles once on
+    (cohort, age) — both keys bounded by the calendar, so the output
+    is months^2/2 rows regardless of data size."""
+    o = table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cohort = om.groupBy("o_custkey").agg(
+        F.min("midx").cast("bigint").alias("cohort_midx")
+    )
+    return (
+        om.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_midx",
+            (F.col("midx") - F.col("cohort_midx")).cast("bigint").alias("age_months"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )

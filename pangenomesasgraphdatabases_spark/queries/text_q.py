@@ -2322,7 +2322,114 @@ def doc_kmer_minimizers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key — one shuffle, no all-pairs anywhere.  Matching docs
     then join on the minimizer value exactly like the LSH band
     join."""
-    d = table(spark, sf_dir, "documents")
+    return (
+        table(spark, sf_dir, "documents")
+        .transform(_minimizer_sketch)
+        .groupBy("doc_id", "minimizer")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
+
+
+# Shared oracle CTE for the (w=4, k=6) minimizer sketch of
+# doc_kmer_minimizers — the pair query below joins on it.
+_MINIMIZER_SQL = """
+    s AS (
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                         1, 240) AS sq
+        FROM documents
+    ),
+    km AS (
+        SELECT doc_id, i AS pos, substring(sq, i, 6) AS kmer,
+               len(sq) - 5 AS nk
+        FROM s, generate_series(1, 235) t(i)
+        WHERE i <= len(sq) - 5
+    ),
+    mins AS (
+        SELECT doc_id, pos, nk,
+               min(kmer) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minimizer
+        FROM km
+    ),
+    sketch AS (
+        SELECT DISTINCT doc_id, minimizer
+        FROM mins WHERE pos <= nk - 3
+    )
+"""
+
+_MINIMIZER_DF_CAP = 50
+_MINIMIZER_MIN_SHARED = 8
+
+
+@register(
+    "doc_minimizer_match_pairs",
+    oracle=f"""
+    WITH {_MINIMIZER_SQL},
+    dfreq AS (
+        SELECT minimizer, count(*) AS df FROM sketch GROUP BY minimizer
+    ),
+    inv AS (
+        SELECT s.doc_id, s.minimizer
+        FROM sketch s JOIN dfreq d ON s.minimizer = d.minimizer
+        WHERE d.df BETWEEN 2 AND {_MINIMIZER_DF_CAP}
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM inv a JOIN inv b
+      ON a.minimizer = b.minimizer AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_MINIMIZER_MIN_SHARED}
+    """,
+    tags=("ext-domain", "minimizer", "candidate-pairs"),
+)
+def doc_minimizer_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate match pairs from shared minimizers — the aligner's
+    seed-chaining FIRST stage (minimap2 collects docs/reads sharing
+    minimizer seeds, then extends): docs sharing >= {m} distinct
+    minimizers, via the same docfreq-capped inverted-index self-join
+    as the n-gram dedup (stop-minimizers with df > {cap} carry no
+    signal and would drive the bucket fan-out — pruned BEFORE the
+    join, so cost is sum over minimizers of df^2 with df <= {cap}).
+
+    Completes the minimizer story: doc_kmer_minimizers builds the
+    sketch (guaranteed-identical sampling on shared exact stretches),
+    this query turns sketches into candidate pairs without an
+    all-pairs comparison anywhere.
+
+    Scale shape: one shuffle on the minimizer key for docfreq + the
+    index join, one on (doc1, doc2) for the count — the LSH-band
+    join shape, never quadratic in documents."""
+    sk = (
+        table(spark, sf_dir, "documents")
+        .transform(_minimizer_sketch)
+        .select("doc_id", "minimizer")
+        .distinct()
+        .cache()
+    )
+    dfreq = sk.groupBy("minimizer").agg(F.count(F.lit(1)).alias("df"))
+    inv = sk.join(
+        dfreq.filter(F.col("df").between(2, _MINIMIZER_DF_CAP)).select("minimizer"),
+        "minimizer",
+    )
+    return (
+        inv.select(F.col("doc_id").alias("doc1"), "minimizer")
+        .join(inv.select(F.col("doc_id").alias("doc2"), "minimizer"), "minimizer")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MINIMIZER_MIN_SHARED)
+    )
+
+
+doc_minimizer_match_pairs.__doc__ = doc_minimizer_match_pairs.__doc__.format(
+    m=_MINIMIZER_MIN_SHARED, cap=_MINIMIZER_DF_CAP
+)
+
+
+def _minimizer_sketch(d: DataFrame) -> DataFrame:
+    """(doc_id, pos0, minimizer) rows of the (w=4, k=6) lexicographic
+    minimizer sketch — shared by doc_kmer_minimizers and the pair
+    query above."""
     sq = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, 240
     )
@@ -2339,9 +2446,113 @@ def doc_kmer_minimizers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos0", "kmer"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, 3)
-    mins = km.withColumn("minimizer", F.min("kmer").over(w))
     return (
-        mins.filter(F.col("pos0") <= F.col("nk") - 4)
-        .groupBy("doc_id", "minimizer")
-        .agg(F.count(F.lit(1)).alias("n_windows"))
+        km.withColumn("minimizer", F.min("kmer").over(w))
+        .filter(F.col("pos0") <= F.col("nk") - 4)
+        .select("doc_id", "pos0", "minimizer")
     )
+
+
+_CONTAIN_MIN_MICRO = 500_000  # containment >= 0.5
+
+
+@register(
+    "doc_jaccard_containment",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    dfreq AS (
+        SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle
+    ),
+    sizes AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS sz
+        FROM shingles s JOIN dfreq d ON s.shingle = d.shingle
+        WHERE d.df <= {_NGRAM_DF_CAP}
+        GROUP BY s.doc_id
+    ),
+    inv AS (
+        SELECT s.doc_id, s.shingle
+        FROM shingles s JOIN dfreq d ON s.shingle = d.shingle
+        WHERE d.df BETWEEN 2 AND {_NGRAM_DF_CAP}
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT doc1 AS src, doc2 AS dst, n_common FROM inter
+        UNION ALL
+        SELECT doc2 AS src, doc1 AS dst, n_common FROM inter
+    )
+    SELECT d.src, d.dst, d.n_common, z.sz AS sz_src,
+           CAST(d.n_common * 1000000 // z.sz AS BIGINT) AS containment_micro
+    FROM directed d JOIN sizes z ON d.src = z.doc_id
+    WHERE d.n_common * 1000000 // z.sz >= {_CONTAIN_MIN_MICRO}
+    """,
+    tags=("ext-text", "containment", "dedup"),
+)
+def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment C(src, dst) = |src AND dst| / |src| over
+    the informative shingle space (df <= {cap}) — the sub-document
+    duplication measure (Broder's containment): a short doc fully
+    embedded in a long one scores C≈1 while Jaccard stays low, so
+    symmetric dedup misses it.  Emits BOTH directions of every
+    intersecting pair that clears 50%, in exact integer micros.
+
+    Intersections over df in [2, {cap}] equal intersections over
+    df <= {cap}: a df=1 shingle cannot be shared — so sizes and
+    intersections live in one consistent space and C is exact there.
+
+    Scale shape: identical to doc_ngram_jaccard_dedup's inverted
+    index (docfreq-pruned, never all-pairs); the direction expansion
+    is a map-side 2x of the intersecting-pairs frame only."""
+    sh = (
+        shingles_of(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = (
+        sh.join(
+            dfreq.filter(F.col("df") <= _NGRAM_DF_CAP).select("shingle"), "shingle"
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    inv = sh.join(
+        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
+        "shingle",
+    ).cache()
+    inter = (
+        inv.select(F.col("doc_id").alias("doc1"), "shingle")
+        .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = inter.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst"), "n_common"
+    ).unionByName(
+        inter.select(
+            F.col("doc2").alias("src"), F.col("doc1").alias("dst"), "n_common"
+        )
+    )
+    return (
+        directed.join(
+            sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_src")),
+            "src",
+        )
+        .withColumn(
+            "containment_micro",
+            F.expr("CAST(n_common * 1000000 div sz_src AS BIGINT)"),
+        )
+        .filter(F.col("containment_micro") >= _CONTAIN_MIN_MICRO)
+        .select("src", "dst", "n_common", "sz_src", "containment_micro")
+    )
+
+
+doc_jaccard_containment.__doc__ = doc_jaccard_containment.__doc__.format(
+    cap=_NGRAM_DF_CAP
+)

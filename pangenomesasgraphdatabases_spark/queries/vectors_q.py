@@ -1599,3 +1599,67 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("trunc_rank_of_top1"),
     )
+
+
+@register(
+    "ann_mips_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(CAST(q.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE)) AS dot
+        FROM q, c, generate_series(1, 64) t(i)
+        WHERE q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, round(dot, 6) AS inner_product,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dot, 6) DESC, neighbor_id ASC) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, inner_product, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("ext-vector", "ann", "mips"),
+)
+def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product search (MIPS) top-10 — the
+    retrieval semantics of dual-encoder recommenders, where vectors
+    are NOT normalized and cosine gives a different answer (a long
+    vector can win on inner product while losing on angle).  Same
+    broadcast-query scan shape as ann_bruteforce_topk; the dot is a
+    left-to-right fold in array order on both engines, so the rounded
+    score ties out bit-for-bit.
+
+    The scale path is the classic norm-augmentation reduction
+    (Bachrach 2014): append sqrt(M^2 - |x|^2) to candidates and 0 to
+    queries (M = max norm) and MIPS order becomes cosine order, so
+    every cosine index here (LSH / IVF / IVF-PQ) serves MIPS
+    unchanged — tests/test_analytics_batch6c.py proves the order
+    equivalence on this corpus."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("q_emb"), F.col("c_emb")), 6).alias("inner_product"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("inner_product"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= 10)
