@@ -656,3 +656,211 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "orders_q3_topk_unshipped",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice
+                    * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS order_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_cents DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("ext-olap", "tpch-q3", "O3"),
+)
+def orders_q3_topk_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (extension) — top-10 highest-revenue orders from
+    BUILDING-segment customers placed before the cutoff but (partly)
+    shipped after it: the classic "urgent unshipped backlog" join +
+    group + top-k.  Revenue in exact integer cents (discount applied
+    before quantization, as regional_revenue_q5); order date projected
+    as an epoch-day integer; the top-k tie-breaks on o_orderkey so the
+    limit is deterministic.
+
+    Scale shape: the segment filter broadcasts the surviving customer
+    keys into the orders scan, the date filters push to both parquet
+    scans, and lineitem-orders is the one big-big shuffle.  The top-10
+    is a TakeOrdered — per-partition heaps, no global sort
+    materialization."""
+    cutoff = F.to_timestamp(F.lit("1998-01-01"))
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400")
+            .alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("rev_cents").cast("bigint").alias("revenue_cents"))
+        .select("o_orderkey", "revenue_cents", "order_day", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "lineitem_promo_share",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1
+                    AS BIGINT) AS midx,
+               CAST(round(l.l_extendedprice
+                    * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+               p.p_type = 'PROMO' AS is_promo
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT midx,
+           CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+               AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) * 1000000
+                // sum(cents) AS BIGINT) AS promo_ppm
+    FROM m GROUP BY midx
+    """,
+    tags=("ext-olap", "tpch-q14", "A1"),
+)
+def lineitem_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (extension) — monthly share of revenue from
+    PROMO-type parts: conditional aggregation over a fact-dimension
+    join, the canonical "what fraction of X is Y per period" report.
+    All arithmetic exact-integer: revenue in cents, the share as
+    parts-per-million via integer division (promo*1e6 div total), so
+    no float summation order can perturb the hash.  (At petabyte
+    month-totals the ppm numerator nears int64 range — production
+    widens to decimal(38); the cents totals here are bounded by the
+    bench scales.)
+
+    Scale shape: part is the broadcast dimension; one shuffle to the
+    (month) rollup with map-side partial aggregation; the month domain
+    bounds the result regardless of data size."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    m = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "is_promo",
+    )
+    return (
+        m.groupBy("midx")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("promo_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "midx",
+            "promo_cents",
+            "total_cents",
+            F.expr("promo_cents * 1000000L div total_cents")
+            .cast("bigint")
+            .alias("promo_ppm"),
+        )
+    )
+
+
+@register(
+    "customer_band_range_join",
+    oracle="""
+    WITH bands AS (
+        SELECT s_nationkey,
+               CAST(min(round(s_acctbal * 100)) AS BIGINT) AS lo_cents,
+               CAST(max(round(s_acctbal * 100)) AS BIGINT) AS hi_cents
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT b.s_nationkey AS nationkey,
+           CAST(b.lo_cents AS BIGINT) AS lo_cents,
+           CAST(b.hi_cents AS BIGINT) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents
+    FROM bands b
+    JOIN customer c
+      ON CAST(round(c.c_acctbal * 100) AS BIGINT)
+             BETWEEN b.lo_cents AND b.hi_cents
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ext-join", "range-join", "broadcast-nested-loop"),
+)
+def customer_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast band/range lookup join (extension): derive a per-nation
+    [min, max] supplier account-balance band, then count the customers
+    whose balance falls INSIDE each band — a containment (non-equi)
+    join, the shape of IP-to-geo lookups, tariff tables, and SLA-tier
+    assignment.  Many-to-many by construction: one customer can fall in
+    several nations' bands.  Balances quantized to exact cents before
+    any comparison so both engines band identically.
+
+    Scale shape: the band table is GROUP-BY-bounded (one row per
+    nation) and explicitly broadcast, so the non-equi join is a
+    broadcast nested loop over a 25-row build side — never a cartesian
+    shuffle; the fact side streams through map-side.  With thousands of
+    bands the plan upgrades to bucketing bands into a sorted structure
+    joined via range-bucket keys (the interval_sweep approach)."""
+    s = table(spark, sf_dir, "supplier")
+    bands = (
+        s.select(
+            "s_nationkey",
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_cents")
+    )
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("acct_cents") >= F.col("lo_cents"))
+            & (F.col("acct_cents") <= F.col("hi_cents")),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"), "lo_cents", "hi_cents"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("acct_cents").cast("bigint").alias("sum_acctbal_cents"),
+        )
+    )

@@ -2556,3 +2556,65 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_jaccard_containment.__doc__ = doc_jaccard_containment.__doc__.format(
     cap=_NGRAM_DF_CAP
 )
+
+
+@register(
+    "doc_modal_lang_by_source",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_source
+        FROM counts GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, lang, n_docs,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n_docs DESC, lang) AS rk
+        FROM counts
+    )
+    SELECT r.source, r.lang AS modal_lang, r.n_docs,
+           t.n_source,
+           CAST(r.n_docs * 1000000 // t.n_source AS BIGINT) AS share_ppm
+    FROM ranked r JOIN tot t ON r.source = t.source
+    WHERE r.rk = 1
+    """,
+    tags=("ext-text", "mode", "corpus-stats"),
+)
+def doc_modal_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tie-break
+    (extension): the dominant language of each source, ranked by count
+    descending then language ascending so equal counts resolve
+    identically on every engine and every rerun — the per-domain
+    language profile a curation pipeline uses to route documents to
+    language-specific filters.  Share reported in exact parts-per-
+    million via integer division.
+
+    Scale shape: the heavy work is one map-side-combinable shuffle to
+    the (source, lang) count frame, which is bounded by the domain
+    cross product (tiny), NOT the corpus size; the window and join run
+    on that bounded frame.  No windows ever touch row-level data."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_source")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), "lang")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(tot, "source")
+        .select(
+            "source",
+            F.col("lang").alias("modal_lang"),
+            "n_docs",
+            "n_source",
+            F.expr("n_docs * 1000000L div n_source")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )

@@ -293,3 +293,54 @@ def test_q5_broadcasts_all_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_batch7_relational_plans(spark):
+    """Q3 broadcasts the filtered customer side and stays take-ordered;
+    the promo share broadcasts the part dimension; the band range join
+    is a broadcast nested loop over the 25-row band table, never a
+    shuffled cartesian."""
+    from pangenomesasgraphdatabases_spark.queries.relational import (
+        customer_band_range_join,
+        lineitem_promo_share,
+        orders_q3_topk_unshipped,
+    )
+
+    q3 = _plan(orders_q3_topk_unshipped(spark, SF))
+    assert "BroadcastHashJoin" in q3
+    assert "TakeOrderedAndProject" in q3
+    assert "CartesianProduct" not in q3
+
+    q14 = _plan(lineitem_promo_share(spark, SF))
+    assert "BroadcastHashJoin" in q14
+    assert "CartesianProduct" not in q14
+
+    band = _plan(customer_band_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in band
+    assert "CartesianProduct" not in band
+
+
+def test_zonemap_pruning_measures_skipping(spark):
+    """The zonemap query's scalar max broadcasts (no shuffle join) and
+    the z-order layout must actually out-prune the natural layout for
+    the mid-domain probe — the measured data-skipping claim."""
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        lineitem_zonemap_pruning,
+    )
+
+    df = lineitem_zonemap_pruning(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    rows = df.collect()
+    pruned = {
+        layout: sum(1 for r in rows if r.layout == layout and r.pruned)
+        for layout in ("zorder", "natural")
+    }
+    total = {
+        layout: sum(1 for r in rows if r.layout == layout)
+        for layout in ("zorder", "natural")
+    }
+    z_frac = pruned["zorder"] / total["zorder"]
+    n_frac = pruned["natural"] / max(1, total["natural"])
+    assert z_frac > n_frac, (pruned, total)
+    assert z_frac >= 0.5, (pruned, total)
