@@ -2618,3 +2618,176 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("es").cast("bigint").alias("peak_es"))
     )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(min(us) / 1000000) AS BIGINT) AS session_start,
+           CAST(floor(max(us) / 1000000) + 1800 AS BIGINT) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    tags=("ext-stream", "streaming", "session-window"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of gap-based sessionization via the
+    built-in `session_window` stateful operator (extension — the
+    streaming twin of events_sessionize): sessions close when 30
+    minutes pass without a user event; `w.end` is last-event + gap by
+    session-window semantics, so the oracle reconstructs the same
+    sessions with a lag/cumsum split at microsecond precision (a new
+    session starts when the gap is >= 30 min — session_window merges
+    only strictly-overlapping [ts, ts+gap) windows).  With the file as
+    one AvailableNow micro-batch the complete-mode store holds the
+    final merged sessions, so the batch SQL oracles it.
+
+    Scale shape: session state is per-user and expires with the
+    watermark — bounded by active users, not history; the oracle-side
+    window sort is per-user too.  The marked/cumsum SQL ordering needs
+    only (us) because the sessionize grouping collapses ties into the
+    same session regardless of intra-tie order."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        session_window_stream,
+    )
+
+    out = run_available_now(
+        session_window_stream(events_stream(spark, sf_dir)), spark
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("bigint"),
+        F.col("session_end").cast("bigint"),
+        F.col("n_events").cast("bigint"),
+    )
+
+
+_PSI_SHIFT = 25  # 2^25 micros ≈ 33.6 value units per drift bin
+
+
+@register(
+    "events_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT CAST(round(value * 1000000) AS BIGINT) // {1 << _PSI_SHIFT}
+                   AS bin,
+               event_id % 2 AS side
+        FROM events
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS na,
+               CAST(sum(n_b) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS nbins
+        FROM counts
+    )
+    SELECT c.bin, c.n_a, c.n_b,
+           CAST((c.n_a + 1) * 1000000 // (t.na + t.nbins) AS BIGINT)
+               AS p_ppm,
+           CAST((c.n_b + 1) * 1000000 // (t.nb + t.nbins) AS BIGINT)
+               AS q_ppm,
+           CAST(((c.n_a + 1) * 1000000 // (t.na + t.nbins))
+                - ((c.n_b + 1) * 1000000 // (t.nb + t.nbins)) AS BIGINT)
+           * CAST(round(ln(
+                 (CAST((c.n_a + 1) AS DOUBLE) * CAST((t.nb + t.nbins) AS DOUBLE))
+                 / (CAST((c.n_b + 1) AS DOUBLE) * CAST((t.na + t.nbins) AS DOUBLE))
+             ) * 10000) AS BIGINT) AS psi_contrib_e10
+    FROM counts c CROSS JOIN tot t
+    """,
+    tags=("ext-events", "drift", "psi"),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report between two event
+    populations (extension — the ML-monitoring standard next to the
+    total-variation distance of events_tv_drift): `value` binned to a
+    fixed power-of-two micro grid, populations split deterministically
+    by event_id parity, Laplace-smoothed (+1 per present bin) so empty
+    cells never divide by zero.  Per-bin PSI contribution
+    (p - q) * ln(p/q) is emitted exactly: shares as integer ppm, the
+    log quantized to 1e-4 BEFORE the product (the doc_char_entropy
+    libm-parity idiom), so the total PSI is an exact bigint sum the
+    caller folds.
+
+    Scale shape: one map-side-combinable shuffle to the bin histogram
+    (bounded by the value domain / 2^{shift}, not the row count); the
+    scalar totals broadcast back via a 1-row cross join.  The split
+    predicate is a pure column — swap in a date boundary for real
+    before/after drift."""
+    e = table(spark, sf_dir, "events")
+    binned = e.select(
+        F.expr(
+            f"CAST(round(value * 1000000) AS BIGINT) div {1 << _PSI_SHIFT}"
+        ).alias("bin"),
+        (F.col("event_id") % 2).alias("side"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("nbins"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p_ppm = F.expr("(n_a + 1) * 1000000L div (na + nbins)")
+    q_ppm = F.expr("(n_b + 1) * 1000000L div (nb + nbins)")
+    ln_ratio_e4 = F.round(
+        F.log(
+            (
+                (F.col("n_a") + 1).cast("double")
+                * (F.col("nb") + F.col("nbins")).cast("double")
+            )
+            / (
+                (F.col("n_b") + 1).cast("double")
+                * (F.col("na") + F.col("nbins")).cast("double")
+            )
+        )
+        * 10000
+    ).cast("bigint")
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        p_ppm.cast("bigint").alias("p_ppm"),
+        q_ppm.cast("bigint").alias("q_ppm"),
+        ((p_ppm - q_ppm) * ln_ratio_e4).cast("bigint").alias("psi_contrib_e10"),
+    )
+
+
+events_psi_drift.__doc__ = events_psi_drift.__doc__.replace(
+    "{shift}", str(_PSI_SHIFT)
+)

@@ -1085,3 +1085,78 @@ def lineitem_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 lineitem_zonemap_pruning.__doc__ = lineitem_zonemap_pruning.__doc__.format(
     files=_Z_FILES
 )
+
+
+@register(
+    "lineitem_compaction_bins",
+    oracle="""
+    WITH files AS (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS midx,
+               CAST(l_orderkey // 64 AS BIGINT) AS file_id,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    tgt AS (
+        SELECT midx,
+               greatest(CAST(sum(n_rows) // 8 AS BIGINT), CAST(1 AS BIGINT))
+                   AS target
+        FROM files GROUP BY midx
+    ),
+    planned AS (
+        SELECT f.midx, f.file_id, f.n_rows, t.target,
+               CAST(sum(f.n_rows) OVER (PARTITION BY f.midx
+                    ORDER BY f.file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - f.n_rows AS BIGINT) AS cum_before
+        FROM files f JOIN tgt t ON f.midx = t.midx
+    )
+    SELECT midx, file_id, n_rows,
+           CAST(cum_before // target AS BIGINT) AS bin_id
+    FROM planned
+    """,
+    tags=("ext-layout", "compaction", "maintenance"),
+)
+def lineitem_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (extension — the table-maintenance
+    op every 100 TB lake runs nightly): simulate a file inventory (one
+    "file" per 64-orderkey run per ship-month partition, sized by its
+    row count), then assign files to compaction bins by cumulative-sum
+    division so each output file lands near partition_rows/8 — the
+    deterministic streaming-bin-packing that OPTIMIZE/rewriteDataFiles
+    performs, as a relational plan.  Everything exact-integer; bin
+    boundaries depend only on (partition, file order), so reruns and
+    engines agree.
+
+    Scale shape: the inventory rollup is one map-side-combinable
+    shuffle; the cumulative window is PER PARTITION (midx) over the
+    file inventory — thousands of rows per partition, never raw data.
+    In production the inventory comes from the table metadata/manifest
+    layer and this same plan emits the rewrite job list."""
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+        F.expr("l_orderkey div 64").cast("bigint").alias("file_id"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    tgt = files.groupBy("midx").agg(
+        F.greatest(F.expr("sum(n_rows) div 8"), F.lit(1).cast("bigint"))
+        .cast("bigint")
+        .alias("target")
+    )
+    w = (
+        Window.partitionBy("midx")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    planned = files.join(tgt, "midx").withColumn(
+        "cum_before", (F.sum("n_rows").over(w) - F.col("n_rows")).cast("bigint")
+    )
+    return planned.select(
+        "midx",
+        "file_id",
+        "n_rows",
+        F.expr("cum_before div target").cast("bigint").alias("bin_id"),
+    )

@@ -2618,3 +2618,64 @@ def doc_modal_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    owner AS (
+        SELECT shingle, CAST(min(doc_id) AS BIGINT) AS owner_id
+        FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN o.owner_id = s.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN o.owner_id = s.doc_id THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM shingles s JOIN owner o ON s.shingle = o.shingle
+    GROUP BY s.doc_id
+    """,
+    tags=("ext-text", "novelty", "dedup"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty score (extension — the incremental
+    flavor of exact shingle dedup, used to rank documents by how much
+    NEW text they contribute to a corpus): every distinct word 3-gram
+    is owned by the lowest doc_id containing it (ingestion order);
+    a document's novelty is the owned fraction of its shingles, in
+    exact ppm.  Near-1 docs are fresh content; near-0 docs are
+    recombinations of text seen earlier — the boilerplate/template
+    signal exact-duplicate hashing misses.
+
+    Scale shape: the inverted-index discipline of the dedup family —
+    one shuffle keyed by shingle to elect owners (map-side combinable
+    min), one shuffle keyed by doc_id to score; never all-pairs, no
+    windows over raw text.  At 100 TB the shingle frame is the big
+    intermediate; both shuffles are on its natural keys and the min()
+    election prunes to one owner row per distinct shingle."""
+    sh = _shingles(spark, sf_dir)
+    owner = sh.groupBy("shingle").agg(
+        F.min("doc_id").cast("bigint").alias("owner_id")
+    )
+    return (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("owner_id") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000L div n_shingles")
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -1663,3 +1663,112 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= 10)
+
+
+@register(
+    "emb_knn_label_vote",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < 20),
+    c AS (SELECT vec_id, embedding, label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               min(q.label) AS true_label, min(c.label) AS n_label,
+               sum(CAST(q.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE)) AS dot,
+               sqrt(sum(CAST(q.embedding[i] AS DOUBLE)
+                   * CAST(q.embedding[i] AS DOUBLE))) AS qn,
+               sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE))) AS cn
+        FROM q, c, generate_series(1, 64) t(i)
+        WHERE q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id ASC)
+                   AS rank
+        FROM dots
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label AS pred_label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM ranked WHERE rank <= 5
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT query_id, true_label, pred_label, votes,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, pred_label ASC) AS vr
+        FROM votes
+    )
+    SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+           CAST(pred_label AS INTEGER) AS pred_label, votes,
+           pred_label = true_label AS correct
+    FROM best WHERE vr = 1
+    """,
+    tags=("ext-vector", "knn", "eval"),
+)
+def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction (extension — the evaluation
+    harness that turns the ANN index into a classifier, the standard
+    embedding-quality probe): for each held-out query vector
+    (vec_id < 20), take its 5 exact-cosine nearest neighbors among the
+    rest and predict by majority label, tie-breaking (votes desc,
+    label asc) so every engine resolves splits identically; `correct`
+    compares against the query's own label.  Cosine ranked on the
+    round-6-decimals tie-broken ordering shared with
+    ann_bruteforce_topk.
+
+    Scale shape: the query side is a broadcast literal-scale frame;
+    candidates stream map-side through the scored cross join exactly
+    as the brute-force yardstick (at deployment the neighbor set comes
+    from the IVF-PQ index instead — same vote finalization).  The vote
+    rollup and argmax run on k rows per query."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("n_label"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = pairs.select(
+        "query_id", "true_label", "neighbor_id", "n_label",
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    knn = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    votes = knn.groupBy("query_id", "true_label", F.col("n_label").alias("pred_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("pred_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )

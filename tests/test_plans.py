@@ -344,3 +344,37 @@ def test_zonemap_pruning_measures_skipping(spark):
     n_frac = pruned["natural"] / max(1, total["natural"])
     assert z_frac > n_frac, (pruned, total)
     assert z_frac >= 0.5, (pruned, total)
+
+
+def test_batch8_plans_stay_bounded(spark):
+    """Novelty joins on the shingle key (never all-pairs); the PSI
+    scalar totals ride a broadcast; the compaction window partitions
+    by month (no global sort); knn's deliberate cross join broadcasts
+    the 20-row query side."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_psi_drift,
+    )
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        lineitem_compaction_bins,
+    )
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_ngram_novelty,
+    )
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        emb_knn_label_vote,
+    )
+
+    nov = _plan(doc_ngram_novelty(spark, SF))
+    assert "CartesianProduct" not in nov
+    assert "BroadcastNestedLoopJoin" not in nov
+
+    psi = _plan(events_psi_drift(spark, SF))
+    assert "CartesianProduct" not in psi
+
+    comp = _plan(lineitem_compaction_bins(spark, SF))
+    assert "CartesianProduct" not in comp
+    assert "Window" in comp and "midx#" in comp
+
+    knn = _plan(emb_knn_label_vote(spark, SF))
+    assert "BroadcastNestedLoopJoin" in knn
+    assert "CartesianProduct" not in knn
