@@ -2791,3 +2791,201 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_psi_drift.__doc__ = events_psi_drift.__doc__.replace(
     "{shift}", str(_PSI_SHIFT)
 )
+
+
+# Two-proportion z statistic from exact integer counts — ONE text,
+# evaluated by both engines (the functions/stats.py discipline), so
+# the doubles agree bit-for-bit.
+_AB_Z_SQL = (
+    "((CAST(x0 AS DOUBLE)/CAST(n0 AS DOUBLE)"
+    " - CAST(x1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
+    " / nullif(sqrt((CAST(x0 + x1 AS DOUBLE)/CAST(n0 + n1 AS DOUBLE))"
+    " * (1.0 - CAST(x0 + x1 AS DOUBLE)/CAST(n0 + n1 AS DOUBLE))"
+    " * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))), 0.0))"
+)
+
+
+def _ab_oracle() -> str:
+    from pangenomesasgraphdatabases_spark.functions.stats import z_pvalue_sql
+
+    return f"""
+    WITH arms AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM (SELECT DISTINCT user_id, user_id % 2 AS arm FROM events)
+    ),
+    per_user AS (
+        SELECT event_type, user_id, user_id % 2 AS arm,
+               CAST(count(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1, 2, 3
+    ),
+    typetot AS (
+        SELECT event_type, CAST(sum(n_ev) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS nu
+        FROM per_user GROUP BY event_type
+    ),
+    conv AS (
+        SELECT p.event_type,
+               CAST(sum(CASE WHEN p.arm = 0 AND p.n_ev * t.nu > t.tot
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+               CAST(sum(CASE WHEN p.arm = 1 AND p.n_ev * t.nu > t.tot
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x1
+        FROM per_user p JOIN typetot t ON p.event_type = t.event_type
+        GROUP BY p.event_type
+    )
+    SELECT c.event_type, a.n0, a.n1, c.x0, c.x1,
+           {_AB_Z_SQL} AS z,
+           {z_pvalue_sql(_AB_Z_SQL)} AS p_two_sided
+    FROM conv c CROSS JOIN arms a
+    """
+
+
+@register(
+    "events_ab_test_ztest",
+    oracle=_ab_oracle(),
+    tags=("ext-events", "ab-test", "F14"),
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test conversion comparison (extension — the experimentation
+    primitive next to the Welch t family): users split into two arms
+    by user_id parity; for each event type, the fraction of each arm's
+    users who are HEAVY users of it (strictly above the type's mean
+    per-user count — an exact-integer n_ev * n_users > total comparison
+    that keeps proportions off the degenerate 0/1 boundary where the
+    pooled variance vanishes; the nullif guard still returns NULL z if
+    a type saturates) is compared with the two-proportion pooled
+    z-test, two-sided p via the shared A&S erfc fragment
+    (functions/stats.z_pvalue_sql — same TEXT both engines, the
+    welch_ttest_pvalue discipline).  All counts are exact distinct
+    integers; the only floats are the final z/p computed from them by
+    one shared expression.
+
+    Scale shape: arm sizes are one distinct-user aggregation;
+    per-type conversions are one count-distinct shuffle keyed by
+    event_type; the 1-row arm frame broadcasts via cross join.  In
+    production the arm hash comes from the experiment assignment
+    column instead of id parity."""
+    from pangenomesasgraphdatabases_spark.functions.stats import z_pvalue_sql
+
+    e = table(spark, sf_dir, "events")
+    arms = (
+        e.select("user_id", (F.col("user_id") % 2).alias("arm"))
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+        )
+    )
+    per_user = e.groupBy(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+    typetot = per_user.groupBy("event_type").agg(
+        F.sum("n_ev").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    above = F.col("n_ev") * F.col("nu") > F.col("tot")
+    conv = (
+        per_user.join(F.broadcast(typetot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when((F.col("arm") == 0) & above, 1).otherwise(0))
+            .cast("bigint")
+            .alias("x0"),
+            F.sum(F.when((F.col("arm") == 1) & above, 1).otherwise(0))
+            .cast("bigint")
+            .alias("x1"),
+        )
+    )
+    return conv.crossJoin(F.broadcast(arms)).select(
+        "event_type",
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        F.expr(_AB_Z_SQL).alias("z"),
+        F.expr(z_pvalue_sql(_AB_Z_SQL)).alias("p_two_sided"),
+    )
+
+
+_MI_SHIFT = 26  # 2^26 micros ≈ 67 value units per MI bin
+
+
+@register(
+    "events_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) // {1 << _MI_SHIFT}
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS n_tb
+        FROM events GROUP BY 1, 2
+    ),
+    mt AS (SELECT event_type, CAST(sum(n_tb) AS BIGINT) AS n_t
+           FROM cells GROUP BY event_type),
+    mb AS (SELECT bin, CAST(sum(n_tb) AS BIGINT) AS n_b
+           FROM cells GROUP BY bin),
+    tot AS (SELECT CAST(sum(n_tb) AS BIGINT) AS n FROM cells)
+    SELECT c.event_type, c.bin, c.n_tb, t.n_t, b.n_b,
+           c.n_tb * CAST(round(ln(
+               (CAST(c.n_tb AS DOUBLE) * CAST(tt.n AS DOUBLE))
+               / (CAST(t.n_t AS DOUBLE) * CAST(b.n_b AS DOUBLE))
+           ) * 10000) AS BIGINT) AS mi_contrib_e4
+    FROM cells c
+    JOIN mt t ON c.event_type = t.event_type
+    JOIN mb b ON c.bin = b.bin
+    CROSS JOIN tot tt
+    """,
+    tags=("ext-events", "mutual-information", "feature-relevance"),
+)
+def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and value bucket
+    (extension — the feature-relevance screen run before training:
+    which categorical features carry signal about a target): value
+    binned on a fixed power-of-two micro grid, MI decomposed into its
+    per-cell contributions n_tb * ln(n_tb * N / (n_t * n_b)), the log
+    quantized to 1e-4 before the integer product (the PSI/entropy
+    idiom), so MI totals are exact bigint sums in e-4 nat units per
+    observation.
+
+    Scale shape: one map-side-combinable shuffle to the (type, bin)
+    contingency cells — bounded by the domain product, not rows; the
+    marginals reduce from the cells (never from raw data) and join
+    back on bounded keys; the scalar N broadcasts."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.expr(
+            f"CAST(round(value * 1000000) AS BIGINT) div {1 << _MI_SHIFT}"
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tb"))
+    mt = cells.groupBy("event_type").agg(
+        F.sum("n_tb").cast("bigint").alias("n_t")
+    )
+    mb = cells.groupBy("bin").agg(F.sum("n_tb").cast("bigint").alias("n_b"))
+    tot = cells.agg(F.sum("n_tb").cast("bigint").alias("n"))
+    ln_e4 = F.round(
+        F.log(
+            (F.col("n_tb").cast("double") * F.col("n").cast("double"))
+            / (F.col("n_t").cast("double") * F.col("n_b").cast("double"))
+        )
+        * 10000
+    ).cast("bigint")
+    return (
+        cells.join(mt, "event_type")
+        .join(F.broadcast(mb), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "bin",
+            "n_tb",
+            "n_t",
+            "n_b",
+            (F.col("n_tb") * ln_e4).cast("bigint").alias("mi_contrib_e4"),
+        )
+    )

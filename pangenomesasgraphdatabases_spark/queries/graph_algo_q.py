@@ -850,3 +850,86 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_micro"),
         )
     )
+
+
+# Pearson assortativity from exact integer accumulators — one shared
+# expression shape evaluated over (m, sx, sy, sxx, syy, sxy).
+_ASSORT_R_SQL = (
+    "((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"
+)
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_TRI_EDGES_SQL.split(',' + chr(10) + 'vdeg')[0]},
+    {_BIDIR_SQL},
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ),
+    pts AS (
+        SELECT ds.deg AS x, dd.deg AS y
+        FROM e
+        JOIN deg ds ON e.src = ds.src
+        JOIN deg dd ON e.dst = dd.src
+    ),
+    acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT m, sx, sxy,
+           CAST(round({_ASSORT_R_SQL} * 1000000) AS BIGINT)
+               AS assortativity_micro
+    FROM acc
+    """,
+    tags=("ext-graph", "assortativity"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part synteny graph (extension — the
+    Newman network-science summary: do high-degree nodes link to
+    high-degree nodes?): Pearson correlation of endpoint degrees over
+    the directed edge list (both directions, so the statistic is the
+    standard undirected one).  Every accumulator is an exact bigint
+    (degrees and their products), so the final r is one
+    correctly-rounded double expression of exact integers — reported
+    in micro units.
+
+    Scale shape: degrees reduce once from the edge list; the
+    edge-degree join shuffles on node ids twice (or rides a broadcast
+    when the degree frame is dimension-sized); the correlation is a
+    scalar aggregate with map-side partials.  No windows, no
+    all-pairs."""
+    adj = _synteny_adj(spark, sf_dir)
+    e = _bidir_edges(adj)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    pts = (
+        e.join(deg.withColumnRenamed("src", "n1").withColumnRenamed("deg", "x"),
+               F.col("src") == F.col("n1"))
+        .join(
+            deg.withColumnRenamed("src", "n2").withColumnRenamed("deg", "y"),
+            F.col("dst") == F.col("n2"),
+        )
+        .select("x", "y")
+    )
+    acc = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return acc.select(
+        "m",
+        "sx",
+        "sxy",
+        F.round(F.expr(_ASSORT_R_SQL) * 1000000)
+        .cast("bigint")
+        .alias("assortativity_micro"),
+    )

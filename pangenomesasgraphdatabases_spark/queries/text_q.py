@@ -2679,3 +2679,109 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "doc_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk
+        FROM freq
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 10000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y
+        FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n,
+           CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * 1000000) AS BIGINT) AS slope_micro,
+           CAST(round((CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                  * sx) / n) AS BIGINT) AS intercept_e4
+    FROM acc
+    """,
+    tags=("ext-text", "zipf", "corpus-stats"),
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency distribution
+    (extension — the classic corpus-health probe: natural text gives
+    log-log slope near -1, template/spam corpora deviate): OLS of
+    ln(count) on ln(rank) over the top-{top} token ranks.  Ranks
+    tie-break on token text so both engines rank identically; both
+    logs are quantized to 1e-4 fixed point BEFORE the OLS sums
+    (doc_unigram_logprob idiom), so all accumulators are exact
+    bigints and the slope/intercept are single correctly-rounded
+    double expressions of them.
+
+    Scale shape: the frequency table is one map-side-combinable
+    shuffle (bounded by vocabulary, not corpus size); the global
+    rank window runs on the top slice of that bounded frame; the OLS
+    reduction is a scalar aggregate of {top} rows."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # TakeOrdered top slice FIRST (distributed per-partition heaps), so
+    # the ranking window only ever sees _ZIPF_TOP rows — never a
+    # single-partition window over the full vocabulary.
+    topn = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    pts = (
+        topn.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.round(F.log(F.col("rnk").cast("double")) * 10000)
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")) * 10000)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    acc = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return acc.select(
+        "n",
+        F.round(slope * 1000000).cast("bigint").alias("slope_micro"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+        )
+        .cast("bigint")
+        .alias("intercept_e4"),
+    )
+
+
+doc_zipf_fit.__doc__ = doc_zipf_fit.__doc__.replace("{top}", str(_ZIPF_TOP))

@@ -378,3 +378,24 @@ def test_batch8_plans_stay_bounded(spark):
     knn = _plan(emb_knn_label_vote(spark, SF))
     assert "BroadcastNestedLoopJoin" in knn
     assert "CartesianProduct" not in knn
+
+
+def test_batch9_plans(spark):
+    """Zipf ranks only a TakeOrdered top slice (no full-vocabulary
+    single-partition window); the A/B and MI scalar frames broadcast;
+    assortativity never goes cartesian."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_ab_test_ztest,
+        events_mutual_info,
+    )
+    from pangenomesasgraphdatabases_spark.queries.graph_algo_q import (
+        graph_degree_assortativity,
+    )
+    from pangenomesasgraphdatabases_spark.queries.text_q import doc_zipf_fit
+
+    z = _plan(doc_zipf_fit(spark, SF))
+    assert "TakeOrderedAndProject" in z
+
+    for fn in (events_ab_test_ztest, events_mutual_info,
+               graph_degree_assortativity):
+        assert "CartesianProduct" not in _plan(fn(spark, SF)), fn.__name__
