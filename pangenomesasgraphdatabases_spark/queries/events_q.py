@@ -2989,3 +2989,48 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tb") * ln_e4).cast("bigint").alias("mi_contrib_e4"),
         )
     )
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    slots AS (
+        SELECT event_type, vm,
+               (us // 300000000) * 300 AS w FROM e
+        UNION ALL
+        SELECT event_type, vm,
+               (us // 300000000) * 300 - 300 AS w FROM e
+    )
+    SELECT CAST(w AS BIGINT) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vm) AS BIGINT) // count(*) AS avg_value_micro
+    FROM slots GROUP BY 1, 2
+    """,
+    tags=("ext-stream", "streaming", "sliding-window"),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of the 10-minute/5-minute sliding
+    average (streaming/events.sliding_counts_stream) — the overlap
+    window every event lands in exactly twice; the oracle materializes
+    both slots per event with exact integer microsecond floors and the
+    same exact fixed-point integer average.  Completes the streaming
+    twin matrix: every batch window family (tumbling, sliding,
+    session) now has a driver-hashed streaming counterpart
+    (extension).
+
+    Scale shape: sliding windows multiply state by window/slide = 2
+    here; watermark expiry bounds it by active windows per type."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        sliding_counts_stream,
+    )
+
+    return run_available_now(
+        sliding_counts_stream(events_stream(spark, sf_dir)), spark
+    )

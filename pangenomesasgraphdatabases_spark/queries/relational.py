@@ -864,3 +864,60 @@ def customer_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("acct_cents").cast("bigint").alias("sum_acctbal_cents"),
         )
     )
+
+
+@register(
+    "lineitem_skewsafe_distinct",
+    oracle="""
+    WITH pre AS (
+        SELECT p.p_brand, l.l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l.l_extendedprice
+                    * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+    FROM pre GROUP BY p_brand
+    """,
+    tags=("ext-olap", "skew", "two-stage-distinct"),
+)
+def lineitem_skewsafe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe distinct count per hot key (extension — the two-stage
+    expansion that keeps a COUNT(DISTINCT) over a handful of hot
+    groups from collapsing onto a handful of reducers): distinct
+    suppliers + exact revenue per brand, computed by FIRST aggregating
+    on the composite (brand, suppkey) key — the shuffle spreads over
+    the full composite key space — and THEN reducing the pre-frame by
+    brand, where each group is now at most |suppliers| rows.  A direct
+    count_distinct groupBy("p_brand") shuffles every row to one of 25
+    reducers; this plan's first exchange fans out over brand x supplier.
+
+    Scale shape: two exchanges by construction (the plan test pins the
+    first on the composite key); the part dimension broadcasts; all
+    sums exact integer cents riding the same pre-aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pre = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    return pre.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("n_items").cast("bigint").alias("n_items"),
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+    )

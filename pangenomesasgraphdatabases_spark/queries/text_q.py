@@ -2785,3 +2785,182 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 doc_zipf_fit.__doc__ = doc_zipf_fit.__doc__.replace("{top}", str(_ZIPF_TOP))
+
+
+@register(
+    "doc_near_dup_source_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_HASHED_SQL},
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN shingles s1 ON c.doc1 = s1.doc_id
+        JOIN shingles s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+        GROUP BY c.doc1, c.doc2
+    ),
+    scored AS (
+        SELECT i.doc1, i.doc2,
+               CAST(round(CAST(i.n_common AS DOUBLE)
+                    / (z1.sz + z2.sz - i.n_common) * 10000) AS BIGINT)
+                   AS jac_e4
+        FROM inter i
+        JOIN sizes z1 ON i.doc1 = z1.doc_id
+        JOIN sizes z2 ON i.doc2 = z2.doc_id
+    )
+    SELECT least(d1.source, d2.source) AS source_a,
+           greatest(d1.source, d2.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(s.jac_e4) AS BIGINT) // count(*) AS avg_jaccard_e4
+    FROM scored s
+    JOIN documents d1 ON s.doc1 = d1.doc_id
+    JOIN documents d2 ON s.doc2 = d2.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("ext-text", "dedup", "provenance"),
+)
+def doc_near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix (extension — the provenance
+    report a curation team reads AFTER dedup: which sources share
+    content with which, and how strongly): LSH candidate pairs
+    verified by exact shingle Jaccard (the doc_lsh_near_dup_pairs
+    lineage), rolled up by canonical source pair with the mean
+    Jaccard in exact 1e-4 fixed point (per-pair quantize, integer
+    sum, integer divide).  The diagonal (source_a = source_b) is
+    within-source duplication; off-diagonal cells expose mirror/
+    scrape relationships between feeds.
+
+    Scale shape: identical to the LSH pair path (band-bucket
+    candidates, never all-pairs) plus two dimension joins on doc_id
+    and a rollup bounded by the source-pair domain."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _shingles(spark, sf_dir).cache()
+    cand = lsh_candidate_pairs(minhash_sig_of(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac_e4 = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
+        * 10000
+    ).cast("bigint")
+    scored = (
+        inter.join(z1, "doc1").join(z2, "doc2").select("doc1", "doc2", jac_e4.alias("jac_e4"))
+    )
+    d1 = d.select(F.col("doc_id").alias("doc1"), F.col("source").alias("src1"))
+    d2 = d.select(F.col("doc_id").alias("doc2"), F.col("source").alias("src2"))
+    return (
+        scored.join(F.broadcast(d1), "doc1")
+        .join(F.broadcast(d2), "doc2")
+        .groupBy(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("sum(jac_e4) div count(1)")
+            .cast("bigint")
+            .alias("avg_jaccard_e4"),
+        )
+    )
+
+
+@register(
+    "doc_length_outlier_filter",
+    oracle="""
+    WITH counts AS (
+        SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+        SELECT source, n_chars, c,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+               CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM counts
+    ),
+    bounds AS (
+        SELECT source,
+               CAST(min(CASE WHEN cw * 100 >= n * 5 THEN n_chars END)
+                   AS BIGINT) AS lo,
+               CAST(min(CASE WHEN cw * 100 >= n * 95 THEN n_chars END)
+                   AS BIGINT) AS hi
+        FROM cum GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, b.lo, b.hi,
+           d.n_chars >= b.lo AND d.n_chars <= b.hi AS keep
+    FROM documents d JOIN bounds b ON d.source = b.source
+    """,
+    tags=("ext-text", "quality", "percentile-filter"),
+)
+def doc_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based length trimming per source (extension — the C4
+    'drop the shortest and longest tails' curation step, exact): the
+    5th/95th percentile of n_chars per source located on the
+    value-count histogram (smallest value whose cumulative count
+    reaches ceil(q*n), expressed as the exact integer comparison
+    cw*100 >= n*q), then a keep verdict per document.  The two-level
+    histogram trick of lineitem_weighted_median: the percentile scan
+    orders DISTINCT lengths per source, never raw rows.
+
+    Scale shape: one map-side-combinable shuffle to the (source,
+    length) histogram (bounded by the length domain), per-source
+    windows over that bounded frame, and a broadcast of the per-source
+    bounds back onto the scan."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("c").over(Window.partitionBy("source")).cast("bigint").alias("n"),
+    )
+    bounds = cum.groupBy("source").agg(
+        F.min(F.when(F.col("cw") * 100 >= F.col("n") * 5, F.col("n_chars")))
+        .cast("bigint")
+        .alias("lo"),
+        F.min(F.when(F.col("cw") * 100 >= F.col("n") * 95, F.col("n_chars")))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    return d.join(F.broadcast(bounds), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "lo",
+        "hi",
+        ((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))).alias(
+            "keep"
+        ),
+    )

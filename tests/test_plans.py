@@ -399,3 +399,31 @@ def test_batch9_plans(spark):
     for fn in (events_ab_test_ztest, events_mutual_info,
                graph_degree_assortativity):
         assert "CartesianProduct" not in _plan(fn(spark, SF)), fn.__name__
+
+
+def test_batch10_plans(spark):
+    """The skew-safe distinct must stage two exchanges with the FIRST
+    on the composite (brand, suppkey) key; the source matrix stays
+    band-bucketed (no cartesian); the length filter broadcasts its
+    bounds back onto the scan."""
+    from pangenomesasgraphdatabases_spark.queries.relational import (
+        lineitem_skewsafe_distinct,
+    )
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_length_outlier_filter,
+        doc_near_dup_source_matrix,
+    )
+
+    skew = _plan(lineitem_skewsafe_distinct(spark, SF))
+    exchanges = [
+        ln for ln in skew.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 2, skew
+    first = exchanges[-1]  # innermost exchange prints last
+    assert "l_suppkey" in first and "p_brand" in first, first
+
+    mat = _plan(doc_near_dup_source_matrix(spark, SF))
+    assert "CartesianProduct" not in mat
+
+    filt = _plan(doc_length_outlier_filter(spark, SF))
+    assert "BroadcastHashJoin" in filt
