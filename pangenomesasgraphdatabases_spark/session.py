@@ -25,7 +25,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local[N] puts driver + all N executor threads in ONE JVM:
+        # size the heap like the sum of a few executors, not like a
+        # cluster driver.  16g measurably GC-thrashed the 24-query
+        # bench (single queries 2x slower in-bench than isolated);
+        # 48g on the 128 GiB harness restores isolated-run timings.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
