@@ -3034,3 +3034,71 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         sliding_counts_stream(events_stream(spark, sf_dir)), spark
     )
+
+
+@register(
+    "events_user_sequence_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT user_id, prev_type, event_type,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    marg AS (
+        SELECT user_id, prev_type, CAST(sum(n_ab) AS BIGINT) AS n_a
+        FROM trans GROUP BY 1, 2
+    )
+    SELECT t.user_id,
+           CAST(sum(t.n_ab) AS BIGINT) AS n_transitions,
+           CAST(-sum(t.n_ab * CAST(round(ln(CAST(t.n_ab AS DOUBLE)
+                / CAST(m.n_a AS DOUBLE)) * 10000) AS BIGINT)) AS BIGINT)
+               AS nll_e4
+    FROM trans t
+    JOIN marg m ON t.user_id = m.user_id AND t.prev_type = m.prev_type
+    GROUP BY t.user_id
+    """,
+    tags=("ext-events", "entropy", "sequence"),
+)
+def events_user_sequence_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioural predictability (extension — the first-order
+    Markov negative log-likelihood of each user's own event sequence:
+    low total = habitual/bot-like, high = erratic — the sequence twin
+    of the bot/anomaly family): transitions counted per (user, from,
+    to), conditional log-probs quantized to 1e-4 per DISTINCT cell
+    before the exact integer reduction (the entropy/MI idiom), so the
+    per-user total is an exact bigint in e-4 nat units.
+
+    Scale shape: ONE per-user event-time window builds the lag pairs
+    (the sessionize partitioning — bounded per user); transition and
+    marginal counts reduce to at most |types|^2 rows per user and
+    join on those bounded keys."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("user_id", "prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    marg = trans.groupBy("user_id", "prev_type").agg(
+        F.sum("n_ab").cast("bigint").alias("n_a")
+    )
+    ln_e4 = F.round(
+        F.log(F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+        * 10000
+    ).cast("bigint")
+    return (
+        trans.join(marg, ["user_id", "prev_type"])
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_ab").cast("bigint").alias("n_transitions"),
+            (-F.sum(F.col("n_ab") * ln_e4)).cast("bigint").alias("nll_e4"),
+        )
+    )

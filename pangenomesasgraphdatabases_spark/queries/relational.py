@@ -921,3 +921,63 @@ def lineitem_skewsafe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_items").cast("bigint").alias("n_items"),
         F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+_TRGM_PATTERN = "gear"  # literal probe; trigrams derived below
+
+
+@register(
+    "part_trigram_like_search",
+    oracle=f"""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name LIKE '%{_TRGM_PATTERN}%'
+    """,
+    tags=("ext-search", "trigram-index", "P6"),
+)
+def part_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated substring search (extension — the pg_trgm /
+    search-index pattern for `LIKE '%...%'`, which no B-tree or
+    parquet min/max can serve): build a trigram posting list over
+    p_name, intersect the posting lists of the pattern's trigrams
+    (a candidate must contain ALL of them), and verify survivors with
+    the real `contains` — exact result set, but the scan touches only
+    posting-list rows for the pattern's trigrams instead of every
+    name.  The oracle is the plain LIKE scan: identical output proves
+    the index path lossless.
+
+    Scale shape: the posting list shuffles once on trigram (the
+    inverted-index discipline); the pattern's trigram set is a
+    literal broadcast; candidates are the posting intersection sized
+    by the rarest trigram, and only they pay verification.  At 100 TB
+    the posting list is the persisted search index and this query is
+    its lookup path."""
+    pat = _TRGM_PATTERN
+    grams = [pat[i : i + 3] for i in range(len(pat) - 2)]
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    postings = p.select(
+        "p_partkey",
+        F.explode(
+            F.transform(
+                # sequence(1, n) DESCENDS when n < 1 (the _gram_starts
+                # pitfall): guard short names to an empty array.
+                F.when(
+                    F.length("p_name") >= 3,
+                    F.sequence(F.lit(1), F.length("p_name") - 2),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.col("p_name").substr(i, F.lit(3)),
+            )
+        ).alias("trigram"),
+    ).distinct()
+    cands = (
+        postings.filter(F.col("trigram").isin(grams))
+        .groupBy("p_partkey")
+        .agg(F.count_distinct("trigram").alias("n_hit"))
+        .filter(F.col("n_hit") == len(grams))
+        .select("p_partkey")
+    )
+    return (
+        p.join(cands, "p_partkey")
+        .filter(F.col("p_name").contains(pat))
+        .select("p_partkey", "p_name")
+    )

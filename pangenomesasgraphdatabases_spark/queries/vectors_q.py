@@ -1772,3 +1772,214 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+_RECALL_PROBES = (1, 2, 4, 8)
+
+
+_RECALL_ORACLE_SQL = (
+    f"""
+    WITH {_KM_CHAIN_SQL},{_km_assign_sql(_KM_ITERS + 1, f"c{_KM_ITERS}")},
+    probe_all AS (
+        SELECT vec_id AS query_id, cid, rn FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(dist, 6) ASC, cid ASC) AS rn
+            FROM (
+                SELECT ev.vec_id, c.cid,
+                       sum((ev.v[i] - c.cvec[i]) * (ev.v[i] - c.cvec[i]))
+                           AS dist
+                FROM ev, c{_KM_ITERS} c, generate_series(1, {_KM_DIM}) t(i)
+                WHERE ev.vec_id < 5
+                GROUP BY ev.vec_id, c.cid
+            ) d
+        ) r WHERE rn <= {max(_RECALL_PROBES)}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(min(p.rn) AS BIGINT) AS min_probe
+        FROM probe_all p JOIN a{_KM_ITERS + 1} a ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, c.min_probe,
+               round(sum(CAST(qe.embedding[i] AS DOUBLE)
+                         * CAST(ce.embedding[i] AS DOUBLE))
+                     / (sqrt(sum(CAST(qe.embedding[i] AS DOUBLE)
+                                 * CAST(qe.embedding[i] AS DOUBLE)))
+                        * sqrt(sum(CAST(ce.embedding[i] AS DOUBLE)
+                                   * CAST(ce.embedding[i] AS DOUBLE)))), 6)
+                   AS cosine
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ce ON ce.vec_id = c.neighbor_id,
+             generate_series(1, 64) t(i)
+        GROUP BY c.query_id, c.neighbor_id, c.min_probe
+    ),
+    np AS (SELECT unnest([{", ".join(str(n) for n in _RECALL_PROBES)}])
+               AS nprobe),
+    ivf10 AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT n.nprobe, s.query_id, s.neighbor_id,
+                   row_number() OVER (PARTITION BY n.nprobe, s.query_id
+                       ORDER BY s.cosine DESC, s.neighbor_id ASC) AS rk
+            FROM scored s JOIN np n ON s.min_probe <= n.nprobe
+        ) WHERE rk <= 10
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(sum(CAST(q.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE))
+                             / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE)
+                                         * CAST(q.embedding[i] AS DOUBLE)))
+                                * sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+                                           * CAST(c.embedding[i] AS DOUBLE)))), 6)
+                           DESC, c.vec_id ASC) AS rk
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 5) q,
+                 embeddings c, generate_series(1, 64) t(i)
+            WHERE q.vec_id <> c.vec_id
+            GROUP BY q.vec_id, c.vec_id
+        ) WHERE rk <= 10
+    )
+    SELECT n.nprobe, t.query_id,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) * 10 AS BIGINT) AS recall_pct
+    FROM np n
+    CROSS JOIN truth t
+    LEFT JOIN ivf10 i
+      ON i.nprobe = n.nprobe AND i.query_id = t.query_id
+     AND i.neighbor_id = t.neighbor_id
+    GROUP BY 1, 2
+    """
+)
+
+
+@register(
+    "ann_ivf_recall_curve",
+    oracle=_RECALL_ORACLE_SQL,
+    tags=("ext-vector", "ann", "ivf", "eval"),
+)
+def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 as a function of nprobe (extension — THE tuning
+    curve of every IVF deployment: how many inverted lists must a
+    query scan before recall is acceptable): one centroid ranking and
+    ONE candidate scoring pass shared across all nprobe values (each
+    candidate carries the minimum probe depth that reaches it, so the
+    per-nprobe candidate set is a filter, not a re-scan), compared
+    against the brute-force truth top-10 from the same rounded
+    tie-broken ordering as ann_bruteforce_topk.
+
+    Scale shape: scoring — the only heavy stage — happens once over
+    the union candidate set (nprobe=max); per-nprobe ranking windows
+    run on <= candidates x |probes| rows per query.  The truth pass
+    is the deliberate brute-force yardstick over the 5 broadcast
+    queries, exactly as ann_bruteforce_topk."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = _km_ev(e)
+    cent = _km_centroids(e).cache()
+    lists = _km_assign(ev, cent)
+    max_probe = max(_RECALL_PROBES)
+
+    qscored = (
+        ev.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probe_all = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max_probe)
+        .select("query_id", "cid", "rn")
+    )
+    cand = (
+        probe_all.join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.min("rn").cast("bigint").alias("min_probe"))
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "min_probe",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    np_df = spark.createDataFrame(
+        [(n,) for n in _RECALL_PROBES], "nprobe int"
+    )
+    wr = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ivf10 = (
+        scored.join(
+            F.broadcast(np_df), F.col("min_probe") <= F.col("nprobe")
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+
+    pairs = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    ).crossJoin(ce).filter(F.col("query_id") != F.col("neighbor_id"))
+    tcos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    truth = (
+        pairs.select(
+            "query_id", "neighbor_id", F.round(tcos, 6).alias("cosine")
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+
+    ivf_marked = ivf10.select(
+        F.col("nprobe").alias("i_nprobe"),
+        F.col("query_id").alias("i_query"),
+        F.col("neighbor_id").alias("i_neighbor"),
+    )
+    base = F.broadcast(np_df).crossJoin(truth)
+    joined = base.join(
+        ivf_marked,
+        (F.col("nprobe") == F.col("i_nprobe"))
+        & (F.col("query_id") == F.col("i_query"))
+        & (F.col("neighbor_id") == F.col("i_neighbor")),
+        "left",
+    )
+    return joined.groupBy("nprobe", "query_id").agg(
+        F.sum(F.when(F.col("i_neighbor").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        (
+            F.sum(F.when(F.col("i_neighbor").isNotNull(), 1).otherwise(0)) * 10
+        )
+        .cast("bigint")
+        .alias("recall_pct"),
+    )

@@ -427,3 +427,29 @@ def test_batch10_plans(spark):
 
     filt = _plan(doc_length_outlier_filter(spark, SF))
     assert "BroadcastHashJoin" in filt
+
+
+def test_batch11_plans(spark):
+    """The trigram search must verify only posting-intersection
+    candidates (join present, no cartesian); the recall curve scores
+    candidates ONCE (a single candidate-scoring join lineage feeding
+    all nprobe ranks); sequence entropy windows per user."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_user_sequence_entropy,
+    )
+    from pangenomesasgraphdatabases_spark.queries.relational import (
+        part_trigram_like_search,
+    )
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        ann_ivf_recall_curve,
+    )
+
+    tri = _plan(part_trigram_like_search(spark, SF))
+    assert "CartesianProduct" not in tri
+
+    ent = _plan(events_user_sequence_entropy(spark, SF))
+    assert "CartesianProduct" not in ent
+    assert "user_id#" in ent
+
+    rc = _plan(ann_ivf_recall_curve(spark, SF))
+    assert "CartesianProduct" not in rc

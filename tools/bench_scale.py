@@ -46,6 +46,20 @@ QUERIES = [
     "events_mannwhitney_value",
     "order_basket_pairs",
     "interval_sweep_concurrency",
+    # round-6 late extensions: inverted-index novelty, the LSH
+    # provenance rollup, histogram percentile trims, the drift/MI
+    # contingency family, streaming session state at 10x users, the
+    # broadcast knn scan, and the layout/maintenance planners.
+    "doc_ngram_novelty",
+    "doc_near_dup_source_matrix",
+    "doc_length_outlier_filter",
+    "events_psi_drift",
+    "events_mutual_info",
+    "stream_session_windows",
+    "emb_knn_label_vote",
+    "lineitem_zonemap_pruning",
+    "lineitem_compaction_bins",
+    "lineitem_skewsafe_distinct",
 ]
 
 GRAPH_SMALL = (770, 6_000)

@@ -135,7 +135,20 @@ def main() -> None:
         f"COPY ({' UNION ALL '.join(parts)}) TO '{OUT}/orders.parquet' (FORMAT PARQUET)"
     )
 
-    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
+    # Dimension tables ride along UNCHANGED: they are the broadcast
+    # side everywhere (part/supplier/customer/nation/region), and a
+    # 10x fact table against fixed dimensions is exactly the shape of
+    # real growth — facts accrete, dimensions don't.
+    for t in ("part", "supplier", "customer", "nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    for t in (
+        "documents", "embeddings", "events", "lineitem", "orders",
+        "part", "supplier", "customer", "nation", "region",
+    ):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
         ).fetchone()[0]
