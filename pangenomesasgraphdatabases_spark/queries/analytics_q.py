@@ -723,3 +723,106 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "orders_snaive_backtest_mae",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS midx,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT a.midx,
+           a.cents AS actual_cents,
+           f.cents AS forecast_cents,
+           CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents,
+           CAST(abs(a.cents - f.cents) * 1000000 // a.cents AS BIGINT)
+               AS ape_ppm
+    FROM m a JOIN m f ON f.midx = a.midx - 12
+    """,
+    tags=("ext-analytics", "forecast", "backtest"),
+)
+def orders_snaive_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (extension — the baseline every
+    forecasting system must beat, evaluated the way a forecasting
+    system is evaluated: walk forward and score): each month's revenue
+    forecast is the SAME month one year earlier (a self-join on
+    midx-12), scored by absolute error and absolute percentage error
+    in exact integer cents / ppm.  Months without a prior year drop
+    out of the join — the honest backtest window.
+
+    Scale shape: one map-side-combinable rollup to the month frame
+    (calendar-bounded), then a self-join on that tiny frame.  The
+    pattern generalizes: swap the lag-12 join key for any
+    champion/challenger forecast table."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("midx")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = m.select(F.col("midx"), F.col("cents").alias("actual_cents"))
+    f = m.select(
+        (F.col("midx") + 12).alias("midx"), F.col("cents").alias("forecast_cents")
+    )
+    return a.join(f, "midx").select(
+        "midx",
+        "actual_cents",
+        "forecast_cents",
+        F.abs(F.col("actual_cents") - F.col("forecast_cents"))
+        .cast("bigint")
+        .alias("abs_err_cents"),
+        F.expr(
+            "abs(actual_cents - forecast_cents) * 1000000L div actual_cents"
+        )
+        .cast("bigint")
+        .alias("ape_ppm"),
+    )
+
+
+@register(
+    "lineitem_join_cardinality_est",
+    oracle="""
+    WITH h AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(c * c) AS BIGINT) AS est_selfjoin_rows,
+           CAST(max(c) AS BIGINT) AS max_key_freq,
+           CAST(sum(c * c) // sum(c) AS BIGINT) AS avg_fanout
+    FROM h
+    """,
+    tags=("ext-olap", "cbo-stats", "cardinality"),
+)
+def lineitem_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from key histograms (extension —
+    the statistic a cost-based optimizer needs before picking a join
+    strategy, computed the way ANALYZE TABLE would): the self-
+    equi-join output size on l_partkey is EXACTLY sum(c^2) over the
+    key-frequency histogram; max_key_freq is the skew headline (the
+    key a salting decision reads), and avg_fanout = sum(c^2)/sum(c)
+    is the expected per-row match count.  All exact integers — this
+    estimator is not an estimate for the self-join case, which is
+    what makes it driver-hashable.
+
+    Scale shape: one map-side-combinable count per key, one scalar
+    rollup over the histogram.  At 100 TB this IS the stats-collection
+    pass; its output decides broadcast vs shuffle vs salted plans."""
+    li = table(spark, sf_dir, "lineitem")
+    h = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("est_selfjoin_rows"),
+        F.max("c").cast("bigint").alias("max_key_freq"),
+        F.expr("sum(c * c) div sum(c)").cast("bigint").alias("avg_fanout"),
+    )

@@ -3102,3 +3102,130 @@ def events_user_sequence_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum(F.col("n_ab") * ln_e4)).cast("bigint").alias("nll_e4"),
         )
     )
+
+
+# CUPED scalar fragments — one text, both engines (the _AB_Z_SQL
+# discipline).  All inputs are exact bigint sums over whole-unit
+# values; theta and the adjusted means are the only floats.
+_CUPED_THETA_SQL = (
+    "((CAST(nu AS DOUBLE) * spp - CAST(spre AS DOUBLE) * spost)"
+    " / nullif(CAST(nu AS DOUBLE) * sprepre"
+    " - CAST(spre AS DOUBLE) * spre, 0.0))"
+)
+
+
+def _cuped_oracle() -> str:
+    return f"""
+    WITH days AS (
+        SELECT user_id, user_id % 2 AS arm,
+               epoch(ts) // 86400 AS day,
+               CAST(round(value) AS BIGINT) AS vu
+        FROM events
+    ),
+    bound AS (
+        SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT) AS d
+        FROM days
+    ),
+    per_user AS (
+        SELECT t.user_id, t.arm,
+               CAST(sum(CASE WHEN t.day < b.d THEN t.vu ELSE 0 END)
+                   AS BIGINT) AS pre,
+               CAST(sum(CASE WHEN t.day >= b.d THEN t.vu ELSE 0 END)
+                   AS BIGINT) AS post
+        FROM days t CROSS JOIN bound b
+        GROUP BY t.user_id, t.arm
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS nu,
+               CAST(sum(pre) AS BIGINT) AS spre,
+               CAST(sum(post) AS BIGINT) AS spost,
+               CAST(sum(pre * post) AS BIGINT) AS spp,
+               CAST(sum(pre * pre) AS BIGINT) AS sprepre
+        FROM per_user
+    )
+    SELECT u.arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u.post) AS BIGINT) AS post_total,
+           CAST(sum(u.pre) AS BIGINT) AS pre_total,
+           (CAST(sum(u.post) AS DOUBLE) / count(*))
+               - {_CUPED_THETA_SQL}
+                 * ((CAST(sum(u.pre) AS DOUBLE) / count(*))
+                    - (CAST(g.spre AS DOUBLE) / g.nu))
+               AS adj_post_mean
+    FROM per_user u CROSS JOIN g
+    GROUP BY u.arm, g.nu, g.spre, g.spost, g.spp, g.sprepre
+    """
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle=_cuped_oracle(),
+    tags=("ext-events", "ab-test", "cuped"),
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (extension — the
+    pre-experiment covariate adjustment every large experimentation
+    platform applies before the t-test: subtract theta times each
+    user's pre-period deviation, cutting metric variance by the
+    pre/post correlation squared): users split into arms by parity,
+    the calendar midpoint splits pre/post, theta fitted on the POOLED
+    user population from exact integer accumulators, and the adjusted
+    per-arm mean computed by one shared expression text evaluated by
+    both engines (the _AB_Z_SQL discipline — counts exact, the final
+    doubles bit-identical).
+
+    Scale shape: one shuffle to per-user pre/post sums (map-side
+    combinable), one scalar pooled-moment frame broadcast via cross
+    join, one tiny per-arm rollup.  At 100 TB the per-user frame is
+    the experiment's unit-level table — everything downstream is
+    bounded by users, not events."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("(ts_ns div 1000000000) div 86400").alias("day"),
+        F.round("value").cast("bigint").alias("vu"),
+    )
+    bound = days.agg(
+        F.expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)").alias("d")
+    )
+    per_user = (
+        days.crossJoin(F.broadcast(bound))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("d"), F.col("vu")).otherwise(0))
+            .cast("bigint")
+            .alias("pre"),
+            F.sum(F.when(F.col("day") >= F.col("d"), F.col("vu")).otherwise(0))
+            .cast("bigint")
+            .alias("post"),
+        )
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("pre").cast("bigint").alias("spre"),
+        F.sum("post").cast("bigint").alias("spost"),
+        F.sum(F.col("pre") * F.col("post")).cast("bigint").alias("spp"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("sprepre"),
+    )
+    joined = per_user.crossJoin(F.broadcast(g))
+    return (
+        joined.groupBy("arm", "nu", "spre", "spost", "spp", "sprepre")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("post").cast("bigint").alias("post_total"),
+            F.sum("pre").cast("bigint").alias("pre_total"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "post_total",
+            "pre_total",
+            F.expr(
+                "(CAST(post_total AS DOUBLE) / n_users)"
+                f" - {_CUPED_THETA_SQL}"
+                " * ((CAST(pre_total AS DOUBLE) / n_users)"
+                "    - (CAST(spre AS DOUBLE) / nu))"
+            ).alias("adj_post_mean"),
+        )
+    )

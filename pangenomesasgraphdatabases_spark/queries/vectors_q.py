@@ -1983,3 +1983,75 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_pct"),
     )
+
+
+_PURITY_ORACLE_SQL = (
+    f"""
+    WITH {_KM_CHAIN_SQL},{_km_assign_sql(_KM_ITERS + 1, f"c{_KM_ITERS}")},
+    lab AS (
+        SELECT a.cid, e.label, CAST(count(*) AS BIGINT) AS n
+        FROM a{_KM_ITERS + 1} a JOIN embeddings e ON a.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT cid, CAST(sum(n) AS BIGINT) AS n_members FROM lab GROUP BY cid
+    ),
+    best AS (
+        SELECT cid, label, n,
+               row_number() OVER (PARTITION BY cid
+                   ORDER BY n DESC, label ASC) AS rk
+        FROM lab
+    )
+    SELECT b.cid AS cluster_id,
+           t.n_members,
+           CAST(b.label AS INTEGER) AS majority_label,
+           b.n AS n_majority,
+           CAST(b.n * 1000000 // t.n_members AS BIGINT) AS purity_ppm
+    FROM best b JOIN tot t ON b.cid = t.cid
+    WHERE b.rk = 1
+    """
+)
+
+
+@register(
+    "emb_cluster_purity",
+    oracle=_PURITY_ORACLE_SQL,
+    tags=("ext-vector", "kmeans", "eval"),
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label purity of the k-means coarse quantizer (extension
+    — the standard unsupervised-quality probe when labels exist: does
+    the embedding space cluster along the label structure?): every
+    vector assigned to its nearest trained centroid (the exact IVF
+    assignment lineage), per-cluster majority label with the
+    deterministic (count desc, label asc) tie-break, purity in exact
+    ppm.
+
+    Scale shape: the assignment is the IVF build's own map-side
+    broadcast-centroid pass; the contingency rollup is bounded by
+    k x |labels| and the argmax window runs on that bounded frame."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    ev = _km_ev(e.select("vec_id", "embedding"))
+    cent = _km_centroids(e.select("vec_id", "embedding")).cache()
+    assign = _km_assign(ev, cent).select("vec_id", "cid")
+    lab = (
+        assign.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = lab.groupBy("cid").agg(F.sum("n").cast("bigint").alias("n_members"))
+    wb = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        lab.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .join(tot, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            F.expr("n * 1000000L div n_members")
+            .cast("bigint")
+            .alias("purity_ppm"),
+        )
+    )
