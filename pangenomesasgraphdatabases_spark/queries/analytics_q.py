@@ -826,3 +826,76 @@ def lineitem_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("c").cast("bigint").alias("max_key_freq"),
         F.expr("sum(c * c) div sum(c)").cast("bigint").alias("avg_fanout"),
     )
+
+
+# Grouped-OLS slope fragment from exact integer accumulators — one
+# text, both engines (the staged-division idiom of orders_ols_trend).
+_ELAST_SLOPE_SQL = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0))"
+)
+
+
+@register(
+    "lineitem_discount_elasticity",
+    oracle=f"""
+    WITH pts AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(round(l.l_quantity) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    acc AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(disc_pct) AS BIGINT) AS sx,
+               CAST(sum(qty) AS BIGINT) AS sy,
+               CAST(sum(disc_pct * disc_pct) AS BIGINT) AS sxx,
+               CAST(sum(disc_pct * qty) AS BIGINT) AS sxy
+        FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n, sx, sy,
+           CAST(round({_ELAST_SLOPE_SQL} * 1000000) AS BIGINT)
+               AS slope_micro_qty_per_pct
+    FROM acc
+    """,
+    tags=("ext-analytics", "grouped-ols", "elasticity"),
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity via grouped OLS (extension — the
+    pricing question asked per segment, not globally: does a deeper
+    discount move quantity for THIS brand?): slope of quantity on
+    discount percentage fitted independently per brand, all
+    accumulators exact integers (discount quantized to whole percent,
+    quantity to units), the slope one correctly-rounded shared
+    expression reported in micro units.  The grouped twin of
+    orders_ols_trend: same moments, one regression per key.
+
+    Scale shape: one map-side-combinable shuffle to the per-brand
+    moment frame (5 integers per brand — constant state regardless of
+    rows); the slope arithmetic runs on |brands| rows.  This is the
+    massively-parallel regression shape: a million independent OLS
+    fits cost one aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round("l_quantity").cast("bigint").alias("qty"),
+    )
+    acc = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("disc_pct").cast("bigint").alias("sx"),
+        F.sum("qty").cast("bigint").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct")).cast("bigint").alias("sxx"),
+        F.sum(F.col("disc_pct") * F.col("qty")).cast("bigint").alias("sxy"),
+    )
+    return acc.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        F.round(F.expr(_ELAST_SLOPE_SQL) * 1000000)
+        .cast("bigint")
+        .alias("slope_micro_qty_per_pct"),
+    )

@@ -3229,3 +3229,80 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adj_post_mean"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000
+                   - lag(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS gap_s
+        FROM events
+    ),
+    acc AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_s) AS BIGINT) AS s,
+               CAST(sum(gap_s * gap_s) AS BIGINT) AS ss
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(s // n_gaps AS BIGINT) AS mean_gap_s,
+           CAST(CASE WHEN n_gaps > 1
+                THEN (ss - s * s // n_gaps) // (n_gaps - 1)
+                ELSE 0 END AS BIGINT) AS var_gap_s2,
+           n_gaps >= 5 AND
+           (CASE WHEN n_gaps > 1
+                 THEN (ss - s * s // n_gaps) // (n_gaps - 1)
+                 ELSE 0 END)
+               * 25 < (s // n_gaps) * (s // n_gaps) AS metronomic
+    FROM acc
+    """,
+    tags=("ext-events", "bot-detection", "temporal"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival regularity (extension — the temporal
+    bot signal: humans are bursty, schedulers are metronomic): gap
+    mean and variance per user in exact integer SECONDS (micros would
+    overflow int64 in the squared sums for day-scale gaps — the same
+    width audit as lineitem_promo_share; whole seconds keep even
+    decade-long gaps inside int64^(1/2)), the variance via the
+    integer-division moment identity — biased by at most one ulp of
+    the division, identically in both engines — and a `metronomic`
+    flag for users whose gap coefficient of variation is below 1/5
+    (var * 25 < mean^2 — the pure-integer rearrangement, no float CV).
+
+    Scale shape: one per-user event-time window (the sessionize
+    partitioning — ordering stays full-resolution, only the gap VALUE
+    is truncated), one map-side-combinable moment reduction; state
+    per user is three integers."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    es = F.expr("ts_ns div 1000000000")
+    gaps = e.select(
+        "user_id", (es - F.lag(es).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    acc = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("ss"),
+    )
+    var_expr = F.expr(
+        "CASE WHEN n_gaps > 1 THEN (ss - s * s div n_gaps) div (n_gaps - 1)"
+        " ELSE 0 END"
+    )
+    mean_expr = F.expr("s div n_gaps")
+    return acc.select(
+        "user_id",
+        "n_gaps",
+        mean_expr.cast("bigint").alias("mean_gap_s"),
+        var_expr.cast("bigint").alias("var_gap_s2"),
+        (
+            (F.col("n_gaps") >= 5)
+            & (var_expr * 25 < mean_expr * mean_expr)
+        ).alias("metronomic"),
+    )

@@ -2964,3 +2964,107 @@ def doc_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+@register(
+    "doc_lang_confusion_matrix",
+    oracle="""
+    WITH sc AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(' ' || text || ' ', ' '),
+                   x -> x IN ('the', 'a', 'of'))) AS en_score,
+               len(list_filter(string_split(' ' || text || ' ', ' '),
+                   x -> x IN ('le', 'la', 'et'))) AS fr_score,
+               len(list_filter(string_split(' ' || text || ' ', ' '),
+                   x -> x IN ('der', 'die', 'und'))) AS de_score
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN en_score >= fr_score AND en_score >= de_score
+                         AND en_score > 0 THEN 'en'
+                    WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+                    WHEN de_score > 0 THEN 'de'
+                    ELSE 'unknown' END AS lang_pred
+        FROM sc
+    ),
+    cells AS (
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+            FROM cells GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n, t.n_true,
+           c.lang = c.lang_pred AS on_diagonal,
+           CAST(c.n * 1000000 // t.n_true AS BIGINT) AS row_share_ppm
+    FROM cells c JOIN tot t ON c.lang = t.lang
+    """,
+    tags=("ext-text", "lang-id", "eval"),
+)
+def doc_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID heuristic against
+    the corpus's labeled `lang` column (extension — classifiers that
+    gate corpus routing get EVALUATED, not just run: the per-language
+    recall on the diagonal is the number that decides whether the
+    cheap heuristic suffices or a real model is needed).  Row shares
+    in exact ppm of each true language's count.
+
+    Scale shape: the per-doc scoring is a narrow map (array filter
+    over tokens, no shuffle); the matrix rollup is bounded by
+    |langs|^2; marginals reduce from the cells."""
+    preds = doc_lang_id(spark, sf_dir).select("lang", "lang_pred")
+    cells = preds.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_true"))
+    return cells.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        "n_true",
+        (F.col("lang") == F.col("lang_pred")).alias("on_diagonal"),
+        F.expr("n * 1000000L div n_true").cast("bigint").alias("row_share_ppm"),
+    )
+
+
+@register(
+    "doc_dup_group_histogram",
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS group_size,
+               CAST(sum(n_chars) AS BIGINT) AS group_chars,
+               CAST(min(n_chars) AS BIGINT) AS canon_chars
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs,
+           CAST(sum(group_chars - canon_chars) AS BIGINT)
+               AS chars_reclaimable
+    FROM g GROUP BY group_size
+    """,
+    tags=("ext-text", "dedup", "report"),
+)
+def doc_dup_group_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group size histogram + reclaimable volume (extension
+    — the capacity-planning readout of exact dedup: how much of the
+    corpus sits in groups of size k, and how many characters deleting
+    non-canonical copies frees).  All docs in an md5 group share one
+    text, so reclaimable = group total minus one kept copy.
+
+    Scale shape: hash-groupBy (the exact-dedup shuffle) then a rollup
+    bounded by the distinct group-size domain — two map-side
+    combinable aggregations, nothing else."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.sum("n_chars").cast("bigint").alias("group_chars"),
+        F.min("n_chars").cast("bigint").alias("canon_chars"),
+    )
+    return g.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("group_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("group_chars") - F.col("canon_chars"))
+        .cast("bigint")
+        .alias("chars_reclaimable"),
+    )
