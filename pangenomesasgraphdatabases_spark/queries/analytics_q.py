@@ -899,3 +899,147 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_micro_qty_per_pct"),
     )
+
+
+@register(
+    "lineitem_equidepth_histogram",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, c,
+               CAST(sum(c) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM h
+    ),
+    b AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS bucket)
+    SELECT b.bucket,
+           CAST(min(c.cents) AS BIGINT) AS upper_bound_cents,
+           CAST(min(c.cw) AS BIGINT) AS cum_rows,
+           CAST(min(c.n) AS BIGINT) AS n_rows
+    FROM b JOIN cum c ON c.cw * 8 >= c.n * b.bucket
+    GROUP BY b.bucket
+    """,
+    tags=("ext-analytics", "cbo-stats", "equi-depth"),
+)
+def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram boundaries (extension — the OTHER half of
+    optimizer statistics next to lineitem_join_cardinality_est: 8
+    bucket upper bounds of l_extendedprice such that each bucket
+    holds ~n/8 rows, which is what range-predicate selectivity
+    estimation reads): the k-th boundary is the smallest value whose
+    cumulative count reaches k*n/8, located by the exact integer
+    comparison cw*8 >= n*k on the value-count histogram — the
+    two-level trick again, so the cumulative window orders DISTINCT
+    values, never raw rows.
+
+    Scale shape: one map-side-combinable value-count shuffle; the
+    (single-partition) cumulative window runs over the distinct
+    cent-value frame, bounded by the price domain — at wider domains
+    pre-bucket to a fixed grid first (events_quantile_histogram) or
+    range-partition the cumsum (operators/prefix.global_cumsum)."""
+    li = table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = h.select(
+        "cents",
+        F.sum("c")
+        .over(Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cw"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    b = spark.createDataFrame([(i,) for i in range(1, 9)], "bucket int")
+    return (
+        F.broadcast(b)
+        .join(cum, F.col("cw") * 8 >= F.col("n") * F.col("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("cents").cast("bigint").alias("upper_bound_cents"),
+            F.min("cw").cast("bigint").alias("cum_rows"),
+            F.min("n").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "part_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice
+                    * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, l_partkey) AS rk
+        FROM rev
+    ),
+    acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(rk * cents) AS BIGINT) AS srw
+        FROM ranked
+    )
+    SELECT n, s,
+           CAST(round((2.0 * srw / (CAST(n AS DOUBLE) * s)
+                - (CAST(n AS DOUBLE) + 1.0) / n) * 1000000) AS BIGINT)
+               AS gini_micro
+    FROM acc
+    """,
+    tags=("ext-analytics", "gini", "concentration"),
+)
+def part_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across parts
+    (extension — the single-number inequality summary next to the
+    Pareto/ABC curve: 0 = revenue spread evenly, 1 = one part takes
+    all): the rank-weighted formula G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over revenue sorted ascending, ranks tie-broken on
+    partkey so both engines weight identically.  All accumulators
+    exact integer cents; the final G is one correctly-rounded double
+    expression reported in micro units.
+
+    Scale shape: per-part revenue is one map-side-combinable shuffle;
+    the rank window runs over the part-level frame (dimension-sized,
+    not fact-sized); the reduction is a 3-integer scalar.  For a
+    fact-sized population the rank would ride
+    operators/prefix.global_cumsum instead of one window."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "l_partkey")).alias("rk"),
+    )
+    acc = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("srw"),
+    )
+    return acc.select(
+        "n",
+        "s",
+        F.round(
+            (
+                2.0 * F.col("srw") / (F.col("n").cast("double") * F.col("s"))
+                - (F.col("n").cast("double") + 1.0) / F.col("n")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("gini_micro"),
+    )

@@ -3306,3 +3306,71 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (var_expr * 25 < mean_expr * mean_expr)
         ).alias("metronomic"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               user_id
+        FROM events
+    ),
+    daily AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM d GROUP BY day
+    ),
+    monthly AS (
+        SELECT CAST(day // 30 AS BIGINT) AS m30,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM d GROUP BY 1
+    ),
+    davg AS (
+        SELECT CAST(day // 30 AS BIGINT) AS m30,
+               CAST(sum(dau) AS BIGINT) AS dau_total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    )
+    SELECT a.m30, a.n_days, a.dau_total, m.mau,
+           CAST(a.dau_total * 1000000 // (a.n_days * m.mau) AS BIGINT)
+               AS stickiness_ppm
+    FROM davg a JOIN monthly m ON a.m30 = m.m30
+    """,
+    tags=("ext-events", "engagement", "dau-mau"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per 30-day period (extension — the
+    engagement ratio every consumer product reports: what fraction of
+    a period's users show up on an average day): average daily active
+    users over the period divided by the period's distinct users, in
+    exact ppm (integer sum of daily distinct counts, divided once).
+    Periods are fixed 30-epoch-day blocks so both engines bucket
+    identically with pure integer division.
+
+    Scale shape: two distinct-aggregations, both shuffled on
+    (bounded period key, user) composite keys via their groupBys —
+    the skew-safe two-stage shape; everything after is
+    calendar-bounded."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        F.expr("(ts_ns div 1000000000) div 86400").alias("day"), "user_id"
+    )
+    daily = d.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    monthly = d.groupBy(F.expr("day div 30").alias("m30")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("mau")
+    )
+    davg = daily.groupBy(F.expr("day div 30").alias("m30")).agg(
+        F.sum("dau").cast("bigint").alias("dau_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return davg.join(monthly, "m30").select(
+        "m30",
+        "n_days",
+        "dau_total",
+        "mau",
+        F.expr("dau_total * 1000000L div (n_days * mau)")
+        .cast("bigint")
+        .alias("stickiness_ppm"),
+    )

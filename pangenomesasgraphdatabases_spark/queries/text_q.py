@@ -3068,3 +3068,94 @@ def doc_dup_group_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_reclaimable"),
     )
+
+
+@register(
+    "doc_filter_ablation",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    sig AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE t.tok IN
+                    ('the', 'a', 'of', 'and')) AS BIGINT) AS stop_cnt,
+               CAST(count(DISTINCT t.tok) AS BIGINT) AS distinct_cnt,
+               CAST(min(d.n_chars) AS BIGINT) AS n_chars
+        FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        GROUP BY t.doc_id
+    ),
+    flags AS (
+        SELECT n_chars BETWEEN 50 AND 2000 AS len_ok,
+               stop_cnt * 20 >= n_tokens AS stop_ok,
+               distinct_cnt * 10 >= n_tokens * 3 AS diversity_ok
+        FROM sig
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flags)
+    SELECT f.len_ok, f.stop_ok, f.diversity_ok,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 1000000 // min(t.n) AS BIGINT) AS share_ppm,
+           f.len_ok AND f.stop_ok AND f.diversity_ok AS kept
+    FROM flags f CROSS JOIN tot t
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ext-text", "quality", "ablation"),
+)
+def doc_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation matrix (extension — the report a
+    curation team reads before turning a filter on: how many
+    documents does each COMBINATION of filters remove, and how much
+    does each individual filter contribute beyond the others): three
+    independent gates (length window, stopword floor at 5%, lexical
+    diversity floor at 30% — both ratio thresholds expressed as exact
+    integer cross-multiplications, no float ratios), rolled up by
+    flag combination with exact ppm shares.  The `kept` column is the
+    AND of all gates — the corpus that survives the full cascade.
+
+    Scale shape: one token-explode aggregation per doc (the quality
+    pipeline's own pass), then a rollup bounded by 2^3 flag cells;
+    the total broadcasts via a 1-row cross join."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+    sig = (
+        toks.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.when(F.col("tok").isin("the", "a", "of", "and"), 1))
+            .cast("bigint")
+            .alias("stop_cnt"),
+            F.count_distinct("tok").cast("bigint").alias("distinct_cnt"),
+            F.min("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    flags = sig.select(
+        F.col("n_chars").between(50, 2000).alias("len_ok"),
+        (F.col("stop_cnt") * 20 >= F.col("n_tokens")).alias("stop_ok"),
+        (F.col("distinct_cnt") * 10 >= F.col("n_tokens") * 3).alias(
+            "diversity_ok"
+        ),
+    )
+    tot = flags.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        flags.crossJoin(F.broadcast(tot))
+        .groupBy("len_ok", "stop_ok", "diversity_ok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("count(1) * 1000000L div min(n)")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .select(
+            "len_ok",
+            "stop_ok",
+            "diversity_ok",
+            "n_docs",
+            "share_ppm",
+            (F.col("len_ok") & F.col("stop_ok") & F.col("diversity_ok")).alias(
+                "kept"
+            ),
+        )
+    )
