@@ -3374,3 +3374,175 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stickiness_ppm"),
     )
+
+
+_SWEEP_WIDTHS = (32, 64, 128, 256)
+
+
+def _cms_sweep_oracle() -> str:
+    blocks = []
+    selects = []
+    for w in _SWEEP_WIDTHS:
+        hashed = " UNION ALL ".join(
+            f"""SELECT uid, {r} AS r,
+               CAST(('0x' || substr(md5('cms{r}' || uid), 1, 7)) AS BIGINT)
+                   % {w} AS cell
+            FROM ev""" for r in range(_CMS_D)
+        )
+        blocks.append(f"""
+    h{w} AS ({hashed}),
+    s{w} AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS n_cell
+             FROM h{w} GROUP BY r, cell),
+    u{w} AS (SELECT DISTINCT uid, r, cell FROM h{w}),
+    e{w} AS (SELECT u.uid, CAST(min(s.n_cell) AS BIGINT) AS est_n
+             FROM u{w} u JOIN s{w} s ON u.r = s.r AND u.cell = s.cell
+             GROUP BY u.uid)""")
+        selects.append(f"""
+    SELECT {w} AS width,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(e.est_n - x.exact_n) AS BIGINT) AS total_overcount,
+           CAST(max(e.est_n - x.exact_n) AS BIGINT) AS max_overcount,
+           CAST(sum(e.est_n - x.exact_n) * 1000000
+                // (count(*) * min(t.n)) AS BIGINT)
+               AS mean_overcount_ppm_of_n
+    FROM exact x JOIN e{w} e ON x.uid = e.uid CROSS JOIN total t""")
+    return f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+    exact AS (SELECT uid, CAST(count(*) AS BIGINT) AS exact_n
+              FROM ev GROUP BY uid),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),{",".join(blocks)}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@register(
+    "events_cms_error_sweep",
+    oracle=_cms_sweep_oracle(),
+    tags=("ext-events", "sketch", "cms", "eval"),
+)
+def events_cms_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch error as a function of width (extension — the
+    sketch-sizing curve, the CMS twin of ann_ivf_recall_curve: how
+    much memory buys how much accuracy): the SAME stream sketched at
+    widths 32..256, each width's aggregate overcount reported exactly
+    (total, max, and mean as ppm of the stream's L1 mass).  The
+    Cormode-Muthukrishnan bound says mean error ~ e/w * N — the
+    measured column should roughly halve per doubling, which the
+    driver hash pins as data.
+
+    Scale shape: per width one map-side-combinable cell build over
+    d x w cells and one broadcast estimate join — the sweep is a
+    union of four independent bounded-state plans; nothing scales
+    with more than the key cardinality."""
+    e = table(spark, sf_dir, "events").select("user_id")
+    # Lazy scalar total (no driver-side count at plan-build time —
+    # a full scan before the job would be a 100 TB smell).
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = None
+    for w in _SWEEP_WIDTHS:
+        r = (
+            cms_counts(e, "user_id", _CMS_D, w)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum("overcount").cast("bigint").alias("total_overcount"),
+                F.max("overcount").cast("bigint").alias("max_overcount"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(w).cast("int").alias("width"),
+                "n_keys",
+                "total_overcount",
+                "max_overcount",
+                F.expr("total_overcount * 1000000L div (n_keys * n)")
+                .cast("bigint")
+                .alias("mean_overcount_ppm_of_n"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+_CHI2_SHIFT = 26  # reuse the MI bin grid
+
+
+@register(
+    "events_chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) // {1 << _CHI2_SHIFT}
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    mt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n_t
+           FROM cells GROUP BY event_type),
+    mb AS (SELECT bin, CAST(sum(o) AS BIGINT) AS n_b FROM cells GROUP BY bin),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS rr,
+                   CAST(count(DISTINCT bin) AS BIGINT) AS cc
+            FROM cells)
+    SELECT c.event_type, c.bin, c.o,
+           CAST(t.n_t * b.n_b // tt.n AS BIGINT) AS expected_floor,
+           CAST(round(
+               (CAST(c.o AS DOUBLE) * tt.n - CAST(t.n_t AS DOUBLE) * b.n_b)
+               * (CAST(c.o AS DOUBLE) * tt.n - CAST(t.n_t AS DOUBLE) * b.n_b)
+               / (CAST(tt.n AS DOUBLE) * t.n_t * b.n_b) * 10000) AS BIGINT)
+               AS chi2_contrib_e4,
+           CAST((tt.rr - 1) * (tt.cc - 1) AS BIGINT) AS dof
+    FROM cells c
+    JOIN mt t ON c.event_type = t.event_type
+    JOIN mb b ON c.bin = b.bin
+    CROSS JOIN tot tt
+    """,
+    tags=("ext-events", "chi2", "independence"),
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence decomposition between event type and
+    value bucket (extension — the categorical test that accompanies
+    the mutual-information screen: the SAME contingency cells, scored
+    as (O*n - r*c)^2 / (n*r*c) per cell so the expected count never
+    leaves integer space before one final double expression, each
+    contribution quantized to 1e-4 and exactly summable; dof rides
+    along for the caller's p-value lookup).
+
+    Scale shape: identical to events_mutual_info — domain-bounded
+    contingency shuffle, marginals from the cells, scalar broadcast."""
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.expr(
+            f"CAST(round(value * 1000000) AS BIGINT) div {1 << _CHI2_SHIFT}"
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    mt = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("n_t"))
+    mb = cells.groupBy("bin").agg(F.sum("o").cast("bigint").alias("n_b"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("event_type").cast("bigint").alias("rr"),
+        F.count_distinct("bin").cast("bigint").alias("cc"),
+    )
+    num = (
+        F.col("o").cast("double") * F.col("n")
+        - F.col("n_t").cast("double") * F.col("n_b")
+    )
+    return (
+        cells.join(mt, "event_type")
+        .join(F.broadcast(mb), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "bin",
+            "o",
+            F.expr("n_t * n_b div n").cast("bigint").alias("expected_floor"),
+            F.round(
+                num
+                * num
+                / (F.col("n").cast("double") * F.col("n_t") * F.col("n_b"))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("chi2_contrib_e4"),
+            F.expr("(rr - 1) * (cc - 1)").cast("bigint").alias("dof"),
+        )
+    )

@@ -981,3 +981,107 @@ def part_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").contains(pat))
         .select("p_partkey", "p_name")
     )
+
+
+@register(
+    "star_referential_integrity",
+    oracle="""
+    WITH checks AS (
+        SELECT 'lineitem.l_orderkey -> orders' AS fk,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM part p
+                                       WHERE p.p_partkey = l.l_partkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                       WHERE s.s_suppkey = l.l_suppkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               CAST((SELECT count(*) FROM customer) AS BIGINT),
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'nation.n_regionkey -> region',
+               CAST((SELECT count(*) FROM nation) AS BIGINT),
+               CAST((SELECT count(*) FROM nation n
+                     WHERE NOT EXISTS (SELECT 1 FROM region r
+                                       WHERE r.r_regionkey = n.n_regionkey))
+                    AS BIGINT)
+    )
+    SELECT fk, n_child, n_orphans, n_orphans = 0 AS intact
+    FROM checks
+    """,
+    tags=("ext-olap", "referential-integrity", "J8"),
+)
+def star_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star (extension —
+    the constraint check a lake must RUN because nothing enforces it
+    at write time, the relational twin of the reference's uniqueness
+    constraint 01_creatingDatabase.cypher:136): orphan counts for all
+    six FK edges via left-anti joins, with an `intact` verdict per
+    edge.  One row per FK — the table a data-quality dashboard reads.
+
+    Scale shape: each check is one anti-join; dimension-sided checks
+    broadcast the parent key set (nation/region/customer/supplier/
+    part), so only the two fact-to-fact checks shuffle, keyed on
+    their join columns.  Spark runs the six checks as one union DAG —
+    shared scans are reused by the optimizer."""
+    def check(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, label: str) -> DataFrame:
+        orphans = child.select(ckey).join(
+            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(label).alias("fk"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    su = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    checks = [
+        check(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey -> orders"),
+        check(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey -> part"),
+        check(li, "l_suppkey", su, "s_suppkey", "lineitem.l_suppkey -> supplier"),
+        check(o, "o_custkey", c, "c_custkey", "orders.o_custkey -> customer"),
+        check(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey -> nation"),
+        check(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey -> region"),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
