@@ -3546,3 +3546,191 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(rr - 1) * (cc - 1)").cast("bigint").alias("dof"),
         )
     )
+
+
+@register(
+    "events_max_drawdown",
+    oracle="""
+    SELECT user_id,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_micro,
+           CAST(max(peak) AS BIGINT) AS peak_micro,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id, cum,
+               CAST(max(cum) OVER (PARTITION BY user_id
+                   ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS peak
+        FROM (
+            SELECT user_id, cum,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS rn
+            FROM (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum
+                FROM events
+            )
+        )
+    )
+    GROUP BY user_id
+    """,
+    tags=("ext-events", "drawdown", "running-peak"),
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user (extension — the running-peak metric
+    of finance and SLO dashboards: the deepest drop of a cumulative
+    series below its best level so far): cumulative value in exact
+    micros via one event-time window, the running peak via a second
+    window over the SAME per-user partitioning (one shuffle feeds
+    both), and max(peak - cum) as the drawdown.  All integer — the
+    accumulation-order hazard of float cumsums never appears.
+
+    Scale shape: two stacked windows on one user partitioning — the
+    gi-scan discipline (test_flagship_single_shuffle shape); state
+    per row is O(1).  A 100 TB portfolio table partitions the same
+    way by instrument."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    cum = e.select(
+        "user_id",
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.col("ts_ns"),
+        F.col("event_id"),
+    )
+    peak = cum.select(
+        "user_id",
+        "cum",
+        F.max("cum")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("peak"),
+    )
+    return peak.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum"))
+        .cast("bigint")
+        .alias("max_drawdown_micro"),
+        F.max("peak").cast("bigint").alias("peak_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "events_session_pair_pmi",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM seq
+    ),
+    pres AS (
+        SELECT DISTINCT user_id, session_no, event_type FROM sess
+    ),
+    n_sess AS (SELECT CAST(count(DISTINCT (user_id, session_no)) AS BIGINT)
+                   AS n FROM pres),
+    singles AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        FROM pres GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM pres a
+        JOIN pres b ON a.user_id = b.user_id
+                   AND a.session_no = b.session_no
+                   AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+           CAST(round(ln((CAST(p.n_ab AS DOUBLE) * t.n)
+                / (CAST(sa.n_t AS DOUBLE) * sb.n_t)) * 10000) AS BIGINT)
+               AS pmi_e4
+    FROM pairs p
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    CROSS JOIN n_sess t
+    """,
+    tags=("ext-events", "pmi", "co-occurrence"),
+)
+def events_session_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of event-type co-occurrence within
+    sessions (extension — the association score behind "users who do
+    X in a session also do Y", the session twin of the order-basket
+    pairs): sessions from the exact 30-minute microsecond gap split
+    (the sessionize lineage), presence sets per session, canonical
+    type pairs counted by a self-join on the session key, PMI
+    quantized to 1e-4 (the ln idiom).
+
+    Scale shape: presence dedup shuffles on (user, session, type);
+    the pair self-join joins on the session key with per-session
+    fan-out bounded by |types|^2; singles and the scalar session
+    count broadcast."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > 1800 * 1_000_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    pres = sess.select("user_id", "session_no", "event_type").distinct()
+    n_sess = pres.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    singles = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    a = pres.select("user_id", "session_no", F.col("event_type").alias("type_a"))
+    b = pres.select("user_id", "session_no", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_no"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    pmi_e4 = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+        * 10000
+    ).cast("bigint")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_sess))
+        .select("type_a", "type_b", "n_ab", "n_a", "n_b", pmi_e4.alias("pmi_e4"))
+    )

@@ -1085,3 +1085,65 @@ def star_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "orders_large_basket_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS order_day,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("ext-olap", "tpch-q18", "A11"),
+)
+def orders_large_basket_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (extension) — large-volume orders: aggregate
+    the fact table by order, keep orders whose total quantity clears
+    the threshold (HAVING — the A11 core-selection shape on the star
+    schema), then join the small surviving set back to orders and
+    customers for the report.  Quantities and prices exact integers;
+    the date an epoch-day.
+
+    Scale shape: the big aggregation happens FIRST and the threshold
+    collapses it to a tiny key set, so the enrichment joins run on
+    the survivors (broadcast-sized) — the aggregate-then-join-back
+    discipline that avoids joining the full fact table to customers."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400")
+            .alias("order_day"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+            "total_qty",
+        )
+    )
