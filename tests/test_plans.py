@@ -453,3 +453,28 @@ def test_batch11_plans(spark):
 
     rc = _plan(ann_ivf_recall_curve(spark, SF))
     assert "CartesianProduct" not in rc
+
+
+def test_batch12_plans(spark):
+    """Drawdown's two stacked windows share ONE user-partitioned
+    exchange (the flagship discipline); the referential-integrity
+    audit rides broadcasts with zero shuffle exchanges at oracle
+    scale; Q18 aggregates first and broadcasts the survivors."""
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_max_drawdown,
+    )
+    from pangenomesasgraphdatabases_spark.queries.relational import (
+        orders_large_basket_q18,
+        star_referential_integrity,
+    )
+
+    dd = _plan(events_max_drawdown(spark, SF))
+    assert dd.count("Exchange hashpartitioning") == 1
+
+    ri = _plan(star_referential_integrity(spark, SF))
+    assert "Exchange hashpartitioning" not in ri
+    assert ri.count("BroadcastHashJoin") >= 5
+
+    q18 = _plan(orders_large_basket_q18(spark, SF))
+    assert q18.count("Exchange hashpartitioning") == 1
+    assert q18.count("BroadcastHashJoin") >= 2
