@@ -1043,3 +1043,127 @@ def part_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_micro"),
     )
+
+
+_KM_HORIZON_DAYS = 90
+
+
+@register(
+    "customer_km_survival",
+    oracle=f"""
+    WITH life AS (
+        SELECT o_custkey,
+               CAST(max(epoch(o_orderdate)) // 86400
+                    - min(epoch(o_orderdate)) // 86400 AS BIGINT) AS t,
+               CAST(max(epoch(o_orderdate)) // 86400 AS BIGINT) AS last_day
+        FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (
+        SELECT CAST(max(last_day) AS BIGINT) AS max_day FROM life
+    ),
+    marked AS (
+        SELECT l.t,
+               CASE WHEN h.max_day - l.last_day < {_KM_HORIZON_DAYS}
+                    THEN 1 ELSE 0 END AS censored
+        FROM life l CROSS JOIN horizon h
+    ),
+    rt AS (
+        SELECT t,
+               CAST(sum(1 - censored) AS BIGINT) AS d_events,
+               CAST(sum(censored) AS BIGINT) AS c_censored
+        FROM marked GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d_events, c_censored,
+               CAST(sum(d_events + c_censored) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+        FROM rt
+    ),
+    contrib AS (
+        SELECT t, d_events, c_censored, n_risk,
+               CASE WHEN d_events > 0 AND d_events < n_risk
+                    THEN CAST(round(ln(1.0 - CAST(d_events AS DOUBLE)
+                         / n_risk) * 10000) AS BIGINT)
+                    ELSE 0 END AS ln_e4
+        FROM risk
+    )
+    SELECT t AS t_days, n_risk, d_events, c_censored,
+           CAST(sum(ln_e4) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS survival_ln_e4,
+           d_events = n_risk AS absorbs_all
+    FROM contrib
+    """,
+    tags=("ext-analytics", "survival", "kaplan-meier"),
+)
+def customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-lifetime survival curve (extension — the
+    churn-analysis standard with proper right-censoring: customers
+    whose last order falls within {h} days of the dataset's end are
+    censored, not churned): lifetime in epoch days, the risk table
+    over DISTINCT lifetimes (reverse cumulative at-risk counts), and
+    the product-limit estimator carried in exact 1e-4 log units —
+    each hazard's ln(1 - d/n) quantized per event time, the curve a
+    running integer sum (the entropy idiom applied to survival; the
+    caller exponentiates for S(t)).  Times where every remaining
+    customer exits get `absorbs_all` instead of ln(0).
+
+    Scale shape: lifetimes are one groupBy per customer; everything
+    after runs on the DISTINCT-lifetime frame (calendar-bounded),
+    including both cumulative windows.  The scalar horizon
+    broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400")
+    life = o.groupBy("o_custkey").agg(
+        (F.max(day) - F.min(day)).cast("bigint").alias("t"),
+        F.max(day).cast("bigint").alias("last_day"),
+    )
+    horizon = life.agg(F.max("last_day").cast("bigint").alias("max_day"))
+    marked = life.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        F.when(
+            F.col("max_day") - F.col("last_day") < _KM_HORIZON_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    rt = marked.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d_events"),
+        F.sum("censored").cast("bigint").alias("c_censored"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = rt.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored"))
+        .over(w_desc)
+        .cast("bigint"),
+    )
+    ln_e4 = F.when(
+        (F.col("d_events") > 0) & (F.col("d_events") < F.col("n_risk")),
+        F.round(
+            F.log(
+                1.0 - F.col("d_events").cast("double") / F.col("n_risk")
+            )
+            * 10000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("ln_e4", ln_e4)
+        .select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            F.sum("ln_e4").over(w_asc).cast("bigint").alias("survival_ln_e4"),
+            (F.col("d_events") == F.col("n_risk")).alias("absorbs_all"),
+        )
+    )
+
+
+customer_km_survival.__doc__ = customer_km_survival.__doc__.replace(
+    "{h}", str(_KM_HORIZON_DAYS)
+)

@@ -1147,3 +1147,100 @@ def orders_large_basket_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "star_table_checksums",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' ||
+                CAST(o_custkey AS VARCHAR) || '|' ||
+                CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(('0x' || substr(md5(
+                CAST(l_orderkey AS VARCHAR) || '|' ||
+                CAST(l_linenumber AS VARCHAR) || '|' ||
+                CAST(l_partkey AS VARCHAR) || '|' ||
+                CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 12)) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(('0x' || substr(md5(
+                CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+                CAST(c_nationkey AS VARCHAR)
+           ), 1, 12)) AS BIGINT)) AS BIGINT)
+    FROM customer
+    """,
+    tags=("ext-olap", "reconciliation", "checksum"),
+)
+def star_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksums (extension — the replica/
+    migration reconciliation primitive: two copies of a table match
+    iff their additive row-hash sums match, no sort or row-by-row
+    diff needed): per table, a 48-bit md5-derived integer per row
+    (keys + exact-cent payloads rendered canonically) summed into one
+    BIGINT — addition commutes, so partition order, file order, and
+    engine never change the result, and partial checksums merge like
+    any other partial aggregate.  48 bits per row keeps the sum of
+    even 10^12 rows inside int64.
+
+    Scale shape: a narrow map + one scalar aggregation per table —
+    the cheapest possible full-table pass; at 100 TB this runs as
+    the post-copy verification job, per partition if you group by
+    the partition key instead."""
+    def cksum(df: DataFrame, tbl: str, cols) -> DataFrame:
+        rowhash = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 12), 16, 10
+        ).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(rowhash).cast("bigint").alias("checksum"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    parts = [
+        cksum(
+            o,
+            "orders",
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            ],
+        ),
+        cksum(
+            li,
+            "lineitem",
+            [
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+            ],
+        ),
+        cksum(
+            c,
+            "customer",
+            [
+                F.col("c_custkey").cast("string"),
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+            ],
+        ),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

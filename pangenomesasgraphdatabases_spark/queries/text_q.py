@@ -3159,3 +3159,70 @@ def doc_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_template_grams_by_source",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    src_sh AS (
+        SELECT DISTINCT d.source, s.doc_id, s.shingle
+        FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    src_docs AS (
+        SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    df AS (
+        SELECT source, shingle,
+               CAST(count(*) AS BIGINT) AS docfreq
+        FROM src_sh GROUP BY source, shingle
+    ),
+    templ AS (
+        SELECT f.source, f.shingle, f.docfreq, d.n_docs
+        FROM df f JOIN src_docs d ON f.source = d.source
+        WHERE f.docfreq * 10 > d.n_docs AND d.n_docs >= 4
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_template_grams,
+           CAST(max(docfreq) AS BIGINT) AS max_docfreq,
+           CAST(min(n_docs) AS BIGINT) AS n_docs
+    FROM templ
+    GROUP BY source
+    """,
+    tags=("ext-text", "boilerplate", "template"),
+)
+def doc_template_grams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template/boilerplate n-gram detection (extension —
+    the signal behind header/footer stripping: a 3-gram present in
+    an outsized share of a source's documents is structure, not content;
+    corpus-level novelty can't see it because templates differ per
+    source): per-source shingle document frequencies, the >50%
+    threshold as an exact integer cross-multiplication, sources with
+    fewer than 4 docs excluded (docfreq is meaningless there).
+    Output: how much boilerplate each source carries.
+
+    Scale shape: the inverted-index discipline scoped per source —
+    the docfreq shuffle keys on (source, shingle); the threshold
+    filter collapses it to the template set before the bounded
+    per-source rollup.  At 100 TB this is the pass that builds the
+    boilerplate-strip dictionary."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _shingles(spark, sf_dir)
+    src_sh = sh.join(F.broadcast(d), "doc_id").select(
+        "source", "doc_id", "shingle"
+    )
+    src_docs = d.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    df_ = src_sh.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docfreq")
+    )
+    templ = df_.join(F.broadcast(src_docs), "source").filter(
+        (F.col("docfreq") * 10 > F.col("n_docs")) & (F.col("n_docs") >= 4)
+    )
+    return templ.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_template_grams"),
+        F.max("docfreq").cast("bigint").alias("max_docfreq"),
+        F.min("n_docs").cast("bigint").alias("n_docs"),
+    )
