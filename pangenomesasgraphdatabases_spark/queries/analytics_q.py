@@ -1167,3 +1167,97 @@ def customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 customer_km_survival.__doc__ = customer_km_survival.__doc__.replace(
     "{h}", str(_KM_HORIZON_DAYS)
 )
+
+
+@register(
+    "orders_calendar_rollup",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(min(epoch(o_orderdate)) // 86400 AS BIGINT) AS d0,
+               CAST(max(epoch(o_orderdate)) // 86400 AS BIGINT) AS d1
+        FROM orders
+    ),
+    cal AS (
+        -- fixed-range series + filter (DuckDB's generate_series cannot
+        -- take a lateral column bound -- the ORACLE_MAX_POS idiom)
+        SELECT CAST(d0 + i AS BIGINT) AS day,
+               CAST((d0 + i + 4) % 7 AS BIGINT) AS dow,
+               (d0 + i + 4) % 7 IN (5, 6) AS is_weekend
+        FROM span, generate_series(0, 20000) t(i)
+        WHERE i <= d1 - d0
+    ),
+    daily AS (
+        SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT c.dow, c.is_weekend,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(coalesce(d.n_orders, 0)) AS BIGINT) AS n_orders,
+           CAST(sum(coalesce(d.cents, 0)) AS BIGINT) AS revenue_cents,
+           CAST(sum(coalesce(d.cents, 0)) // count(*) AS BIGINT)
+               AS cents_per_day
+    FROM cal c LEFT JOIN daily d ON c.day = d.day
+    GROUP BY c.dow, c.is_weekend
+    """,
+    tags=("ext-analytics", "calendar-dim", "A8"),
+)
+def orders_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension build + day-of-week revenue rollup
+    (extension — the warehouse date-spine pattern: generate the
+    complete calendar between the data's first and last day so
+    zero-order days COUNT in per-day averages instead of silently
+    vanishing): epoch-day spine via sequence, day-of-week by pure
+    integer arithmetic ((day+4) mod 7 — epoch day 0 was a Thursday),
+    weekend flag, left join of daily revenue onto the spine, rollup
+    by dow.  All exact integers.
+
+    Scale shape: the spine is calendar-sized (generated, not
+    scanned) and broadcastable; daily revenue is one
+    map-side-combinable rollup; the final group is 7 rows.  The same
+    spine serves seasonality, gap-fill, and SLA reports."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400")
+    span = o.agg(
+        F.min(day).cast("bigint").alias("d0"),
+        F.max(day).cast("bigint").alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.sequence(F.lit(0), F.col("d1") - F.col("d0"))).alias("i"),
+        "d0",
+    ).select(
+        (F.col("d0") + F.col("i")).cast("bigint").alias("day"),
+        ((F.col("d0") + F.col("i") + 4) % 7).cast("bigint").alias("dow"),
+        ((F.col("d0") + F.col("i") + 4) % 7).isin(5, 6).alias("is_weekend"),
+    )
+    daily = o.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .groupBy("dow", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.coalesce("n_orders", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.sum(F.coalesce("cents", F.lit(0)))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .select(
+            "dow",
+            "is_weekend",
+            "n_days",
+            "n_orders",
+            "revenue_cents",
+            F.expr("revenue_cents div n_days")
+            .cast("bigint")
+            .alias("cents_per_day"),
+        )
+    )

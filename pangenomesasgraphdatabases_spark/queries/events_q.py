@@ -3734,3 +3734,69 @@ def events_session_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_sess))
         .select("type_a", "type_b", "n_ab", "n_a", "n_b", pmi_e4.alias("pmi_e4"))
     )
+
+
+@register(
+    "events_out_of_order_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000 AS es,
+               CAST(max(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS high_watermark_es
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               CAST(high_watermark_es - es AS BIGINT) AS lateness_s
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lateness_s > 300 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late_5m,
+           CAST(sum(CASE WHEN lateness_s > 1800 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late_30m,
+           CAST(max(lateness_s) AS BIGINT) AS max_lateness_s
+    FROM late
+    GROUP BY event_type
+    """,
+    tags=("ext-events", "streaming", "watermark-sizing"),
+)
+def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit for watermark sizing (extension — THE
+    question every `withWatermark` call hard-codes an answer to: how
+    late does data actually arrive?): with event_id as the arrival
+    order (ids are assigned at ingest), each event's lateness is the
+    running event-time high-watermark minus its own event time;
+    reported per type as counts beyond the 5-minute and 30-minute
+    candidate watermarks plus the worst case.  The streaming twins'
+    delays (10 min tumbling, 20 min sliding, 1 h session) can be
+    audited against exactly this table.
+
+    Scale shape: one per-type arrival-ordered running max (windows
+    partition by type; at uniform arrival the per-type partition is
+    the stream shard), then a bounded rollup.  All integer seconds."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    es = F.expr("ts_ns div 1000000000")
+    late = e.select(
+        "event_type",
+        (F.max(es).over(w) - es).cast("bigint").alias("lateness_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("lateness_s") > 300, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_5m"),
+        F.sum(F.when(F.col("lateness_s") > 1800, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_30m"),
+        F.max("lateness_s").cast("bigint").alias("max_lateness_s"),
+    )
