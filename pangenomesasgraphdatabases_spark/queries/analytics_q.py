@@ -1261,3 +1261,168 @@ def orders_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents_per_day"),
         )
     )
+
+
+# One-way ANOVA F from exact per-group integer accumulators — shared
+# expression text (the _AB_Z_SQL / stats.py discipline).  Inputs:
+# k groups, n total, s/ss totals, and the between-group sum of
+# (group_sum^2 / group_n) carried exactly as a double expression.
+_ANOVA_F_SQL = (
+    "(((sb - CAST(s AS DOUBLE) * s / n) / (k - 1.0))"
+    " / nullif((CAST(ss AS DOUBLE) - sb) / (n - k), 0.0))"
+)
+
+
+@register(
+    "part_price_anova_f",
+    oracle=f"""
+    WITH g AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS gn,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                   AS BIGINT) AS gs,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                        * CAST(round(p_retailprice * 100) AS BIGINT))
+                   AS BIGINT) AS gss
+        FROM part GROUP BY p_brand
+    ),
+    acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(gn) AS BIGINT) AS n,
+               CAST(sum(gs) AS BIGINT) AS s,
+               CAST(sum(gss) AS BIGINT) AS ss,
+               sum(CAST(gs AS DOUBLE) * gs / gn) AS sb
+        FROM g
+    )
+    SELECT k, n,
+           CAST(round({_ANOVA_F_SQL} * 1000000) AS BIGINT) AS f_micro,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within
+    FROM acc
+    """,
+    tags=("ext-analytics", "anova", "F14"),
+)
+def part_price_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic — does mean retail price differ
+    across brands? (extension — the k-group generalization of the
+    Welch/pooled t family, F14): per-brand count/sum/sum-of-squares
+    in exact integer cents, the between-group term sum(gs^2/gn)
+    accumulated as the one double (each term a correctly-rounded
+    ratio of exact integers; the sum over 25 brands rides the SAME
+    single-partition reduction in both engines), F from one shared
+    expression in micro units with both dof columns for the caller's
+    p-value lookup.
+
+    Scale shape: one map-side-combinable shuffle to the per-group
+    moment frame (3 integers per group), one scalar reduction — a
+    million-group ANOVA costs one aggregation, the grouped-OLS
+    shape."""
+    p = table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    g = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum(cents).cast("bigint").alias("gs"),
+        F.sum(cents * cents).cast("bigint").alias("gss"),
+    )
+    acc = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("gn").cast("bigint").alias("n"),
+        F.sum("gs").cast("bigint").alias("s"),
+        F.sum("gss").cast("bigint").alias("ss"),
+        F.sum(F.col("gs").cast("double") * F.col("gs") / F.col("gn")).alias(
+            "sb"
+        ),
+    )
+    return acc.select(
+        "k",
+        "n",
+        F.round(F.expr(_ANOVA_F_SQL) * 1000000).cast("bigint").alias("f_micro"),
+        F.expr("k - 1").cast("bigint").alias("df_between"),
+        F.expr("n - k").cast("bigint").alias("df_within"),
+    )
+
+
+# Benford expected shares, ppm, from ln(1 + 1/d) / ln(10) — computed
+# once here as Python literals so both engines compare against the
+# identical integers.
+_BENFORD_PPM = {
+    d: round(__import__("math").log10(1 + 1 / d) * 1_000_000)
+    for d in range(1, 10)
+}
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM lineitem
+        WHERE l_extendedprice > 0
+    ),
+    counts AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n_d FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM counts),
+    bf AS (
+        {" UNION ALL ".join(f"SELECT {d} AS d, CAST({p} AS BIGINT) AS benford_ppm" for d, p in _BENFORD_PPM.items())}
+    )
+    SELECT b.d AS first_digit,
+           coalesce(c.n_d, 0) AS n_observed,
+           CAST(coalesce(c.n_d, 0) * 1000000 // t.n AS BIGINT)
+               AS observed_ppm,
+           b.benford_ppm,
+           CAST(coalesce(c.n_d, 0) * 1000000 // t.n - b.benford_ppm
+               AS BIGINT) AS deviation_ppm
+    FROM bf b
+    LEFT JOIN counts c ON b.d = c.d
+    CROSS JOIN tot t
+    """,
+    tags=("ext-analytics", "benford", "forensic"),
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of transaction amounts
+    (extension — the forensic-accounting / data-fabrication screen:
+    organically-generated amounts follow P(d) = log10(1 + 1/d);
+    invented or constrained ones don't): first digits extracted by
+    pure string arithmetic on exact cents (no float log in the hot
+    path), observed shares in exact ppm against the Benford
+    expectation precomputed once as shared integer literals.
+    Large deviation_ppm rows are where an auditor looks first.
+    (TPC-H-style uniform prices intentionally FAIL Benford — the
+    query demonstrates detection, not conformance.)
+
+    Scale shape: a narrow map + 9-key count — the cheapest possible
+    full-scan audit; group further by month/account for the real
+    drill-down at no extra passes."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digits = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    tot = counts.agg(F.sum("n_d").cast("bigint").alias("n"))
+    bf = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "d bigint, benford_ppm bigint"
+    )
+    return (
+        F.broadcast(bf)
+        .join(counts, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce("n_d", F.lit(0)).cast("bigint").alias("n_observed"),
+            F.expr("coalesce(n_d, 0) * 1000000L div n")
+            .cast("bigint")
+            .alias("observed_ppm"),
+            "benford_ppm",
+            F.expr("coalesce(n_d, 0) * 1000000L div n - benford_ppm")
+            .cast("bigint")
+            .alias("deviation_ppm"),
+        )
+    )
