@@ -3226,3 +3226,122 @@ def doc_template_grams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("docfreq").cast("bigint").alias("max_docfreq"),
         F.min("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "doc_bigram_heldout_ppl",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, string_split(trim(text), ' ')[i] AS tok
+        FROM documents, generate_series(1, 2000) t(i)
+        WHERE i <= len(string_split(trim(text), ' '))
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    train_b AS (SELECT * FROM bigrams WHERE doc_id % 2 = 0),
+    test_b AS (SELECT * FROM bigrams WHERE doc_id % 2 = 1),
+    cb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM train_b GROUP BY w1, w2
+    ),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+    vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM toks WHERE doc_id % 2 = 0
+    ),
+    test_types AS (SELECT DISTINCT w1, w2 FROM test_b),
+    lp AS (
+        SELECT t.w1, t.w2,
+               CAST(round(ln((CAST(coalesce(cb.c2, 0) AS DOUBLE) + 1.0)
+                    / (coalesce(c1.c1, 0) + vocab.v)) * 10000) AS BIGINT)
+                   AS lp_fx
+        FROM test_types t
+        LEFT JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
+        LEFT JOIN c1 ON t.w1 = c1.w1
+        CROSS JOIN vocab
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(l.lp_fx) AS BIGINT) AS sum_lp_fx,
+           CAST(-sum(l.lp_fx) // count(*) AS BIGINT) AS avg_nll_e4
+    FROM test_b g JOIN lp l ON g.w1 = l.w1 AND g.w2 = l.w2
+    GROUP BY g.doc_id
+    """,
+    tags=("ext-text", "quality", "lm", "eval"),
+)
+def doc_bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity (extension — doc_bigram_logprob
+    evaluated the way LMs are actually evaluated: the model is fit on
+    HALF the corpus (even doc_ids) and scores the OTHER half, so the
+    number measures generalization, not memorization): add-one
+    smoothing handles unseen continuations AND unseen left contexts
+    (c1 = 0 falls back to 1/V uniformly), the log quantized per
+    distinct TEST bigram type before exact per-doc integer sums;
+    avg_nll_e4 is the per-bigram negative log-likelihood — the
+    monotone proxy for perplexity (exp of it).
+
+    Scale shape: train counts are the bigram-typed frames of the fit;
+    test scoring joins test bigram TYPES (not tokens) against them,
+    then the per-doc reduction joins back on the type key — the
+    dedup-before-expensive-work discipline; V broadcasts."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.lag("tok").over(w).alias("w1"),
+            F.col("tok").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    train_b = bigrams.filter(F.col("doc_id") % 2 == 0)
+    test_b = bigrams.filter(F.col("doc_id") % 2 == 1)
+    cb = train_b.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1 = cb.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = toks.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count_distinct("tok").cast("bigint").alias("v")
+    )
+    test_types = test_b.select("w1", "w2").distinct()
+    lp = (
+        test_types.join(cb, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.coalesce("c2", F.lit(0)).cast("double") + 1.0)
+                    / (F.coalesce("c1", F.lit(0)) + F.col("v"))
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("lp_fx"),
+        )
+    )
+    return (
+        test_b.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lp_fx").cast("bigint").alias("sum_lp_fx"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_fx",
+            F.expr("-sum_lp_fx div n_bigrams")
+            .cast("bigint")
+            .alias("avg_nll_e4"),
+        )
+    )

@@ -2055,3 +2055,113 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("purity_ppm"),
         )
     )
+
+
+@register(
+    "emb_twonn_intrinsic_dim",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    dists AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(sum((CAST(q.embedding[i] AS DOUBLE)
+                          - CAST(c.embedding[i] AS DOUBLE))
+                         * (CAST(q.embedding[i] AS DOUBLE)
+                            - CAST(c.embedding[i] AS DOUBLE))), 6) AS dsq
+        FROM q, c, generate_series(1, 64) t(i)
+        WHERE q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, dsq,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY dsq ASC, neighbor_id ASC) AS rn
+        FROM dists
+    ),
+    pair AS (
+        SELECT query_id,
+               min(CASE WHEN rn = 1 THEN dsq END) AS d1sq,
+               min(CASE WHEN rn = 2 THEN dsq END) AS d2sq
+        FROM ranked WHERE rn <= 2
+        GROUP BY query_id
+    ),
+    mu AS (
+        SELECT query_id,
+               CAST(round(ln(d2sq / d1sq) * 5000) AS BIGINT) AS ln_mu_e4
+        FROM pair WHERE d1sq > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(ln_mu_e4) AS BIGINT) AS sum_ln_mu_e4,
+           CAST(count(*) * 10000000000 // sum(ln_mu_e4) AS BIGINT)
+               AS intrinsic_dim_micro
+    FROM mu
+    """,
+    tags=("ext-vector", "intrinsic-dimension", "diagnostics"),
+)
+def emb_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding space
+    (extension — the Facco et al. diagnostic every embedding pipeline
+    should run before choosing an index: data on a d-dimensional
+    manifold gives mu = r2/r1 with E[ln mu] = 1/d, so
+    d ~= n / sum(ln mu)): for 50 probe vectors, the two nearest
+    neighbours by squared euclidean (rounded to 6 decimals before
+    ranking — the cosine-family determinism rule), ln(mu) quantized
+    per probe (x5000 = the half that converts squared distances), and
+    the estimate as exact integer division.  Duplicate-vector probes
+    (r1 = 0) are excluded, as in the original estimator.
+
+    Scale shape: the probe side broadcasts and candidates stream
+    map-side (the brute-force-yardstick pattern); per-probe windows
+    rank candidate rows.  At deployment the two NNs come from the
+    IVF-PQ index — same finalization."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    diff = F.zip_with(
+        "q_emb", "c_emb", lambda a, b: (a.cast("double") - b.cast("double"))
+    )
+    dsq = F.aggregate(
+        F.zip_with(diff, diff, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(dsq, 6).alias("dsq")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dsq"), F.asc("neighbor_id")
+    )
+    pair = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("dsq"))).alias("d1sq"),
+            F.min(F.when(F.col("rn") == 2, F.col("dsq"))).alias("d2sq"),
+        )
+        .filter(F.col("d1sq") > 0)
+    )
+    mu = pair.select(
+        F.round(F.log(F.col("d2sq") / F.col("d1sq")) * 5000)
+        .cast("bigint")
+        .alias("ln_mu_e4")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("ln_mu_e4").cast("bigint").alias("sum_ln_mu_e4"),
+    ).select(
+        "n_queries",
+        "sum_ln_mu_e4",
+        F.expr("n_queries * 10000000000L div sum_ln_mu_e4")
+        .cast("bigint")
+        .alias("intrinsic_dim_micro"),
+    )
