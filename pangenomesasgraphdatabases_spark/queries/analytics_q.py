@@ -1426,3 +1426,64 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("deviation_ppm"),
         )
     )
+
+
+@register(
+    "customer_order_frequency_histogram",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM per_cust)
+    SELECT p.n_orders,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) * 1000000 // min(t.n_cust) AS BIGINT)
+               AS share_ppm,
+           p.n_orders = 0 AS zero_class
+    FROM per_cust p CROSS JOIN tot t
+    GROUP BY p.n_orders
+    """,
+    tags=("ext-analytics", "frequency", "zero-inflation"),
+)
+def customer_order_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-frequency histogram INCLUDING the zero class (extension
+    — the denominator mistake the calendar spine fixes for days,
+    fixed for customers: joins that start from the fact table
+    silently drop never-purchasers, biasing every frequency model;
+    starting from the customer dimension with a left join keeps
+    them): customers per order-count bucket with exact ppm shares and
+    the zero-inflation flag.
+
+    Scale shape: one per-customer count (map-side combinable), a
+    dimension-sided left join, and a rollup bounded by the frequency
+    domain; the scalar total broadcasts."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_cust = c.join(
+        o, c.c_custkey == o.o_custkey, "left"
+    ).select(F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"))
+    tot = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    return (
+        per_cust.crossJoin(F.broadcast(tot))
+        .groupBy("n_orders")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("count(1) * 1000000L div min(n_cust)")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .select(
+            "n_orders",
+            "n_customers",
+            "share_ppm",
+            (F.col("n_orders") == 0).alias("zero_class"),
+        )
+    )

@@ -2165,3 +2165,64 @@ def emb_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intrinsic_dim_micro"),
     )
+
+
+_BALANCE_ORACLE_SQL = (
+    f"""
+    WITH {_KM_CHAIN_SQL},{_km_assign_sql(_KM_ITERS + 1, f"c{_KM_ITERS}")},
+    sizes AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+        FROM a{_KM_ITERS + 1} GROUP BY cid
+    ),
+    tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM sizes)
+    SELECT s.cid AS cell_id, s.n_members,
+           CAST(s.n_members * t.k * 1000000 // t.n AS BIGINT)
+               AS load_ppm_of_even,
+           s.n_members * t.k * 2 > t.n * 3 AS hot_cell
+    FROM sizes s CROSS JOIN tot t
+    """
+)
+
+
+@register(
+    "emb_ivf_list_balance",
+    oracle=_BALANCE_ORACLE_SQL,
+    tags=("ext-vector", "ivf", "index-health"),
+)
+def emb_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance report (extension — the index-health
+    check an ANN deployment runs after every build: a hot cell serves
+    a disproportionate share of probes and sets the latency tail):
+    per-cell member counts from the k-means assignment lineage, each
+    cell's load relative to the even split n/k in exact ppm, and a
+    `hot_cell` flag at 1.5x even load expressed as the integer
+    cross-multiplication n_members * k * 2 > n * 3.
+
+    Scale shape: the assignment is the IVF build's own broadcast-
+    centroid pass; the report is one k-row rollup plus a scalar cross
+    join.  A skewed report is what triggers re-training with more
+    centroids or balanced k-means."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = _km_ev(e)
+    cent = _km_centroids(e).cache()
+    sizes = (
+        _km_assign(ev, cent)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+    tot = sizes.agg(
+        F.sum("n_members").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").alias("cell_id"),
+        "n_members",
+        F.expr("n_members * k * 1000000L div n")
+        .cast("bigint")
+        .alias("load_ppm_of_even"),
+        (F.col("n_members") * F.col("k") * 2 > F.col("n") * 3).alias(
+            "hot_cell"
+        ),
+    )
