@@ -1487,3 +1487,140 @@ def customer_order_frequency_histogram(spark: SparkSession, sf_dir: str) -> Data
             (F.col("n_orders") == 0).alias("zero_class"),
         )
     )
+
+
+@register(
+    "part_abc_xyz_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT l_partkey,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS midx,
+               CAST(sum(CAST(round(l_extendedprice
+                    * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM m GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, n_months, total_cents, ss,
+               CAST(sum(total_cents) OVER (ORDER BY total_cents DESC,
+                    l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum_cents,
+               CAST(sum(total_cents) OVER () AS BIGINT) AS all_cents
+        FROM stats
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_cents * 10 <= all_cents * 8 THEN 'A'
+                    WHEN cum_cents * 100 <= all_cents * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN n_months > 1 AND
+                         (ss - total_cents * total_cents // n_months)
+                         // (n_months - 1)
+                         * n_months * n_months * 4
+                         < total_cents * total_cents THEN 'X'
+                    WHEN n_months > 1 AND
+                         (ss - total_cents * total_cents // n_months)
+                         // (n_months - 1)
+                         * n_months * n_months
+                         < total_cents * total_cents THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               total_cents
+        FROM ranked
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(total_cents) AS BIGINT) AS revenue_cents
+    FROM classed
+    GROUP BY 1, 2
+    """,
+    tags=("ext-analytics", "abc-xyz", "inventory"),
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification matrix (extension — the
+    planner's 2-D segmentation: ABC = revenue importance via the
+    Pareto cut (80/95), XYZ = demand variability via the coefficient
+    of variation of monthly revenue): X when CV < 1/2, Y when CV < 1,
+    Z otherwise — every threshold an exact integer
+    cross-multiplication (var * n^2 * k < total^2 rearranges
+    CV = sd*n/total < 1/sqrt(k) squared), variance via the
+    integer-division moment identity.  Output: the 3x3 matrix with
+    part counts and revenue mass.  (Width audit: var * n_months^2
+    stays under int64 through the bench scales; a petabyte-month
+    deployment rescales cents to whole units first, the
+    interarrival-stats discipline.)
+
+    Scale shape: monthly revenue per part is one map-side-combinable
+    shuffle; the Pareto rank window runs over the part-level frame
+    (the Gini/pareto discipline); the matrix rollup is 9 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    stats = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    w_cum = Window.orderBy(F.desc("total_cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = stats.select(
+        "l_partkey",
+        "n_months",
+        "total_cents",
+        "ss",
+        F.sum("total_cents").over(w_cum).cast("bigint").alias("cum_cents"),
+        F.sum("total_cents")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("all_cents"),
+    )
+    var_n1 = F.expr(
+        "(ss - total_cents * total_cents div n_months) div (n_months - 1)"
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_cents") * 10 <= F.col("all_cents") * 8, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("all_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(
+            (F.col("n_months") > 1)
+            & (
+                var_n1 * F.col("n_months") * F.col("n_months") * 4
+                < F.col("total_cents") * F.col("total_cents")
+            ),
+            "X",
+        )
+        .when(
+            (F.col("n_months") > 1)
+            & (
+                var_n1 * F.col("n_months") * F.col("n_months")
+                < F.col("total_cents") * F.col("total_cents")
+            ),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "total_cents",
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("total_cents").cast("bigint").alias("revenue_cents"),
+    )

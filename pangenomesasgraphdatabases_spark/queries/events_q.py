@@ -3800,3 +3800,79 @@ def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_late_30m"),
         F.max("lateness_s").cast("bigint").alias("max_lateness_s"),
     )
+
+
+@register(
+    "events_error_budget_burn",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_err,
+               CAST(count(*) AS BIGINT) AS n_tot
+        FROM events GROUP BY 1
+    ),
+    windowed AS (
+        SELECT CAST(day // 30 AS BIGINT) AS m30, day, n_err, n_tot,
+               CAST(sum(n_err) OVER (PARTITION BY day // 30 ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_err,
+               CAST(sum(n_tot) OVER (PARTITION BY day // 30)
+                   AS BIGINT) AS m30_tot
+        FROM daily
+    )
+    SELECT m30, day, n_err, n_tot, cum_err,
+           CAST(cum_err * 100000000 // (m30_tot * 20) AS BIGINT)
+               AS budget_burn_ppm
+    FROM windowed
+    """,
+    tags=("ext-events", "sre", "error-budget"),
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down (extension — the SLO table an
+    on-call rotation reads: with a 20% error-rate objective for this
+    noisy synthetic stream, how much of each 30-day window's error
+    budget has each day consumed?): daily error/total counts, the
+    cumulative error within the window, and the burn as exact ppm of
+    the window's budget (budget = 20% of the window's events;
+    burn = cum_err / budget, all integer: cum_err * 1e8 / (tot * 20)).
+    Crossing 1 000 000 ppm before the window ends IS the page.
+
+    Scale shape: one day rollup (map-side combinable), two windows
+    over the day-level frame partitioned by the 30-day key —
+    calendar-bounded state; nothing touches raw events after the
+    first aggregation."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("(ts_ns div 1000000000) div 86400").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+    )
+    m30 = F.expr("day div 30")
+    w_cum = (
+        Window.partitionBy(m30)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(m30)
+    windowed = daily.select(
+        m30.cast("bigint").alias("m30"),
+        "day",
+        "n_err",
+        "n_tot",
+        F.sum("n_err").over(w_cum).cast("bigint").alias("cum_err"),
+        F.sum("n_tot").over(w_all).cast("bigint").alias("m30_tot"),
+    )
+    return windowed.select(
+        "m30",
+        "day",
+        "n_err",
+        "n_tot",
+        "cum_err",
+        F.expr("cum_err * 100000000L div (m30_tot * 20)")
+        .cast("bigint")
+        .alias("budget_burn_ppm"),
+    )
