@@ -138,8 +138,14 @@ def main() -> None:
 
     f, c, comp = synthetic_feature_tables(spark, 770, 6000)
 
+    # The build is the longest entry (~14 s clean), so a co-tenant CPU
+    # stall hitting 2 of 3 reps drags the median far off the true cost
+    # (observed rep sets like [60.8, 13.5, 28.9] on the shared
+    # sandbox).  Extra reps make the median land on clean runs; the
+    # metric itself stays the median (methodology unchanged).
+    graph_reps = max(reps, 5)
     raw["graph_build_770x6000"] = []
-    for _ in range(reps):
+    for _ in range(graph_reps):
         # Inputs re-persisted OUTSIDE the timer each rep (clearCache
         # below drops them): the reference's 2072 s measures the build
         # from already-prepared files.
