@@ -1624,3 +1624,72 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("total_cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "orders_activity_islands",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS midx
+        FROM orders
+    ),
+    isl AS (
+        SELECT o_custkey, midx,
+               midx - row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY midx) AS island_key
+        FROM months
+    ),
+    islands AS (
+        SELECT o_custkey, island_key,
+               CAST(count(*) AS BIGINT) AS streak_months,
+               CAST(min(midx) AS BIGINT) AS start_midx
+        FROM isl GROUP BY o_custkey, island_key
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(streak_months) AS BIGINT) AS longest_streak,
+           CAST(sum(streak_months) AS BIGINT) AS active_months,
+           CAST(min(start_midx) AS BIGINT) AS first_midx
+    FROM islands
+    GROUP BY o_custkey
+    """,
+    tags=("ext-analytics", "gaps-islands", "tenure"),
+)
+def orders_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands customer activity streaks (extension — the
+    canonical interval-reconstruction idiom: consecutive active
+    months collapse into islands because month_index minus the
+    per-customer row_number is CONSTANT within a run): per customer,
+    the number of distinct activity streaks, the longest streak, and
+    total active months — the engagement-tenure report subscription
+    businesses run monthly.  All integer calendar arithmetic.
+
+    Scale shape: distinct active months per customer (map-side
+    combinable), one per-customer window over the month-bounded
+    frame, two bounded rollups.  The same idiom reconstructs sensor
+    uptime and SLA-breach intervals."""
+    o = table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("midx")
+    isl = months.select(
+        "o_custkey",
+        "midx",
+        (F.col("midx") - F.row_number().over(w)).alias("island_key"),
+    )
+    islands = isl.groupBy("o_custkey", "island_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_months"),
+        F.min("midx").cast("bigint").alias("start_midx"),
+    )
+    return islands.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("streak_months").cast("bigint").alias("longest_streak"),
+        F.sum("streak_months").cast("bigint").alias("active_months"),
+        F.min("start_midx").cast("bigint").alias("first_midx"),
+    )

@@ -2226,3 +2226,74 @@ def emb_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hot_cell"
         ),
     )
+
+
+_PQ_DISTORT_ORACLE_SQL = (
+    f"""
+    WITH {_PQ_BASE_SQL},
+    mind AS (
+        {" UNION ALL ".join(
+            f'''SELECT vec_id, {s} AS sub,
+               CAST(round(dist * 1000000) AS BIGINT) AS dist_micro
+            FROM (
+                SELECT vec_id, round(dist, 6) AS dist,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY round(dist, 6) ASC, cid ASC) AS rn
+                FROM d2_{s}
+            ) r WHERE rn = 1''' for s in range(_PQ_M)
+        )}
+    )
+    SELECT sub,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(dist_micro) AS BIGINT) // count(*)
+               AS mean_sq_dist_micro,
+           CAST(max(dist_micro) AS BIGINT) AS max_sq_dist_micro
+    FROM mind GROUP BY sub
+    """
+)
+
+
+@register(
+    "emb_pq_distortion_report",
+    oracle=_PQ_DISTORT_ORACLE_SQL,
+    tags=("ext-vector", "pq", "index-health"),
+)
+def emb_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization distortion report (extension — the
+    codebook-quality twin of emb_ivf_list_balance: how much squared
+    error does each subspace's 16-codeword codebook introduce?):
+    per-subspace assignment distances (the same rounded tie-broken
+    argmin the code assignment uses), quantized to exact micro units
+    per vector, reduced to mean and worst-case distortion per
+    subspace.  A subspace whose mean distortion dwarfs the others is
+    where recall is leaking — retrain with more codewords or rotate
+    the space.
+
+    Scale shape: one broadcast-codebook scoring pass over the keyed
+    subspace frame (the PQ build's own plan), per-(vector, subspace)
+    windows, then an 8-row rollup with exact integer sums."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sl, cb = _pq_codebooks(e)
+    cb = cb.cache()
+    scored = sl.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        "cid",
+        F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("cid"))
+    mind = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "sub",
+            F.round(F.col("dist") * 1000000).cast("bigint").alias("dist_micro"),
+        )
+    )
+    return mind.groupBy("sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.expr("sum(dist_micro) div count(1)")
+        .cast("bigint")
+        .alias("mean_sq_dist_micro"),
+        F.max("dist_micro").cast("bigint").alias("max_sq_dist_micro"),
+    )
