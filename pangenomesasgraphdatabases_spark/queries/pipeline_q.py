@@ -1160,3 +1160,73 @@ def lineitem_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.expr("cum_before div target").cast("bigint").alias("bin_id"),
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "doc_shard_assignment_balanced",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                   AS rk
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, n_chars,
+               CAST((rk - 1) % {_N_SHARDS} AS BIGINT) AS shard
+        FROM ranked
+    ),
+    tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS all_chars FROM assigned)
+    SELECT a.shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(a.n_chars) AS BIGINT) AS shard_chars,
+           CAST(sum(a.n_chars) * {_N_SHARDS} * 1000000 // min(t.all_chars)
+               AS BIGINT) AS load_ppm_of_even
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.shard
+    """,
+    tags=("ext-pipeline", "sharding", "output-layout"),
+)
+def doc_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced output shard assignment (extension — the write
+    side of a training-data pipeline: webdataset/TFRecord shards
+    should be near-equal BYTES, not equal document counts, or the
+    data loader's stragglers mirror the biggest shard): documents
+    ranked by size descending and dealt round-robin across {k}
+    shards — the greedy dealing that bounds any shard's excess by one
+    document per round — reported as per-shard load in exact ppm of
+    the even split.  Deterministic rank tie-break on doc_id.
+
+    Scale shape: the global size rank is the one global-sort cost
+    (at petabyte scale it rides operators/prefix.global_cumsum's
+    range-partitioned rank instead of a single-partition window —
+    the same swap documented for the Gini rank); assignment is then
+    a pure map and the report a {k}-row rollup."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")
+    assigned = d.select(
+        "n_chars",
+        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("bigint").alias("shard"),
+    )
+    tot = assigned.agg(F.sum("n_chars").cast("bigint").alias("all_chars"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_chars"),
+            F.expr(
+                f"sum(n_chars) * {_N_SHARDS}L * 1000000L div min(all_chars)"
+            )
+            .cast("bigint")
+            .alias("load_ppm_of_even"),
+        )
+    )
+
+
+doc_shard_assignment_balanced.__doc__ = doc_shard_assignment_balanced.__doc__.replace(
+    "{k}", str(_N_SHARDS)
+)
