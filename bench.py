@@ -1,12 +1,26 @@
 """Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE compact JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with the noop datasource (full
 materialization, no driver collect).  Every headline entry runs
 $SPARK_GRAFT_REPS times (default 3) and reports the per-query MEDIAN
 (VERDICT r4 #7: single-run numbers made sub-second deltas look like
-regressions); the raw reps ride along under "reps"."""
+regressions).
+
+Output contract (VERDICT r6 #1): stdout carries EXACTLY ONE compact
+JSON line (the r6 line, carrying per-rep arrays inline, outgrew the
+driver's tail capture and round 6 lost its parsed bench).  Everything
+else — raw reps, first-rep cold series, per-rep CPU-steal jiffies —
+goes to ``BENCH_DETAIL.json`` next to this file and to stderr.
+
+Steal annotation (VERDICT r6 #2/#3): the shared sandbox shows bursty
+co-tenant CPU steal (measured rep sets like 58.2 s @ 3,784 steal
+jiffies vs 12.4 s @ 26 on identical plans).  Every rep samples
+``/proc/stat`` steal around itself so a polluted median is
+self-evident from the artifacts; the compact line also carries
+``build_min_sec`` (min-of-reps for the graph build) as the
+steal-robust companion to the median."""
 
 from __future__ import annotations
 
@@ -49,6 +63,17 @@ HEADLINE = [
     "interval_sweep_concurrency",
     "events_hll_distinct",
 ]
+
+
+def _read_steal() -> int:
+    """Cumulative steal jiffies (aggregate ``cpu`` line, field 8
+    0-indexed) from /proc/stat; 0 where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts and parts[0] == "cpu" and len(parts) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        return 0
 
 
 def _warmup_dir(sf_dir: str, sf: float) -> str | None:
@@ -109,16 +134,20 @@ def main() -> None:
             spark.catalog.clearCache()
 
     raw: dict[str, list[float]] = {}
+    steal: dict[str, list[int]] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
             continue
         raw[name] = []
+        steal[name] = []
         for _ in range(reps):
+            s0 = _read_steal()
             t0 = time.time()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             raw[name].append(round(time.time() - t0, 3))
+            steal[name].append(_read_steal() - s0)
             # Queries cache intermediates (shingles, centroids); drop
             # them so each rep (and later queries) measures its own
             # work, not heap pressure from earlier ones.
@@ -145,12 +174,14 @@ def main() -> None:
     # metric itself stays the median (methodology unchanged).
     graph_reps = max(reps, 5)
     raw["graph_build_770x6000"] = []
+    steal["graph_build_770x6000"] = []
     for _ in range(graph_reps):
         # Inputs re-persisted OUTSIDE the timer each rep (clearCache
         # below drops them): the reference's 2072 s measures the build
         # from already-prepared files.
         for src in (f, c, comp):
             src.persist().count()
+        s0 = _read_steal()
         t0 = time.time()
         g = build_graph(spark, f, c, comp, persist=True)
         for tbl in (
@@ -165,12 +196,36 @@ def main() -> None:
         ):
             getattr(g, tbl).write.format("noop").mode("overwrite").save()
         raw["graph_build_770x6000"].append(round(time.time() - t0, 3))
+        steal["graph_build_770x6000"].append(_read_steal() - s0)
         spark.catalog.clearCache()
     timings["graph_build_770x6000"] = round(
         statistics.median(raw["graph_build_770x6000"]), 3
     )
+    build_min = round(min(raw["graph_build_770x6000"]), 3)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "reps": raw,
+        # Per-rep steal-jiffy deltas: wall time tracks steal almost
+        # perfectly on this sandbox, so a polluted rep is identifiable
+        # from the artifact itself (VERDICT r6 #2/#3).
+        "steal_jiffies": steal,
+        # First-rep (cold) series, explicit: round-over-round claims
+        # compare median-vs-median, with rep1 available for honest
+        # cold-cost accounting (VERDICT r5 "What's wrong" #2).
+        "rep1": {n: v[0] for n, v in raw.items() if v},
+        "graph_build_min_sec": build_min,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+
+    # stdout: EXACTLY this one compact line (~1 KB) — the driver's
+    # tail capture must be able to parse it (VERDICT r6 #1).
     print(
         json.dumps(
             {
@@ -178,12 +233,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "reps": raw,
-                # First-rep (cold) series, explicit: round-over-round
-                # claims should compare median-vs-median from r6 on,
-                # with rep1 available for honest cold-cost accounting
-                # (VERDICT r5 "What's wrong" #2).
-                "rep1": {n: v[0] for n, v in raw.items() if v},
+                "build_min_sec": build_min,
                 "sf": sf,
             }
         )

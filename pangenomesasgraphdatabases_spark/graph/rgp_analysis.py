@@ -308,37 +308,59 @@ def linkage_clusters_scalable(
     unaffected either way because ``cluster`` is always the min item
     STRING of the component, never the internal id.
 
-    Gate order (ADVICE r5): both gates — pair count AND distinct item
-    count — are evaluated with distributed counts BEFORE any collect,
-    so an input that fails the item gate never pays a driver-side
-    materialization it then discards.  Caller-supplied gates are
+    Gate order (ADVICE r5, folded to ONE action in r7 per VERDICT r6
+    #4): both gates — pair count AND distinct item count — come from a
+    single aggregation job over the exploded endpoint column (exact
+    pair count + ``approx_count_distinct(rsd=0.01)`` item count)
+    BEFORE any collect, so the gate costs one pass instead of the two
+    separate ``count()`` jobs it used to run.  The approximate item
+    count carries a 5% safety margin (~5 sigma at rsd 0.01) against
+    undercount, and the exact path still re-checks the true size after
+    collecting — an undercount past the margin falls through to the
+    distributed path instead of raising.  Caller-supplied gates are
     clamped to the exact algorithm's hard limits so oversized values
     fall back to the distributed path instead of raising."""
     exact_max_items = min(exact_max_items, _EXACT_MAX_ITEMS)
     exact_max_pairs = min(exact_max_pairs, _EXACT_MAX_PAIRS)
     spark = pair_distances.sparkSession
-    all_items = (
-        pair_distances.select(F.col("item1").alias("item"))
-        .unionByName(pair_distances.select(F.col("item2").alias("item")))
-        .distinct()
+    gate = (
+        pair_distances.select(
+            F.explode(F.array("item1", "item2")).alias("item")
+        )
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("pairs"),
+            F.approx_count_distinct("item", 0.01).alias("items_approx"),
+        )
+        .first()
     )
     if (
-        pair_distances.count() <= exact_max_pairs
-        and all_items.count() <= exact_max_items
+        gate["pairs"] <= exact_max_pairs
+        and gate["items_approx"] * 1.05 <= exact_max_items
     ):
         rows = [
             (r[0], r[1], float(r[2]))
             for r in pair_distances.select("item1", "item2", "dist").collect()
         ]
-        labels = complete_linkage_clusters(rows, threshold)
-        rep: dict[int, str] = {}
-        for it, lab in labels.items():
-            rep[lab] = min(rep.get(lab, it), it)
-        return spark.createDataFrame(
-            [(it, rep[lab], False) for it, lab in labels.items()],
-            "item string, cluster string, approx boolean",
-        )
+        try:
+            labels = complete_linkage_clusters(rows, threshold)
+        except ValueError:
+            # approx_count_distinct undercounted past the margin —
+            # practically unreachable, but the fallback stays correct.
+            labels = None
+        if labels is not None:
+            rep: dict[int, str] = {}
+            for it, lab in labels.items():
+                rep[lab] = min(rep.get(lab, it), it)
+            return spark.createDataFrame(
+                [(it, rep[lab], False) for it, lab in labels.items()],
+                "item string, cluster string, approx boolean",
+            )
 
+    all_items = (
+        pair_distances.select(F.col("item1").alias("item"))
+        .unionByName(pair_distances.select(F.col("item2").alias("item")))
+        .distinct()
+    )
     if exact_ids:
         ids = all_items.select(
             "item", F.monotonically_increasing_id().alias("nid")

@@ -159,11 +159,13 @@ def test_scalable_linkage_approx_past_gate(spark):
 
 def test_scalable_linkage_item_gate_before_collect(spark, monkeypatch):
     """ADVICE r5: an input whose ITEM count fails the gate must route
-    to the distributed path without ever collecting the pair frame to
-    the driver — the gate decision itself is distributed counts only.
-    Also exercises gate clamping: the caller's oversized
-    exact_max_items is clamped to the hard limit and falls back
-    instead of raising ValueError from the inner exact algorithm."""
+    to the distributed path without ever collecting the PAIR FRAME to
+    the driver — the only driver-side results during gating are
+    single-row aggregates (the r7 one-action gate runs `.first()` on a
+    1-row agg, which is fine; 20k pair rows are not).  Also exercises
+    gate clamping: the caller's oversized exact_max_items is clamped
+    to the hard limit and falls back instead of raising ValueError
+    from the inner exact algorithm."""
     from pyspark.sql import DataFrame
 
     from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
@@ -177,7 +179,12 @@ def test_scalable_linkage_item_gate_before_collect(spark, monkeypatch):
     real_collect = DataFrame.collect
 
     def spy_collect(self):
-        raise AssertionError("collect() reached the driver during gating")
+        rows = real_collect(self)
+        if len(rows) > 10:
+            raise AssertionError(
+                f"{len(rows)}-row collect() reached the driver during gating"
+            )
+        return rows
 
     monkeypatch.setattr(DataFrame, "collect", spy_collect)
     try:
@@ -188,6 +195,36 @@ def test_scalable_linkage_item_gate_before_collect(spark, monkeypatch):
     assert len(out) == n
     assert all(v[1] for v in out.values())  # distributed path ran
     assert {v[0] for v in out.values()} == {"z00000"}  # one chain component
+
+
+def test_scalable_linkage_gate_is_one_action(spark, monkeypatch):
+    """VERDICT r6 #4: the gate must be ONE action (a single agg over
+    the exploded endpoints, read via `.first()`), not the two separate
+    `DataFrame.count()` actions it used to run.  Raw job counts are an
+    unreliable proxy (AQE materializes shuffle stages as extra jobs),
+    so guard the mechanism directly: `count()` must never run inside
+    the call, on either the exact or the distributed path."""
+    from pyspark.sql import DataFrame
+
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    def spy_count(self):
+        raise AssertionError("DataFrame.count() ran during linkage gating")
+
+    pairs = [("g1", "g2", 0.1), ("g2", "g3", 0.2), ("g1", "g3", 0.9)]
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+    try:
+        exact = linkage_clusters_scalable(df, 0.3)  # exact path: collects inside
+        approx = linkage_clusters_scalable(df, 0.3, exact_max_pairs=0)
+    finally:
+        monkeypatch.undo()
+    assert exact.count() == 3
+    assert {r.approx for r in exact.collect()} == {False}
+    assert approx.count() == 3
+    assert {r.approx for r in approx.collect()} == {True}
 
 
 def test_scalable_linkage_exact_ids_matches_hashed(spark):
