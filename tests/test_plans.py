@@ -174,6 +174,42 @@ def test_priority_list_is_total_and_duplicate_free():
     )
 
 
+def test_priority_head_matches_rotation_policy():
+    """r7: the shipped 50-query driver window (PRIORITY head) must
+    equal what the fixed rotation policy computes from the
+    CORRECTNESS ledger — flagship, then never-checked in registry
+    order, then oldest-checked-first.  Post-freeze registrations must
+    be declared in QUEUED_AFTER_FREEZE (they queue for the NEXT
+    window), otherwise this fails and the window drifts from plan.
+    Changed-code slots are hand-inserted and make the head
+    legitimately diverge — record them by listing the names here."""
+    import importlib.util
+    import os
+
+    from pangenomesasgraphdatabases_spark.queries import (
+        PRIORITY,
+        QUEUED_AFTER_FREEZE,
+    )
+
+    changed_this_round: list[str] = []  # update when window code changes
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_window", os.path.join(repo, "tools", "plan_window.py")
+    )
+    pw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pw)
+
+    names = [n for n in pw.registry_order() if n not in set(QUEUED_AFTER_FREEZE)]
+    proposal = pw.propose_window(names, pw.last_checked(), changed_this_round)
+    head = [n for n in PRIORITY if n not in set(QUEUED_AFTER_FREEZE)][:50]
+    assert head == proposal, (
+        "PRIORITY head drifted from the rotation policy: "
+        f"head-only={[n for n in head if n not in proposal]} "
+        f"proposal-only={[n for n in proposal if n not in head]}"
+    )
+
+
 def test_pair_dedup_join_free(spark):
     """canonical_pair_dedup (r5 rewrite): the within-order pair
     expansion is array surgery, not a self-join — the plan must have

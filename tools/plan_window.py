@@ -111,6 +111,15 @@ def main() -> None:
     args = ap.parse_args()
     changed = [n for n in args.changed.split(",") if n]
     queued = {n for n in args.queued.split(",") if n}
+    if not queued:
+        # The post-freeze queue is declared next to PRIORITY itself
+        # (queries/__init__.QUEUED_AFTER_FREEZE) so the shipped window
+        # equals the planned one by construction; --queued overrides.
+        from pangenomesasgraphdatabases_spark.queries import (
+            QUEUED_AFTER_FREEZE,
+        )
+
+        queued = set(QUEUED_AFTER_FREEZE)
 
     all_names = registry_order()
     names = [n for n in all_names if n not in queued]
