@@ -30,7 +30,11 @@ from pangenomesasgraphdatabases_spark.queries.registry import all_queries
 from pangenomesasgraphdatabases_spark.session import get_spark
 
 SMALL = "/root/testdata/sf0.1"
-BIG = os.path.join(REPO, ".scale", "sf1")
+# Big-side scale dir: $SPARK_GRAFT_SCALE_DIR overrides (e.g. .scale/sf3
+# built with `gen_scale_data.py ... 30` for the 30x point of the curve).
+BIG = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, ".scale", "sf1")
+)
 WARM = "/root/testdata/sf0.001"
 
 QUERIES = [
@@ -60,6 +64,16 @@ QUERIES = [
     "lineitem_zonemap_pruning",
     "lineitem_compaction_bins",
     "lineitem_skewsafe_distinct",
+    # round-7: the lakehouse / maintenance / survival family (first
+    # measured ad hoc for SCALE.md's r7 section; kept here so the
+    # curve reruns with the tool)
+    "orders_join_view_ivm",
+    "user_forget_cascade",
+    "customer_km_survival",
+    "orders_merge_into",
+    "orders_snapshot_diff",
+    "data_quality_checks",
+    "lineitem_hilbert_layout",
 ]
 
 GRAPH_SMALL = (770, 6_000)
