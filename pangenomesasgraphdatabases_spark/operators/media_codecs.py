@@ -1,19 +1,26 @@
 """Pure-python/numpy media codecs for library-free formats.
 
 Real decoders for the formats that need no external media library:
-uncompressed 24-bit BMP, binary PPM (P6), and PCM WAV.  These back the
-``decode_stub=False`` path of operators/multimodal — the decode is
-genuinely real for these formats; compressed formats (JPEG/PNG/MP4)
-remain the documented NotImplementedError boundary where PIL/ffmpeg
-would plug in.
+uncompressed 24-bit BMP, binary PPM (P6), PCM WAV, and (since r7)
+8-bit PNG — PNG's DEFLATE layer is stdlib ``zlib``, so a full,
+spec-correct decoder (all five row filters, gray/RGB/RGBA color
+types, CRC-checked chunks) needs no external library at all.  These
+back the ``decode_stub=False`` path of operators/multimodal — the
+decode is genuinely real for these formats; the remaining boundary
+where PIL/ffmpeg would plug in is lossy/container codecs (JPEG, MP4)
+plus the two exotic PNG variants nothing in the pipeline emits
+(palette color, Adam7 interlace), each a documented
+NotImplementedError.
 
 Encoders are provided too (fixture generation, resize re-encode);
-every codec round-trips bit-exactly (pytest property).
+every codec round-trips bit-exactly (pytest property — PNG is
+lossless, so encode→decode is identity for every filter type).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -150,15 +157,184 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return arr[: n * ch].reshape(n, ch), rate
 
 
+# --- PNG (8-bit; color types 0/2/4/6; zlib is stdlib) ------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Channels per pixel by PNG color type (3 = palette, unsupported).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 9.4): the neighbour (left/up/upleft)
+    whose value is closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(ft: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply scanline filter ``ft`` (0-4) to a raw row given the
+    previous RAW row — the encoder side of PNG spec 9."""
+    n = len(row)
+    out = bytearray(n)
+    for i in range(n):
+        x = row[i]
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            out[i] = x
+        elif ft == 1:
+            out[i] = (x - a) & 0xFF
+        elif ft == 2:
+            out[i] = (x - b) & 0xFF
+        elif ft == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        else:  # 4
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ft: int, row: bytearray, prev: bytes, bpp: int) -> None:
+    """Invert scanline filter ``ft`` in place (decoder side; Sub/Paeth
+    are sequential in x, so this is the honest byte loop)."""
+    n = len(row)
+    if ft == 0:
+        return
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        if ft == 1:
+            row[i] = (row[i] + a) & 0xFF
+        elif ft == 2:
+            row[i] = (row[i] + b) & 0xFF
+        elif ft == 3:
+            row[i] = (row[i] + (a + b) // 2) & 0xFF
+        elif ft == 4:
+            c = prev[i - bpp] if i >= bpp else 0
+            row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (8-bit truecolor, one IDAT).
+    ``filter_type`` selects the per-row scanline filter (0-4) — any
+    choice decodes to the identical image (lossless), so the tests
+    exercise every decoder filter branch through the same API."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("PNG filter type must be 0-4")
+    h, w, _ = arr.shape
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for y in range(h):
+        row = arr[y].tobytes()
+        raw.append(filter_type)
+        raw += _png_filter_row(filter_type, row, prev, 3)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB.  Full decode for 8-bit gray /
+    gray+alpha / RGB / RGBA, all five scanline filters, CRC-verified
+    chunks, multi-IDAT streams; alpha is dropped and gray broadcast
+    to RGB so every image format shares one output contract.  The
+    two variants nothing in this pipeline emits stay documented
+    boundaries: palette color (PLTE indirection) and Adam7 interlace
+    raise NotImplementedError."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, compression, filt, interlace = ihdr
+    if ctype_n == 3:
+        raise NotImplementedError(
+            "palette (indexed) PNG not supported — PLTE indirection is "
+            "the PIL boundary; re-encode as truecolor"
+        )
+    if depth != 8 or ctype_n not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB(A) PNG supported (depth={depth}, "
+            f"color type={ctype_n})"
+        )
+    if interlace != 0:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG not supported (interlace=1); "
+            "re-encode progressive images without interlacing"
+        )
+    if compression != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    ch = _PNG_CHANNELS[ctype_n]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        _png_unfilter_row(ft, row, prev, ch)
+        prev = bytes(row)
+        out[y] = np.frombuffer(prev, np.uint8).reshape(w, ch)
+    if ctype_n == 2:
+        return out
+    if ctype_n == 6:
+        return np.ascontiguousarray(out[..., :3])  # drop alpha
+    gray = out[..., 0]  # 0 / 4: broadcast luma (alpha dropped)
+    return np.repeat(gray[..., None], 3, axis=2)
+
+
 # --- Dispatch ----------------------------------------------------------------
 
 IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
+    "image/png": decode_png,
 }
 IMAGE_ENCODERS = {
     "image/bmp": encode_bmp,
     "image/x-portable-pixmap": encode_ppm,
+    "image/png": encode_png,
 }
 
 

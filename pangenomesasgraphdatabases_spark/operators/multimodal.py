@@ -7,11 +7,12 @@ tiers (r5):
 
 * ``decode_stub=False`` runs REAL decoders for the library-free
   formats (operators/media_codecs: uncompressed 24-bit BMP, binary
-  PPM, PCM WAV — pure struct/numpy), computing true image luminance /
-  audio RMS features and true nearest-neighbor resizes.  Compressed
-  formats (JPEG/PNG/MP4) still raise NotImplementedError at the
-  documented boundary where PIL/librosa/ffmpeg would plug in (this
-  container ships none).
+  PPM, PCM WAV, and since r7 full 8-bit PNG — DEFLATE via stdlib
+  zlib, all five scanline filters, gray/RGB/RGBA), computing true
+  image luminance / audio RMS features and true nearest-neighbor
+  resizes.  Lossy/container codecs (JPEG/MP4) still raise
+  NotImplementedError at the documented boundary where PIL/ffmpeg
+  would plug in (this container ships none).
 * ``decode_stub=True`` keeps the deterministic byte-level fake
   features (the oracle-hashed `media_feature_extract` path, which
   wraps text payloads — not decodable media).
@@ -82,7 +83,7 @@ def _real_feat(media_type: str, payload: bytes) -> float:
         samples, _rate = decode_wav(payload)
         return float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
     raise NotImplementedError(
-        f"no library-free decoder for {media_type!r}; JPEG/PNG/MP4 need "
+        f"no library-free decoder for {media_type!r}; JPEG/MP4 need "
         "PIL/librosa/ffmpeg (stub boundary)"
     )
 

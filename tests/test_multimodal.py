@@ -200,16 +200,17 @@ def test_synthesize_and_real_decode_integer_features(spark):
 
 
 def test_compressed_format_seam_is_guarded():
-    """VERDICT r6 #6: the compressed-media boundary (JPEG/PNG/MP4 need
-    PIL/ffmpeg, which this container does not ship) must be regression-
-    guarded text, not prose.  Real magic-byte payloads for each format
-    must raise the documented NotImplementedError whose message names
-    the format and the library seam where a decoder would plug in."""
+    """VERDICT r6 #6: the lossy/container-codec boundary (JPEG/MP4
+    need PIL/ffmpeg, which this container does not ship) must be
+    regression-guarded text, not prose.  Real magic-byte payloads for
+    each format must raise the documented NotImplementedError whose
+    message names the format and the library seam where a decoder
+    would plug in.  (PNG left this list in r7 — its decode is real
+    now; see test_png_* below.)"""
     from pangenomesasgraphdatabases_spark.operators.multimodal import _real_feat
 
     payloads = {
         "image/jpeg": b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 64,
-        "image/png": b"\x89PNG\r\n\x1a\n" + b"\x00" * 64,
         "video/mp4": b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64,
     }
     for media_type, payload in payloads.items():
@@ -248,3 +249,173 @@ def test_compressed_bmp_and_nonpcm_wav_seams():
     )
     with pytest.raises(NotImplementedError, match="PCM"):
         decode_wav(wav)
+
+
+def test_png_roundtrip_every_filter():
+    """PNG is lossless: encode->decode must be identity for EVERY
+    scanline filter type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) —
+    each choice exercises a distinct decoder unfilter branch on the
+    same pixels."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for ft in range(5):
+        blob = encode_png(img, filter_type=ft)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        out = decode_png(blob)
+        assert out.dtype == np.uint8 and out.shape == img.shape
+        assert (out == img).all(), f"filter {ft} round-trip diverged"
+
+
+def test_png_color_types_decode_to_rgb():
+    """Gray (0), gray+alpha (4), and RGBA (6) streams decode through
+    the same (h, w, 3) RGB contract: alpha dropped, luma broadcast.
+    Streams are hand-assembled (the encoder only writes type 2) so
+    the decoder's color-type branches are tested independently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        _png_chunk,
+        decode_png,
+    )
+
+    def build(w, h, ctype, channels, pix):
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw += pix[y].tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(4, 5, 1), dtype=np.uint8)
+    out = decode_png(build(5, 4, 0, 1, gray))
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+
+    ga = rng.integers(0, 256, size=(4, 5, 2), dtype=np.uint8)
+    out = decode_png(build(5, 4, 4, 2, ga))
+    assert (out == np.repeat(ga[..., :1], 3, axis=2)).all()
+
+    rgba = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    out = decode_png(build(5, 4, 6, 4, rgba))
+    assert (out == rgba[..., :3]).all()
+
+
+def test_png_rejects_documented_variants_and_corruption():
+    """Palette and Adam7 PNGs raise the documented NotImplementedError
+    (actionable message); a flipped pixel byte fails the chunk CRC
+    with ValueError (corruption is an error, never a wrong image)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    def build_hdr(ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ctype, 0, 0, interlace)
+        raw = b"\x00\x00\x00" if ctype == 3 else b"\x00" + b"\x00" * 6
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_png(build_hdr(3, 0))
+    with pytest.raises(NotImplementedError, match="Adam7|interlace"):
+        decode_png(build_hdr(2, 1))
+
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    blob = bytearray(encode_png(img))
+    blob[-20] ^= 0xFF  # flip a byte inside IDAT payload/CRC region
+    with pytest.raises(ValueError, match="CRC|Error -3|invalid"):
+        decode_png(bytes(blob))
+
+
+def test_png_through_spark_decode_and_resize(spark):
+    """The PNG path through the real mapInPandas machinery: luminance
+    features and nearest-neighbor resize both ride the same Arrow
+    batches as BMP/PPM — and the resize re-encodes losslessly."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+        luminance_mean,
+        resize_nearest,
+    )
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(6):
+        img = rng.integers(0, 256, size=(8 + i, 5 + i, 3), dtype=np.uint8)
+        rows.append((i, "image/png", bytearray(encode_png(img)), img))
+    media = spark.createDataFrame(
+        [(i, t, bytes(b)) for i, t, b, _ in rows],
+        "media_id long, media_type string, payload binary",
+    )
+    feats = {
+        r.media_id: r.feat_mean
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    for i, _, _, img in rows:
+        assert feats[i] == pytest.approx(luminance_mean(img), abs=1e-9)
+
+    resized = {
+        r.media_id: bytes(r.payload)
+        for r in resize_media(media, 4, 3, decode_stub=False).collect()
+    }
+    for i, _, _, img in rows:
+        assert (decode_png(resized[i]) == resize_nearest(img, 4, 3)).all()
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png/decode_png is identity for arbitrary
+    shapes (incl. 1-pixel edges) and every filter type."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 16),
+        st.integers(1, 16),
+        st.integers(0, 4),
+        st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, ft, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+
+    prop()
