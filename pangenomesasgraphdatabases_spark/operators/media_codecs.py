@@ -4,12 +4,15 @@ Real decoders for the formats that need no external media library:
 uncompressed 24-bit BMP, binary PPM (P6), PCM WAV, and (since r7)
 8-bit PNG — PNG's DEFLATE layer is stdlib ``zlib``, so a full,
 spec-correct decoder (all five row filters, gray/RGB/RGBA color
-types, CRC-checked chunks) needs no external library at all.  These
-back the ``decode_stub=False`` path of operators/multimodal — the
-decode is genuinely real for these formats; the remaining boundary
-where PIL/ffmpeg would plug in is lossy/container codecs (JPEG, MP4)
-plus the two exotic PNG variants nothing in the pipeline emits
-(palette color, Adam7 interlace), each a documented
+types, CRC-checked chunks) needs no external library at all — plus
+baseline JFIF JPEG (operators/jpeg_codec: Annex K tables, canonical
+Huffman, orthonormal DCT, 4:4:4/4:2:0, restart markers; pure
+numpy).  These back the ``decode_stub=False`` path of
+operators/multimodal — the decode is genuinely real for these
+formats; the remaining boundary where PIL/ffmpeg would plug in is
+video/audio containers (MP4, compressed audio) and the exotic
+still-image variants nothing in the pipeline emits (palette/Adam7
+PNG, progressive/arithmetic/12-bit JPEG), each a documented
 NotImplementedError.
 
 Encoders are provided too (fixture generation, resize re-encode);
@@ -326,15 +329,22 @@ def decode_png(data: bytes) -> np.ndarray:
 
 # --- Dispatch ----------------------------------------------------------------
 
+from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
 IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
 }
 IMAGE_ENCODERS = {
     "image/bmp": encode_bmp,
     "image/x-portable-pixmap": encode_ppm,
     "image/png": encode_png,
+    "image/jpeg": encode_jpeg,
 }
 
 

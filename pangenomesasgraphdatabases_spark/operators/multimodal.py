@@ -7,12 +7,15 @@ tiers (r5):
 
 * ``decode_stub=False`` runs REAL decoders for the library-free
   formats (operators/media_codecs: uncompressed 24-bit BMP, binary
-  PPM, PCM WAV, and since r7 full 8-bit PNG — DEFLATE via stdlib
-  zlib, all five scanline filters, gray/RGB/RGBA), computing true
-  image luminance / audio RMS features and true nearest-neighbor
-  resizes.  Lossy/container codecs (JPEG/MP4) still raise
-  NotImplementedError at the documented boundary where PIL/ffmpeg
-  would plug in (this container ships none).
+  PPM, PCM WAV; since r7 full 8-bit PNG — DEFLATE via stdlib zlib,
+  all five scanline filters, gray/RGB/RGBA — and baseline JFIF JPEG
+  — operators/jpeg_codec, pure numpy: Huffman + DCT + 4:2:0 +
+  restart markers), computing true image luminance / audio RMS
+  features and true nearest-neighbor resizes.  Video/audio
+  containers (MP4 etc.) still raise NotImplementedError at the
+  documented boundary where ffmpeg would plug in (this container
+  ships none), as do the non-baseline JPEG and palette/interlaced
+  PNG variants.
 * ``decode_stub=True`` keeps the deterministic byte-level fake
   features (the oracle-hashed `media_feature_extract` path, which
   wraps text payloads — not decodable media).
@@ -83,8 +86,9 @@ def _real_feat(media_type: str, payload: bytes) -> float:
         samples, _rate = decode_wav(payload)
         return float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
     raise NotImplementedError(
-        f"no library-free decoder for {media_type!r}; JPEG/MP4 need "
-        "PIL/librosa/ffmpeg (stub boundary)"
+        f"no library-free decoder for {media_type!r}; video/compressed-"
+        "audio containers (MP4, AAC, ...) need ffmpeg/librosa "
+        "(stub boundary)"
     )
 
 

@@ -200,18 +200,20 @@ def test_synthesize_and_real_decode_integer_features(spark):
 
 
 def test_compressed_format_seam_is_guarded():
-    """VERDICT r6 #6: the lossy/container-codec boundary (JPEG/MP4
-    need PIL/ffmpeg, which this container does not ship) must be
-    regression-guarded text, not prose.  Real magic-byte payloads for
-    each format must raise the documented NotImplementedError whose
-    message names the format and the library seam where a decoder
-    would plug in.  (PNG left this list in r7 — its decode is real
-    now; see test_png_* below.)"""
+    """VERDICT r6 #6: the container-codec boundary (MP4/compressed
+    audio need ffmpeg, which this container does not ship) must be
+    regression-guarded text, not prose.  A real magic-byte payload
+    must raise the documented NotImplementedError whose message names
+    the format and the library seam where a decoder would plug in.
+    (PNG and baseline JPEG left this list in r7 — their decodes are
+    real now; see test_png_* below and tests/test_jpeg_codec.py.
+    The non-baseline JPEG / exotic-PNG sub-seams are guarded in
+    their codec test files.)"""
     from pangenomesasgraphdatabases_spark.operators.multimodal import _real_feat
 
     payloads = {
-        "image/jpeg": b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 64,
         "video/mp4": b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64,
+        "audio/aac": b"\xff\xf1" + b"\x00" * 64,
     }
     for media_type, payload in payloads.items():
         with pytest.raises(NotImplementedError) as exc:
@@ -219,7 +221,7 @@ def test_compressed_format_seam_is_guarded():
         msg = str(exc.value)
         assert media_type in msg  # names the rejected format
         # Actionable: says which library would close the boundary.
-        assert "PIL" in msg or "ffmpeg" in msg
+        assert "ffmpeg" in msg
 
 
 def test_compressed_bmp_and_nonpcm_wav_seams():
@@ -419,3 +421,54 @@ def test_png_roundtrip_property():
         assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
 
     prop()
+
+
+def test_jpeg_through_spark_decode_and_resize(spark):
+    """Baseline JPEG through the real mapInPandas machinery: decoded
+    luminance features within the lossy tolerance, and resize
+    re-encodes through the JPEG encoder (output decodes to the
+    resized dimensions)."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        luminance_mean,
+    )
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(4):
+        img = np.clip(
+            np.cumsum(rng.normal(0, 2, (16 + i, 12 + i, 3)), axis=1) + 128,
+            0, 255,
+        ).astype(np.uint8)
+        rows.append((i, "image/jpeg", bytearray(encode_jpeg(img, 92)), img))
+    media = spark.createDataFrame(
+        [(i, t, bytes(b)) for i, t, b, _ in rows],
+        "media_id long, media_type string, payload binary",
+    )
+    feats = {
+        r.media_id: r.feat_mean
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    for i, _, blob, img in rows:
+        # Tolerance: feature of the DECODED image is exact; vs the
+        # pre-encode original it differs only by the lossy step.
+        assert feats[i] == pytest.approx(
+            luminance_mean(decode_jpeg(bytes(blob))), abs=1e-9
+        )
+        assert feats[i] == pytest.approx(luminance_mean(img), abs=3.0)
+
+    resized = {
+        r.media_id: bytes(r.payload)
+        for r in resize_media(media, 6, 4, decode_stub=False).collect()
+    }
+    for i, _, _, _ in rows:
+        assert decode_jpeg(resized[i]).shape == (4, 6, 3)
