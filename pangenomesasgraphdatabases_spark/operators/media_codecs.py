@@ -128,8 +128,11 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF PCM WAV -> ((n, channels) int16 array, sample_rate).
-    8-bit unsigned PCM is widened to int16."""
+    """RIFF WAV -> ((n, channels) int16 array, sample_rate).  Decodes
+    every uncompressed layout: integer PCM at 8 (unsigned), 16, 24,
+    and 32 bits, and IEEE float32/float64 (format 3), all normalized
+    to int16 range.  Compressed codecs (ADPCM, A-law/mu-law, MP3-in-
+    WAV) remain the documented NotImplementedError boundary."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -147,15 +150,33 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, ch, rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise NotImplementedError(
-            f"only PCM 8/16-bit WAV supported (format={audio_format}, "
-            f"bits={bits})"
-        )
-    if bits == 16:
-        arr = np.frombuffer(raw, "<i2")
+    if audio_format == 0xFFFE and bits in (16, 24, 32):
+        # WAVE_FORMAT_EXTENSIBLE carrying plain PCM: the first two
+        # bytes of the SubFormat GUID (in the fmt extension) repeat
+        # the real format tag; without the extension assume PCM.
+        audio_format = 1
+    if audio_format == 1 and bits in (8, 16, 24, 32):
+        if bits == 16:
+            arr = np.frombuffer(raw, "<i2")
+        elif bits == 8:
+            arr = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) << 8
+        elif bits == 24:
+            b3 = np.frombuffer(raw, np.uint8)
+            b3 = b3[: (len(b3) // 3) * 3].reshape(-1, 3).astype(np.int32)
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+            arr = (v >> 8).astype(np.int16)
+        else:  # 32-bit integer PCM
+            arr = (np.frombuffer(raw, "<i4") >> 16).astype(np.int16)
+    elif audio_format == 3 and bits in (32, 64):
+        f = np.frombuffer(raw, "<f4" if bits == 32 else "<f8")
+        arr = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
     else:
-        arr = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) << 8
+        raise NotImplementedError(
+            f"only uncompressed PCM/float WAV supported (format="
+            f"{audio_format}, bits={bits}); ADPCM/A-law/mu-law need a "
+            "codec library"
+        )
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), rate
 

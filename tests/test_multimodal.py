@@ -242,15 +242,62 @@ def test_compressed_bmp_and_nonpcm_wav_seams():
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_bmp(hdr + b"\x00" * 64)
 
-    # IEEE-float WAV (format=3): valid RIFF, unsupported encoding.
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    # ADPCM WAV (format=2): valid RIFF, genuinely compressed codec —
+    # the remaining audio boundary (float/24/32-bit PCM decode for
+    # real since r7).
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
     wav = (
         b"RIFF" + struct.pack("<I", 36) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
     )
-    with pytest.raises(NotImplementedError, match="PCM"):
+    with pytest.raises(NotImplementedError, match="ADPCM|PCM"):
         decode_wav(wav)
+
+
+def test_wav_wide_and_float_formats_decode():
+    """24-bit and 32-bit integer PCM and IEEE float32/64 all decode
+    to the int16 contract: value v encoded at higher precision comes
+    back as the top 16 bits (exact for int widths, +-1 LSB rounding
+    for float)."""
+    import struct
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_wav,
+    )
+
+    def wav(fmt_code, bits, payload, ch=1, rate=8000):
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    want = np.array([-32768, -1234, 0, 1234, 32767], dtype=np.int16)
+
+    p24 = b"".join(
+        int(int(v) << 8 & 0xFFFFFF).to_bytes(3, "little") for v in want
+    )
+    got, rate = decode_wav(wav(1, 24, p24))
+    assert rate == 8000 and (got[:, 0] == want).all()
+
+    p32 = np.array([int(v) << 16 for v in want], dtype="<i4").tobytes()
+    got, _ = decode_wav(wav(1, 32, p32))
+    assert (got[:, 0] == want).all()
+
+    pf32 = (want.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+    got, _ = decode_wav(wav(3, 32, pf32))
+    assert np.abs(got[:, 0].astype(int) - want.astype(int)).max() <= 1
+
+    pf64 = (want.astype(np.float64) / 32767.0).astype("<f8").tobytes()
+    got, _ = decode_wav(wav(3, 64, pf64))
+    assert np.abs(got[:, 0].astype(int) - want.astype(int)).max() <= 1
 
 
 def test_png_roundtrip_every_filter():
