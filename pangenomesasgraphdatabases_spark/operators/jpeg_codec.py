@@ -542,6 +542,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # Legal per T.81 (a baseline image MAY ship one scan
+                # per component), but _decode_scan walks the MCU grid
+                # interleaved — decoding a partial scan would KeyError
+                # mid-stream instead of failing at the boundary.
+                raise NotImplementedError(
+                    f"non-interleaved baseline scan (SOS has {ns} of "
+                    f"{len(frame['comps'])} frame components) not "
+                    "supported — multi-scan JPEG is the PIL boundary"
+                )
             tables = {}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]

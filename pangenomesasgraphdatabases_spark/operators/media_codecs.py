@@ -137,6 +137,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
+    fmt_chunk = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -144,17 +145,33 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         chunk = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", chunk[:16])
+            fmt_chunk = chunk
         elif cid == b"data":
             raw = chunk
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, ch, rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and bits in (16, 24, 32):
-        # WAVE_FORMAT_EXTENSIBLE carrying plain PCM: the first two
-        # bytes of the SubFormat GUID (in the fmt extension) repeat
-        # the real format tag; without the extension assume PCM.
-        audio_format = 1
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the REAL format tag is the first two
+        # bytes of the 16-byte SubFormat GUID in the fmt extension
+        # (offset 24 = 16 standard + cbSize 2 + valid-bits 2 + channel
+        # mask 4).  Assuming PCM here would silently mis-decode an
+        # extensible float32 stream as int32 garbage, so an absent or
+        # non-KSDATAFORMAT SubFormat is a hard boundary, not a guess.
+        _KS_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x008\x9bq"
+        if len(fmt_chunk) < 40:
+            raise NotImplementedError(
+                "WAVE_FORMAT_EXTENSIBLE without a SubFormat GUID "
+                f"(fmt chunk {len(fmt_chunk)} bytes, need 40)"
+            )
+        if fmt_chunk[26:40] != _KS_GUID_TAIL:
+            raise NotImplementedError(
+                "WAVE_FORMAT_EXTENSIBLE with a non-KSDATAFORMAT "
+                f"SubFormat GUID ({fmt_chunk[24:40].hex()}) — only "
+                "PCM/IEEE-float subtypes are supported"
+            )
+        (audio_format,) = struct.unpack("<H", fmt_chunk[24:26])
     if audio_format == 1 and bits in (8, 16, 24, 32):
         if bits == 16:
             arr = np.frombuffer(raw, "<i2")

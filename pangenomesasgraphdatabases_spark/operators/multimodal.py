@@ -202,14 +202,26 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
     """Deterministic fixture media from an integer id frame (column
     ``media_id``): each id seeds a pixel/sample array by a fixed
     integer recurrence and is encoded through the REAL encoders
-    (media_codecs) — BMP for ``id % 3 == 0``, P6 PPM for ``1``, PCM
-    WAV for ``2``.  The generators are pure integer arithmetic so an
-    SQL oracle can recompute every byte-level fact from the id alone:
+    (media_codecs) — by ``kind = id % 5``: BMP (0), P6 PPM (1), PCM
+    WAV (2), PNG (3), baseline JPEG (4).  The generators are pure
+    integer arithmetic so an SQL oracle can recompute every decoded
+    fact from the id alone:
 
-    * images: ``w = 8 + id % 9``, ``h = 6 + id % 7``, flat RGB value
-      ``v[k] = (id*31 + 7*k) % 256`` (row-major, interleaved);
+    * BMP/PPM/PNG images: ``w = 8 + id % 9``, ``h = 6 + id % 7``,
+      byte ``v[k] = (id*31 + 7*k) % 256`` (row-major, interleaved);
+      PNG is lossless so the same arithmetic survives DEFLATE —
+      the zlib stream varies the filter per id ((id >> 2) % 5),
+      exercising all five PNG filters on the hash path;
     * audio: ``ns = 64 + id % 101`` samples at 8 kHz,
-      ``s[k] = ((id*13 + 11*k) % 65536) - 32768``.
+      ``s[k] = ((id*13 + 11*k) % 65536) - 32768``;
+    * JPEG: lossy in general, so the fixture is built from FLAT 8x8
+      gray blocks at quality 100 (all-ones quant tables), where the
+      round-trip is bit-exact: a flat block quantizes to a lone DC
+      coefficient with zero rounding error, and flat gray (R=G=B)
+      keeps Cb=Cr=128 exactly through color conversion.  Dimensions
+      ``w = 8*(1 + id % 3)``, ``h = 8*(1 + id % 2)``; block value
+      ``g[b] = (id*17 + 23*b) % 256`` (blocks row-major).  Exactness
+      is pinned by tests/test_multimodal.py over 120 seeds.
 
     Runs executor-side in mapInPandas — the driver never sees a
     payload; at scale this is the fixture-injection path a pipeline
@@ -218,8 +230,12 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
+            encode_jpeg,
+        )
         from pangenomesasgraphdatabases_spark.operators.media_codecs import (
             encode_bmp,
+            encode_png,
             encode_ppm,
             encode_wav,
         )
@@ -228,16 +244,31 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
             mids, mts, payloads, mws, mhs = [], [], [], [], []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                kind = mid % 3
-                if kind < 2:
+                kind = mid % 5
+                if kind in (0, 1, 3):
                     w, h = 8 + mid % 9, 6 + mid % 7
                     k = np.arange(3 * w * h, dtype=np.int64)
                     v = ((mid * 31 + 7 * k) % 256).astype(np.uint8)
                     arr = v.reshape(h, w, 3)
                     if kind == 0:
                         mt, payload = "image/bmp", encode_bmp(arr)
-                    else:
+                    elif kind == 1:
                         mt, payload = "image/x-portable-pixmap", encode_ppm(arr)
+                    else:
+                        mt = "image/png"
+                        payload = encode_png(arr, filter_type=(mid >> 2) % 5)
+                    mw, mh = w, h
+                elif kind == 4:
+                    bw, bh = 1 + mid % 3, 1 + mid % 2
+                    w, h = 8 * bw, 8 * bh
+                    b = np.arange(bw * bh, dtype=np.int64)
+                    g = ((mid * 17 + 23 * b) % 256).astype(np.uint8)
+                    blocks = g.reshape(bh, bw)
+                    arr = np.repeat(
+                        np.repeat(blocks, 8, axis=0), 8, axis=1
+                    )[..., None].repeat(3, axis=2)
+                    mt = "image/jpeg"
+                    payload = encode_jpeg(arr, quality=100, subsampling="444")
                     mw, mh = w, h
                 else:
                     ns = 64 + mid % 101
@@ -301,12 +332,22 @@ def real_decode_integer_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             n_bytes, sums, lums = [], [], []
             for mt, b in zip(pdf["media_type"], pdf["payload"]):
-                n_bytes.append(len(b) if b is not None else 0)
                 if b is None:
+                    n_bytes.append(0)
                     sums.append(0)
                     lums.append(0)
                 elif mt in IMAGE_DECODERS:
                     a = IMAGE_DECODERS[mt](b).astype(np.int64)
+                    # Compressed containers (PNG/JPEG) report the
+                    # DECODED buffer size: the encoded length depends
+                    # on the DEFLATE/Huffman bitstream, which an SQL
+                    # oracle cannot recompute; raw containers report
+                    # the payload length, pinning the encoder's header
+                    # layout byte-for-byte.
+                    if mt in ("image/png", "image/jpeg"):
+                        n_bytes.append(int(a.size))
+                    else:
+                        n_bytes.append(len(b))
                     sums.append(int(a.sum()))
                     lums.append(
                         int(
@@ -318,6 +359,7 @@ def real_decode_integer_features(media: DataFrame) -> DataFrame:
                         )
                     )
                 elif mt == "audio/wav":
+                    n_bytes.append(len(b))
                     s = decode_wav(b)[0].astype(np.int64)
                     sums.append(int(s.sum()))
                     lums.append(int((s * s).sum()))

@@ -1317,20 +1317,23 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_real_decode_features",
     oracle="""
     WITH ids AS (
-        SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        SELECT doc_id AS media_id, doc_id % 5 AS kind,
                8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
-               64 + doc_id % 101 AS ns
-        FROM documents WHERE doc_id % 5 = 0
+               64 + doc_id % 101 AS ns,
+               8 * (1 + doc_id % 3) AS jw, 8 * (1 + doc_id % 2) AS jh
+        FROM documents WHERE doc_id % 4 = 0
     ),
     img AS (
         SELECT i.media_id,
-               CASE WHEN i.kind = 0 THEN 'image/bmp'
-                    ELSE 'image/x-portable-pixmap' END AS media_type,
-               CAST(CASE WHEN i.kind = 0
-                    THEN 54 + i.h * (((3 * i.w + 3) // 4) * 4)
-                    ELSE length('P6' || chr(10) || i.w || ' ' || i.h
+               CASE i.kind WHEN 0 THEN 'image/bmp'
+                    WHEN 1 THEN 'image/x-portable-pixmap'
+                    ELSE 'image/png' END AS media_type,
+               CAST(CASE i.kind
+                    WHEN 0 THEN 54 + i.h * (((3 * i.w + 3) // 4) * 4)
+                    WHEN 1 THEN length('P6' || chr(10) || i.w || ' ' || i.h
                                 || chr(10) || '255' || chr(10))
                          + 3 * i.w * i.h
+                    ELSE 3 * i.w * i.h
                END AS INTEGER) AS n_bytes,
                CAST(sum((i.media_id * 31 + 7 * g.k) % 256) AS BIGINT)
                    AS pix_sum,
@@ -1339,7 +1342,18 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * ((i.media_id * 31 + 7 * g.k) % 256)) AS BIGINT)
                    AS lum_num
         FROM ids i, generate_series(0, 575) g(k)
-        WHERE i.kind IN (0, 1) AND g.k < 3 * i.w * i.h
+        WHERE i.kind IN (0, 1, 3) AND g.k < 3 * i.w * i.h
+        GROUP BY 1, 2, 3
+    ),
+    jpg AS (
+        SELECT i.media_id, 'image/jpeg' AS media_type,
+               CAST(3 * i.jw * i.jh AS INTEGER) AS n_bytes,
+               CAST(sum(192 * ((i.media_id * 17 + 23 * g.b) % 256))
+                    AS BIGINT) AS pix_sum,
+               CAST(sum(64000 * ((i.media_id * 17 + 23 * g.b) % 256))
+                    AS BIGINT) AS lum_num
+        FROM ids i, generate_series(0, 5) g(b)
+        WHERE i.kind = 4 AND g.b < (i.jw // 8) * (i.jh // 8)
         GROUP BY 1, 2, 3
     ),
     wav AS (
@@ -1354,29 +1368,38 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE i.kind = 2 AND g.k < i.ns
         GROUP BY 1, 2, 3
     )
-    SELECT * FROM img UNION ALL SELECT * FROM wav
+    SELECT * FROM img UNION ALL SELECT * FROM jpg
+    UNION ALL SELECT * FROM wav
     """,
     tags=("ext-multimodal",),
 )
 def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode, driver-hashed (VERDICT r5 #2): every fifth
-    doc_id seeds a deterministic BMP / P6 PPM / PCM WAV payload,
-    encoded AND decoded executor-side through the real library-free
-    codecs (operators/media_codecs), then reduced to exact-integer
-    features (pixel sum, Rec.601 luma numerator, audio energy).  The
-    oracle recomputes the same integers from the seed arithmetic and
-    the format specs' header sizes — any garbled byte in either codec
-    direction (row padding, BGR order, bottom-up flip, RIFF chunk
-    layout) shifts a sum and fails the hash.  Unlike
-    `media_feature_extract` (byte-level stub over text payloads), this
-    row pins the decode_stub=False path."""
+    """REAL media decode, driver-hashed (VERDICT r5 #2, widened to the
+    compressed codecs in r8 per VERDICT r7 #5): every fourth doc_id
+    seeds a deterministic BMP / P6 PPM / PCM WAV / PNG / baseline-JPEG
+    payload (kind = id % 5), encoded AND decoded executor-side through
+    the real library-free codecs (operators/media_codecs + the
+    pure-numpy jpeg_codec), then reduced to exact-integer features
+    (pixel sum, Rec.601 luma numerator, audio energy).  The oracle
+    recomputes the same integers from the seed arithmetic: PNG is
+    lossless (DEFLATE round-trip, all five filters cycled by id), and
+    the JPEG fixture is flat 8x8 gray blocks at quality 100 where the
+    baseline round-trip is bit-exact (lone DC coefficient, all-ones
+    quant tables — exactness pinned over 120 seeds in
+    tests/test_multimodal.py).  n_bytes pins the encoded header layout
+    for the raw containers (BMP/PPM/WAV) and the decoded buffer size
+    for the compressed ones (the DEFLATE/Huffman stream length is not
+    SQL-recomputable).  Any garbled byte in either codec direction
+    (row padding, BGR order, bottom-up flip, RIFF chunk layout, PNG
+    filter reconstruction, Huffman/DCT decode) shifts a sum and fails
+    the hash."""
     from pangenomesasgraphdatabases_spark.operators.multimodal import (
         real_decode_integer_features,
         synthesize_media,
     )
 
     d = table(spark, sf_dir, "documents")
-    ids = d.filter(F.col("doc_id") % 5 == 0).select(
+    ids = d.filter(F.col("doc_id") % 4 == 0).select(
         F.col("doc_id").alias("media_id")
     )
     return real_decode_integer_features(synthesize_media(ids))

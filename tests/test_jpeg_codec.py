@@ -215,6 +215,21 @@ def test_non_baseline_variants_raise_documented():
         decode_jpeg(b"\x00" * 32)
 
 
+def test_non_interleaved_scan_raises_documented():
+    """A baseline image MAY ship one scan per component (T.81 legal,
+    some encoders emit it); _decode_scan walks the MCU grid
+    interleaved, so a partial SOS must fail at the documented boundary
+    instead of a mid-stream KeyError (ADVICE r7)."""
+    blob = bytearray(encode_jpeg(np.full((8, 8, 3), 77, np.uint8)))
+    sos = blob.find(b"\xff\xda")
+    assert sos >= 0
+    # replace the 3-component SOS payload with a 1-component one
+    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    blob[sos : sos + 4 + 10] = new_sos
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(blob))
+
+
 def test_jpeg_roundtrip_property():
     """Property over random smooth images: decode(encode(x)) stays
     within the q-dependent PSNR floor for every mode combination."""

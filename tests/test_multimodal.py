@@ -168,15 +168,16 @@ def test_synthesize_and_real_decode_integer_features(spark):
         synthesize_media,
     )
 
-    mids = [0, 1, 2, 17, 100, 101, 102]
+    # one of each kind (kind = mid % 5) plus repeats with other seeds
+    mids = [0, 1, 2, 3, 4, 17, 23, 100, 101, 102, 103, 104]
     ids = spark.createDataFrame([(m,) for m in mids], "media_id long")
     rows = {r.media_id: r for r in
             real_decode_integer_features(synthesize_media(ids)).collect()}
     assert set(rows) == set(mids)
     for mid in mids:
-        kind = mid % 3
+        kind = mid % 5
         r = rows[mid]
-        if kind < 2:
+        if kind in (0, 1, 3):
             w, h = 8 + mid % 9, 6 + mid % 7
             k = np.arange(3 * w * h, dtype=np.int64)
             v = (mid * 31 + 7 * k) % 256
@@ -186,9 +187,20 @@ def test_synthesize_and_real_decode_integer_features(spark):
             if kind == 0:
                 assert r.media_type == "image/bmp"
                 assert r.n_bytes == 54 + h * ((3 * w + 3) & ~3)
-            else:
+            elif kind == 1:
                 assert r.media_type == "image/x-portable-pixmap"
                 assert r.n_bytes == len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+            else:  # PNG: lossless round-trip; n_bytes = decoded size
+                assert r.media_type == "image/png"
+                assert r.n_bytes == 3 * w * h
+        elif kind == 4:  # JPEG flat-block fixture, exact at q100
+            bw, bh = 1 + mid % 3, 1 + mid % 2
+            b = np.arange(bw * bh, dtype=np.int64)
+            g = (mid * 17 + 23 * b) % 256
+            assert r.media_type == "image/jpeg"
+            assert r.n_bytes == 3 * 8 * bw * 8 * bh
+            assert r.pix_sum == int((192 * g).sum())
+            assert r.lum_num == int((64000 * g).sum())
         else:
             ns = 64 + mid % 101
             k = np.arange(ns, dtype=np.int64)
@@ -197,6 +209,32 @@ def test_synthesize_and_real_decode_integer_features(spark):
             assert r.n_bytes == 44 + 2 * ns
             assert r.pix_sum == int(s.sum())
             assert r.lum_num == int((s * s).sum())
+
+
+def test_jpeg_flat_block_fixture_roundtrip_is_bit_exact():
+    """The media_real_decode_features JPEG fixture relies on flat 8x8
+    gray blocks at quality 100 round-tripping EXACTLY through the
+    baseline codec (lone DC coefficient, all-ones quant tables,
+    Cb=Cr=128 through color conversion).  Pin that property over all
+    120 distinct seeds the (w, h, block-values) recurrence can produce
+    — if DCT/quant/color-convert rounding ever drifts, this fails
+    before the driver hash does."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for mid in range(0, 600, 5):
+        bw, bh = 1 + mid % 3, 1 + mid % 2
+        b = np.arange(bw * bh, dtype=np.int64)
+        g = ((mid * 17 + 23 * b) % 256).astype(np.uint8)
+        arr = (
+            np.repeat(np.repeat(g.reshape(bh, bw), 8, axis=0), 8, axis=1)
+        )[..., None].repeat(3, axis=2)
+        out = decode_jpeg(encode_jpeg(arr, quality=100, subsampling="444"))
+        assert np.array_equal(out, arr), f"seed {mid} not exact"
 
 
 def test_compressed_format_seam_is_guarded():
@@ -298,6 +336,68 @@ def test_wav_wide_and_float_formats_decode():
     pf64 = (want.astype(np.float64) / 32767.0).astype("<f8").tobytes()
     got, _ = decode_wav(wav(3, 64, pf64))
     assert np.abs(got[:, 0].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_wav_extensible_dispatches_on_subformat_guid():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE): the REAL format tag lives in
+    the SubFormat GUID's first two bytes.  An extensible float32
+    stream must decode as FLOAT (assuming PCM would produce int32
+    garbage — the silent-wrong-decode ADVICE r7 flagged); extensible
+    int PCM must decode as PCM; a truncated fmt chunk (no GUID) and an
+    unknown SubFormat are hard NotImplementedError boundaries."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_wav,
+    )
+
+    _GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x008\x9bq"
+
+    def ext_wav(sub_tag, bits, payload, guid_tail=_GUID_TAIL, cb=22,
+                ch=1, rate=8000):
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        ext = struct.pack("<H", cb) + struct.pack("<HI", bits, 1)
+        ext += struct.pack("<H", sub_tag) + guid_tail
+        chunk = fmt + ext
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(chunk)) + chunk
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    want = np.array([-32768, -1234, 0, 1234, 32767], dtype=np.int16)
+
+    # extensible float32 -> decoded as float, not int PCM
+    pf32 = (want.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+    got, rate = decode_wav(ext_wav(3, 32, pf32))
+    assert rate == 8000
+    assert np.abs(got[:, 0].astype(int) - want.astype(int)).max() <= 1
+
+    # extensible 16-bit integer PCM -> decoded as PCM
+    got, _ = decode_wav(ext_wav(1, 16, want.astype("<i2").tobytes()))
+    assert (got[:, 0] == want).all()
+
+    # bare 16-byte fmt chunk with the 0xFFFE tag (no GUID) -> boundary
+    fmt16 = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt16
+        + b"data" + struct.pack("<I", 10) + want.astype("<i2").tobytes()
+    )
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    # unknown (non-KSDATAFORMAT) SubFormat GUID -> boundary
+    with pytest.raises(NotImplementedError, match="KSDATAFORMAT"):
+        decode_wav(
+            ext_wav(1, 16, want.astype("<i2").tobytes(),
+                    guid_tail=b"\x01" + _GUID_TAIL[1:])
+        )
 
 
 def test_png_roundtrip_every_filter():

@@ -181,17 +181,20 @@ def test_priority_head_matches_rotation_policy():
     order, then oldest-checked-first.  Post-freeze registrations must
     be declared in QUEUED_AFTER_FREEZE (they queue for the NEXT
     window), otherwise this fails and the window drifts from plan.
-    Changed-code slots are hand-inserted and make the head
-    legitimately diverge — record them by listing the names here."""
+    Changed-code slots come from CHANGED_THIS_ROUND next to PRIORITY.
+    The replay is freeze-aware (VERDICT r7 #1): ledgers from rounds
+    >= WINDOW_ROUND are ignored, so the driver's end-of-round
+    CORRECTNESS drop cannot redden HEAD — bumping WINDOW_ROUND is
+    part of composing each new window."""
     import importlib.util
     import os
 
     from pangenomesasgraphdatabases_spark.queries import (
+        CHANGED_THIS_ROUND,
         PRIORITY,
         QUEUED_AFTER_FREEZE,
+        WINDOW_ROUND,
     )
-
-    changed_this_round: list[str] = []  # update when window code changes
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -201,13 +204,40 @@ def test_priority_head_matches_rotation_policy():
     spec.loader.exec_module(pw)
 
     names = [n for n in pw.registry_order() if n not in set(QUEUED_AFTER_FREEZE)]
-    proposal = pw.propose_window(names, pw.last_checked(), changed_this_round)
+    proposal = pw.propose_window(
+        names, pw.last_checked(WINDOW_ROUND), list(CHANGED_THIS_ROUND)
+    )
     head = [n for n in PRIORITY if n not in set(QUEUED_AFTER_FREEZE)][:50]
     assert head == proposal, (
         "PRIORITY head drifted from the rotation policy: "
         f"head-only={[n for n in head if n not in proposal]} "
         f"proposal-only={[n for n in proposal if n not in head]}"
     )
+
+
+def test_last_checked_is_freeze_aware():
+    """last_checked(max_round) must ignore CORRECTNESS ledgers from
+    rounds >= max_round — the property that keeps the rotation guard
+    green when the driver drops the current round's ledger (VERDICT
+    r7 #1).  Pinned against the real repo ledgers: the r7 window tail
+    (events_cusum_changepoint) first went green in r07, so it is
+    'never checked' from round 7's viewpoint and 'r7' from round 8's."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_window", os.path.join(repo, "tools", "plan_window.py")
+    )
+    pw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pw)
+
+    assert pw.last_checked(7).get("events_cusum_changepoint", 0) == 0
+    assert pw.last_checked(8).get("events_cusum_changepoint", 0) == 7
+    # default = the package WINDOW_ROUND
+    from pangenomesasgraphdatabases_spark.queries import WINDOW_ROUND
+
+    assert pw.last_checked() == pw.last_checked(WINDOW_ROUND)
 
 
 def test_pair_dedup_join_free(spark):

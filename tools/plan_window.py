@@ -51,14 +51,31 @@ def registry_order() -> list[str]:
     return list(all_queries())
 
 
-def last_checked() -> dict[str, int]:
-    """Max round with a fully-green row per query (0 = never)."""
+def window_round() -> int:
+    from pangenomesasgraphdatabases_spark.queries import WINDOW_ROUND
+
+    return WINDOW_ROUND
+
+
+def last_checked(max_round: int | None = None) -> dict[str, int]:
+    """Max round with a fully-green row per query (0 = never).
+
+    Ledgers from rounds >= ``max_round`` (default: the package's
+    ``WINDOW_ROUND``, the round the shipped PRIORITY head was composed
+    FOR) are ignored: the round-N window is planned from rounds < N,
+    and the driver drops ``CORRECTNESS_r0N.json`` only after the freeze
+    — counting it would retroactively move the proposal and redden the
+    shipped-window guard (VERDICT r7 #1)."""
+    if max_round is None:
+        max_round = window_round()
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r0*(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if rnd >= max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -110,6 +127,15 @@ def main() -> None:
     )
     args = ap.parse_args()
     changed = [n for n in args.changed.split(",") if n]
+    if not changed:
+        # Changed-code slots are declared next to PRIORITY itself so
+        # the shipped window equals the planned one by construction;
+        # --changed overrides.
+        from pangenomesasgraphdatabases_spark.queries import (
+            CHANGED_THIS_ROUND,
+        )
+
+        changed = list(CHANGED_THIS_ROUND)
     queued = {n for n in args.queued.split(",") if n}
     if not queued:
         # The post-freeze queue is declared next to PRIORITY itself
