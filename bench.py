@@ -12,7 +12,10 @@ Output contract (VERDICT r6 #1): stdout carries EXACTLY ONE compact
 JSON line (the r6 line, carrying per-rep arrays inline, outgrew the
 driver's tail capture and round 6 lost its parsed bench).  Everything
 else — raw reps, first-rep cold series, per-rep CPU-steal jiffies —
-goes to ``BENCH_DETAIL.json`` next to this file and to stderr.
+goes to ``BENCH_DETAIL.json`` next to this file and to stderr; the
+driver-shaped run (sf0.1) also archives a per-round copy
+``BENCH_DETAIL_r0N.json`` so rep history survives round boundaries
+(VERDICT r7 #7).
 
 Steal annotation (VERDICT r6 #2/#3): the shared sandbox shows bursty
 co-tenant CPU steal (measured rep sets like 58.2 s @ 3,784 steal
@@ -217,11 +220,28 @@ def main() -> None:
         "graph_build_min_sec": build_min,
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
+    # Per-round archive (VERDICT r7 #7): BENCH_DETAIL.json is
+    # overwritten every run, so the steal-annotated rep history would
+    # die at the round boundary; keep a copy keyed by the round the
+    # window was composed for.  Only the driver-shaped run (default
+    # sf0.1) archives — ad-hoc sf0.001 iteration runs don't clobber it.
+    if abs(sf - 0.1) < 1e-9:
+        try:
+            from pangenomesasgraphdatabases_spark.queries import (
+                WINDOW_ROUND,
+            )
+
+            archive = os.path.join(
+                repo, f"BENCH_DETAIL_r{WINDOW_ROUND:02d}.json"
+            )
+            with open(archive, "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except Exception:
+            pass  # archiving must never fail the bench contract
     print(json.dumps(detail), file=sys.stderr)
 
     # stdout: EXACTLY this one compact line (~1 KB) — the driver's

@@ -276,6 +276,20 @@ def complete_linkage_clusters(
     return out
 
 
+def _exact_rows_within_gates(
+    rows: list[tuple], max_items: int, max_pairs: int
+) -> bool:
+    """TRUE-size re-check on the collected pair rows (free at that
+    point): the pre-collect gate counts items with
+    ``approx_count_distinct`` + a 5% margin, so an undercount past
+    ~5 sigma — or a caller-supplied ``exact_max_items`` tighter than
+    the approximation resolved — could otherwise run the NN-chain
+    oversized.  Falling back keeps the documented contract: exact path
+    only within the gates (VERDICT r7 #6 / ADVICE r7)."""
+    true_items = len({it for r in rows for it in (r[0], r[1])})
+    return true_items <= max_items and len(rows) <= max_pairs
+
+
 def linkage_clusters_scalable(
     pair_distances: DataFrame,
     threshold: float,
@@ -341,12 +355,9 @@ def linkage_clusters_scalable(
             (r[0], r[1], float(r[2]))
             for r in pair_distances.select("item1", "item2", "dist").collect()
         ]
-        try:
+        labels = None
+        if _exact_rows_within_gates(rows, exact_max_items, exact_max_pairs):
             labels = complete_linkage_clusters(rows, threshold)
-        except ValueError:
-            # approx_count_distinct undercounted past the margin —
-            # practically unreachable, but the fallback stays correct.
-            labels = None
         if labels is not None:
             rep: dict[int, str] = {}
             for it, lab in labels.items():

@@ -197,6 +197,39 @@ def test_scalable_linkage_item_gate_before_collect(spark, monkeypatch):
     assert {v[0] for v in out.values()} == {"z00000"}  # one chain component
 
 
+def test_exact_rows_recheck_gates():
+    """VERDICT r7 #6: the post-collect TRUE-size re-check replaced the
+    untestable approx-undercount try/except.  Unit-covered directly:
+    item and pair limits both enforced on the real collected rows."""
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        _exact_rows_within_gates,
+    )
+
+    rows = [("a", "b", 0.1), ("b", "c", 0.2), ("c", "d", 0.3)]
+    assert _exact_rows_within_gates(rows, max_items=4, max_pairs=3)
+    assert not _exact_rows_within_gates(rows, max_items=3, max_pairs=3)
+    assert not _exact_rows_within_gates(rows, max_items=4, max_pairs=2)
+    assert _exact_rows_within_gates([], max_items=0, max_pairs=0)
+
+
+def test_scalable_linkage_falls_back_when_recheck_fails(spark, monkeypatch):
+    """If the true post-collect size exceeds the gates (the >5-sigma
+    approx-undercount scenario), the exact path must fall through to
+    the distributed single-linkage cut, not raise.  The impossible
+    undercount is simulated by forcing the re-check to fail."""
+    from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
+
+    pairs = [("a", "b", 0.1), ("b", "c", 0.2), ("x", "y", 0.9)]
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    monkeypatch.setattr(ra, "_exact_rows_within_gates", lambda *a: False)
+    out = {r.item: (r.cluster, r.approx) for r in
+           ra.linkage_clusters_scalable(df, 0.5).collect()}
+    assert all(approx for _, approx in out.values())  # distributed path
+    assert out["a"][0] == out["b"][0] == out["c"][0] == "a"
+    # 0.9 > threshold: edge dropped, x and y are singleton clusters
+    assert out["x"][0] == "x" and out["y"][0] == "y"
+
+
 def test_scalable_linkage_gate_is_one_action(spark, monkeypatch):
     """VERDICT r6 #4: the gate must be ONE action (a single agg over
     the exploded endpoints, read via `.first()`), not the two separate

@@ -12,7 +12,10 @@ behavior; sublinear means fixed overheads still dominate at sf0.1;
 superlinear needs an explanation (pair blowup, skew, driver
 bottleneck) or a fix.
 
-Usage: python tools/bench_scale.py [reps]
+Usage: python tools/bench_scale.py [reps] [--graph-only]
+       (--graph-only runs just the graph-build + RGP pipeline pair —
+       combine with SPARK_GRAFT_GRAPH_PER_STRAIN=180000 for the 30x
+       graph point without re-timing the 28 table queries)
 """
 
 from __future__ import annotations
@@ -74,10 +77,30 @@ QUERIES = [
     "orders_snapshot_diff",
     "data_quality_checks",
     "lineitem_hilbert_layout",
+    # round-8: the pair/join-shaped queries of the r8 driver window
+    # (minimizer match = inverted-index pair join; containment =
+    # asymmetric n-gram overlap; MIPS/recall-curve = broadcast-query
+    # scans; band range join; PMI = session pair explosion; q18 =
+    # the TPC-H large-basket group-filter; trigram LIKE search).
+    "doc_minimizer_match_pairs",
+    "doc_jaccard_containment",
+    "ann_mips_topk",
+    "ann_ivf_recall_curve",
+    "customer_band_range_join",
+    "events_session_pair_pmi",
+    "orders_large_basket_q18",
+    "part_trigram_like_search",
 ]
 
 GRAPH_SMALL = (770, 6_000)
-GRAPH_BIG = (770, 60_000)
+# Big-side graph scale: $SPARK_GRAFT_GRAPH_PER_STRAIN overrides the
+# per-strain feature count (60_000 = the 10x point; 180_000 = 30x —
+# VERDICT r7 #4 asks both pipelines to carry the same slope evidence
+# as the extension families).
+GRAPH_BIG = (
+    770,
+    int(os.environ.get("SPARK_GRAFT_GRAPH_PER_STRAIN", "60000")),
+)
 
 
 def _force(df) -> None:
@@ -95,13 +118,15 @@ def _time_reps(fn, reps: int, clear) -> list[float]:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if a != "--graph-only"]
+    graph_only = "--graph-only" in sys.argv[1:]
+    reps = int(args[0]) if args else 2
     spark = get_spark("pangenome-scale-bench")
     registry = all_queries()
     clear = spark.catalog.clearCache
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in [] if graph_only else QUERIES:
         q = registry[name]
         _force(q.fn(spark, WARM))  # codegen warmup
         clear()
