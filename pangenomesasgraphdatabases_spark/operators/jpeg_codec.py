@@ -1,20 +1,30 @@
-"""Baseline JFIF JPEG codec in pure python/numpy.
+"""Huffman-DCT JFIF JPEG codec (baseline + progressive) in pure
+python/numpy.
 
-Baseline JPEG (ITU-T T.81 SOF0: 8-bit samples, sequential DCT,
-Huffman entropy coding) needs no external library — the whole stack
-is integer/float math and bit twiddling: Annex K quantization +
-Huffman tables, canonical Huffman code construction, zigzag
-reordering, an orthonormal 8x8 DCT-II matrix, byte stuffing, and
-restart-marker handling.  This module implements both directions:
+JPEG's huffman-DCT modes (ITU-T T.81: sequential SOF0/SOF1 and
+progressive SOF2, 8-bit samples) need no external library — the
+whole stack is integer/float math and bit twiddling: Annex K
+quantization + Huffman tables, canonical Huffman code construction,
+zigzag reordering, an orthonormal 8x8 DCT-II matrix, byte stuffing,
+and restart-marker handling.  This module implements both directions:
 
 * ``encode_jpeg``: RGB -> YCbCr (JFIF full-range BT.601), optional
   4:2:0 chroma subsampling (2x2 box average), FDCT, quality-scaled
   Annex K quantization, zigzag run-length + Huffman coding with the
   spec's standard tables.
-* ``decode_jpeg``: full marker parse (DQT/SOF0/SOF1/DHT/DRI/SOS,
-  APPn/COM skipped), interleaved MCU scan decode with byte
-  unstuffing and RSTn predictor resets, dequantize, IDCT, chroma
-  upsampling by sampling factor, YCbCr -> RGB.
+* ``encode_jpeg_progressive``: the same coefficients shipped as an
+  IJG-style progressive scan script (interleaved DC first + refine,
+  per-component AC first + refine with EOB runs, Annex G), each AC
+  scan with a two-pass OPTIMAL Huffman table (Annex K.2) shipped as
+  its own DHT — required because the EOBn symbols progressive coding
+  uses do not exist in the standard baseline tables.
+* ``decode_jpeg``: full marker parse (DQT/SOF0/SOF1/SOF2/DHT/DRI/
+  SOS, APPn/COM skipped), multi-scan decode into per-component
+  coefficient stores — interleaved or non-interleaved baseline
+  scans, progressive DC/AC first/refinement scans with successive
+  approximation — with byte unstuffing and RSTn resets, then ONE
+  dequantize + vectorized IDCT + chroma upsample + YCbCr -> RGB pass
+  at EOI.
 
 Because JPEG is lossy, encode->decode is NOT identity; correctness
 is established by component tests that pin each piece to the spec
@@ -22,12 +32,15 @@ independently (zigzag table values, DCT orthonormality, Huffman
 canonical-code construction, quant-table quality scaling) plus
 end-to-end bounds (constant blocks round-trip within DC quantization
 error; smooth gradients within a PSNR floor) — so a self-consistent
-but non-conformant encoder/decoder pair cannot slip through.
+but non-conformant encoder/decoder pair cannot slip through.  The
+progressive path has a stronger pin: it transmits the SAME quantized
+coefficients as the baseline path, so progressive decode must equal
+baseline decode bit-for-bit on every image.
 
 The decoder raises NotImplementedError with an actionable message
-for the JPEG variants outside baseline huffman (progressive SOF2,
-arithmetic coding, hierarchical, 12-bit precision, 16-bit quant
-tables) — those remain the PIL boundary.
+for the JPEG variants outside huffman-DCT (arithmetic coding,
+lossless, hierarchical, 12-bit precision, 16-bit quant tables) —
+those remain the PIL boundary.
 """
 
 from __future__ import annotations
@@ -457,7 +470,6 @@ def encode_jpeg(
 # --- Decoder -----------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG (SOF2)",
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -471,17 +483,57 @@ _SOF_UNSUPPORTED = {
 }
 
 
+def _shr(v: int, n: int) -> int:
+    """Point transform for AC coefficients (T.81 A.4): magnitude shift
+    toward zero.  (DC uses the plain arithmetic/floor shift ``>>`` —
+    the two differ on negative values and the spec pairs each with its
+    own reconstruction rule.)"""
+    return v >> n if v >= 0 else -((-v) >> n)
+
+
+def _comp_geometry(frame):
+    """Per-component block geometry (T.81 A.1.1/A.2.2): padded block
+    counts on the interleaved MCU grid, true ``ceil(samples/8)``
+    counts for non-interleaved scans."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        geo.append(
+            {
+                "bw_pad": mcux * c["h"],
+                "bh_pad": mcuy * c["v"],
+                "bw": -(-cw // 8),
+                "bh": -(-ch // 8),
+            }
+        )
+    return hmax, vmax, mcux, mcuy, geo
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG -> (h, w, 3) uint8 RGB (grayscale streams
-    broadcast to RGB).  Supports interleaved baseline scans (SOF0 and
-    extended-sequential-huffman SOF1), arbitrary sampling factors,
-    restart intervals, multi-table DQT/DHT segments.  Non-baseline
-    variants raise NotImplementedError naming the PIL boundary."""
+    """JFIF JPEG -> (h, w, 3) uint8 RGB (grayscale streams broadcast
+    to RGB).  Supports baseline (SOF0 / extended-sequential-huffman
+    SOF1) interleaved AND non-interleaved multi-scan streams, plus
+    progressive (SOF2) with spectral selection and successive
+    approximation; arbitrary sampling factors, restart intervals,
+    multi-table and between-scan DQT/DHT segments.  Every scan
+    accumulates into per-component coefficient stores; dequantize +
+    IDCT + color-convert happen once at EOI.  Arithmetic-coded,
+    lossless, hierarchical, and 12-bit variants raise
+    NotImplementedError naming the PIL boundary."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coefs = None
     dri = 0
     i = 2
     while i + 4 <= len(data):
@@ -497,8 +549,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         seg = data[i + 4 : i + 2 + seglen]
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
-                f"{_SOF_UNSUPPORTED[marker]} not supported — only baseline "
-                "huffman JPEG decodes library-free; PIL would plug in here"
+                f"{_SOF_UNSUPPORTED[marker]} not supported — huffman "
+                "DCT JPEG (baseline + progressive) decodes library-free; "
+                "PIL would plug in here"
             )
         if marker == 0xDB:
             p = 0
@@ -514,12 +567,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 nat[ZIGZAG] = zztab
                 qt[tid] = nat.reshape(8, 8)
                 p += 65
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
                     f"{precision}-bit JPEG not supported (baseline is 8-bit)"
                 )
+            progressive = marker == 0xC2
             fh, fw = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -527,6 +581,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
+            _, _, _, _, geo = _comp_geometry(frame)
+            coefs = [
+                np.zeros((g["bh_pad"], g["bw_pad"], 64), dtype=np.int32)
+                for g in geo
+            ]
         elif marker == 0xC4:
             p = 0
             while p < len(seg):
@@ -542,85 +601,229 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # Legal per T.81 (a baseline image MAY ship one scan
-                # per component), but _decode_scan walks the MCU grid
-                # interleaved — decoding a partial scan would KeyError
-                # mid-stream instead of failing at the boundary.
-                raise NotImplementedError(
-                    f"non-interleaved baseline scan (SOS has {ns} of "
-                    f"{len(frame['comps'])} frame components) not "
-                    "supported — multi-scan JPEG is the PIL boundary"
-                )
-            tables = {}
+            id2ix = {c["id"]: ix for ix, c in enumerate(frame["comps"])}
+            members = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
-                tables[cid] = (tt >> 4, tt & 15)
-            return _decode_scan(
-                data, i + 2 + seglen, frame, tables, qt, huff, dri
+                members.append((id2ix[cid], tt >> 4, tt & 15))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            scan = {
+                "comps": members,
+                "ss": ss,
+                "se": se,
+                "ah": a >> 4,
+                "al": a & 15,
+            }
+            i = _decode_scan_into(
+                data, i + 2 + seglen, frame, scan, coefs, huff, dri,
+                progressive,
             )
+            continue
         i += 2 + seglen
-    raise ValueError("JPEG missing SOS scan")
+    if coefs is None:
+        raise ValueError("JPEG missing SOS scan")
+    return _idct_assemble(frame, coefs, qt)
 
 
-def _decode_scan(data, pos, frame, tables, qt, huff, dri):
+def _decode_scan_into(data, pos, frame, scan, coefs, huff, dri, progressive):
+    """Decode ONE scan's entropy segment into the per-component
+    coefficient stores (zigzag-order int32).  Baseline scans decode a
+    full block per data unit; progressive scans dispatch on
+    (Ss, Ah) to DC-first / DC-refine / AC-first / AC-refine per T.81
+    G.2, with EOB-run bookkeeping.  Returns the stream position of the
+    marker that terminates the scan."""
+    comps = frame["comps"]
+    _, _, mcux, mcuy, geo = _comp_geometry(frame)
+    br = _BitReader(data, pos)
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    members = scan["comps"]
+    interleaved = len(members) > 1
+
+    if progressive and ss > 0 and interleaved:
+        raise ValueError("progressive AC scan must have one component")
+
+    preds = {ci: 0 for ci, _, _ in members}
+    eobrun = 0
+
+    def decode_block_baseline(ci, td, ta, by, bx):
+        t = br.huff(huff[(0, td)])
+        preds[ci] += br.receive_extend(t)
+        blk = coefs[ci][by, bx]
+        blk[0] = preds[ci]
+        ac_tab = huff[(1, ta)]
+        k = 1
+        while k < 64:
+            rs = br.huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            blk[k] = br.receive_extend(s)
+            k += 1
+
+    def decode_block_dc_first(ci, td, by, bx):
+        t = br.huff(huff[(0, td)])
+        preds[ci] += br.receive_extend(t)
+        coefs[ci][by, bx, 0] = preds[ci] << al
+
+    def decode_block_dc_refine(ci, by, bx):
+        if br.bit():
+            coefs[ci][by, bx, 0] |= 1 << al
+
+    def decode_block_ac_first(ci, ta, by, bx):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        blk = coefs[ci][by, bx]
+        ac_tab = huff[(1, ta)]
+        k = ss
+        while k <= se:
+            rs = br.huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            blk[k] = br.receive_extend(s) << al
+            k += 1
+
+    def refine_nonzero(blk, k):
+        # Correction bit for an already-nonzero coef (G.1.2.3): a 1
+        # bit appends 1<<al to the magnitude.
+        if br.bit():
+            if blk[k] > 0 and not (blk[k] & (1 << al)):
+                blk[k] += 1 << al
+            elif blk[k] < 0 and not (blk[k] & (1 << al)):
+                blk[k] -= 1 << al
+
+    def decode_block_ac_refine(ci, ta, by, bx):
+        nonlocal eobrun
+        blk = coefs[ci][by, bx]
+        k = ss
+        if eobrun > 0:
+            eobrun -= 1
+            while k <= se:
+                if blk[k]:
+                    refine_nonzero(blk, k)
+                k += 1
+            return
+        ac_tab = huff[(1, ta)]
+        while k <= se:
+            rs = br.huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    while k <= se:  # history-refine the rest of the band
+                        if blk[k]:
+                            refine_nonzero(blk, k)
+                        k += 1
+                    return
+                newval = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                newval = (1 << al) if br.bit() else -(1 << al)
+            else:
+                raise ValueError("invalid AC refinement symbol")
+            while k <= se:
+                if blk[k]:
+                    refine_nonzero(blk, k)
+                    k += 1
+                    continue
+                if r == 0:
+                    break
+                r -= 1
+                k += 1
+            # The loop stops AT the target zero-history position: the
+            # (r, 1) symbol places its new coefficient there; ZRL
+            # (r=15, s=0) consumes it as its 16th skipped zero.
+            if k <= se:
+                if s:
+                    blk[k] = newval
+                k += 1
+
+    def decode_unit(ci, td, ta, by, bx):
+        if not progressive:
+            decode_block_baseline(ci, td, ta, by, bx)
+        elif ss == 0 and ah == 0:
+            decode_block_dc_first(ci, td, by, bx)
+        elif ss == 0:
+            decode_block_dc_refine(ci, by, bx)
+        elif ah == 0:
+            decode_block_ac_first(ci, ta, by, bx)
+        else:
+            decode_block_ac_refine(ci, ta, by, bx)
+
+    def do_restart():
+        nonlocal eobrun
+        br.restart()
+        for k in preds:
+            preds[k] = 0
+        eobrun = 0
+
+    if interleaved:
+        nmcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and nmcu and nmcu % dri == 0:
+                    do_restart()
+                nmcu += 1
+                for ci, td, ta in members:
+                    c = comps[ci]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            decode_unit(
+                                ci, td, ta,
+                                my * c["v"] + vy, mx * c["h"] + vx,
+                            )
+    else:
+        ci, td, ta = members[0]
+        g = geo[ci]
+        nblk = 0
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                if dri and nblk and nblk % dri == 0:
+                    do_restart()
+                nblk += 1
+                decode_unit(ci, td, ta, by, bx)
+
+    if br.marker is None:
+        br._fill()  # latch the marker that terminates this scan
+    return br.pos
+
+
+def _idct_assemble(frame, coefs, qt):
+    """Dequantize + IDCT every block (vectorized per component),
+    assemble planes, upsample by sampling factor, color-convert."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
-        for c in comps
-    ]
-    br = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    nmcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and nmcu and nmcu % dri == 0:
-                br.restart()
-                preds = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                dc_tab = huff[(0, tables[comp["id"]][0])]
-                ac_tab = huff[(1, tables[comp["id"]][1])]
-                qtab = qt[comp["tq"]]
-                for vy in range(comp["v"]):
-                    for vx in range(comp["h"]):
-                        t = br.huff(dc_tab)
-                        preds[ci] += br.receive_extend(t)
-                        zz = np.zeros(64, dtype=np.float64)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(ac_tab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = br.receive_extend(s)
-                            k += 1
-                        nat = np.zeros(64, dtype=np.float64)
-                        nat[ZIGZAG] = zz
-                        block = nat.reshape(8, 8) * qtab
-                        spatial = _M.T @ block @ _M + 128.0
-                        y0 = (my * comp["v"] + vy) * 8
-                        x0 = (mx * comp["h"] + vx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            nmcu += 1
-
     full = []
-    for ci, comp in enumerate(comps):
+    for ci, c in enumerate(comps):
+        arr = coefs[ci]  # (bh, bw, 64) zigzag-order quantized
+        bh, bw, _ = arr.shape
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = arr
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[c["tq"]]
+        spatial = np.einsum("ij,abjk,kl->abil", _M.T, blocks, _M) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         p = np.repeat(
-            np.repeat(planes[ci], vmax // comp["v"], axis=0),
-            hmax // comp["h"],
-            axis=1,
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         full.append(p[:h, :w])
     if len(full) == 1:
@@ -631,3 +834,365 @@ def _decode_scan(data, pos, frame, tables, qt, huff, dri):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# --- Progressive encoder (T.81 Annex G) --------------------------------------
+
+
+class _SymWriter:
+    """Scan emitter writing through a _BitWriter with a code table."""
+
+    def __init__(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]) -> None:
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+class _SymCounter:
+    """Scan emitter that only counts Huffman symbol frequencies (pass
+    1 of the two-pass optimal-table encode)."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+def gen_optimal_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2 optimal Huffman table generation (figures K.1 -
+    K.4): merge the two least-frequent symbols repeatedly, count code
+    sizes, fold lengths > 16 down by the spec's adjustment procedure,
+    and list symbols in (code length, symbol) order.  A phantom symbol
+    256 gets frequency 1 so the all-ones code stays reserved (C.2).
+    Progressive scans NEED this: their EOBn symbols (r << 4, r >= 1)
+    do not exist in the Annex K baseline tables, so every progressive
+    encoder ships custom per-scan DHT segments."""
+    if not freq:
+        raise ValueError("cannot build a Huffman table for an empty scan")
+    f = [0] * 257
+    for s, c in freq.items():
+        f[s] = c
+    f[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        live = [i for i in range(257) if f[i] > 0]
+        v1 = min(live, key=lambda i: (f[i], i))
+        rest = [i for i in live if i != v1]
+        if not rest:
+            break
+        v2 = min(rest, key=lambda i: (f[i], i))
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32  # Adjust_BITS (figure K.3): fold lengths > 16 down
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16  # drop the reserved symbol's code (last of the longest run)
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    vals = sorted(
+        (s for s in freq if freq[s] > 0), key=lambda s: (codesize[s], s)
+    )
+    return bits[1:17], vals
+
+
+def _encode_scan_ac_first(em, coefs_c, ss, se, al, order) -> None:
+    """AC first scan (G.1.2.2): run-length + size coding of the
+    point-transformed band, EOB runs across all-zero blocks."""
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        em.sym(r << 4)
+        em.bits(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for by, bx in order:
+        blk = coefs_c[by, bx]
+        band = [_shr(int(blk[k]), al) for k in range(ss, se + 1)]
+        if not any(band):
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOB14 ceiling
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        run = 0
+        last_nz = max(i for i, v in enumerate(band) if v)
+        for i, v in enumerate(band):
+            if i > last_nz:
+                eobrun += 1
+                break
+            if v == 0:
+                run += 1
+                if run == 16:
+                    em.sym(0xF0)
+                    run = 0
+                continue
+            s = abs(v).bit_length()
+            em.sym((run << 4) | s)
+            em.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+    emit_eobrun()
+
+
+def _encode_scan_ac_refine(em, coefs_c, ss, se, al, order) -> None:
+    """AC refinement scan (G.1.2.3): ±1 symbols for coefs newly
+    nonzero at this Al (zero-run counts SKIP history-nonzero coefs),
+    correction bits for history coefs buffered behind the EOB run /
+    ZRL / newly-nonzero symbol they follow — figure G.7's ordering."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def emit_eobrun():
+        nonlocal eobrun, pending
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        em.sym(r << 4)
+        em.bits(eobrun - (1 << r), r)
+        eobrun = 0
+        for b in pending:
+            em.bits(b, 1)
+        pending = []
+
+    for by, bx in order:
+        blk = coefs_c[by, bx]
+        cur = [_shr(int(blk[k]), al) for k in range(ss, se + 1)]
+        prev = [_shr(int(blk[k]), al + 1) for k in range(ss, se + 1)]
+        newly = [
+            i for i, (c, p) in enumerate(zip(cur, prev)) if p == 0 and c != 0
+        ]
+        if not newly:
+            eobrun += 1
+            pending.extend(int(abs(c) & 1) for c, p in zip(cur, prev) if p != 0)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        run = 0
+        corr: list[int] = []
+        last_new = newly[-1]
+        for i, (c, p) in enumerate(zip(cur, prev)):
+            if i > last_new:
+                eobrun += 1
+                pending.extend(
+                    int(abs(c2) & 1)
+                    for c2, p2 in zip(cur[i:], prev[i:])
+                    if p2 != 0
+                )
+                break
+            if p != 0:
+                corr.append(int(abs(c) & 1))
+                continue
+            if c == 0:
+                run += 1
+                if run == 16:
+                    em.sym(0xF0)
+                    for b in corr:
+                        em.bits(b, 1)
+                    corr = []
+                    run = 0
+                continue
+            # |cur| in [2^al, 2^(al+1)) by prev == 0, so cur is ±1
+            em.sym((run << 4) | 1)
+            em.bits(1 if c > 0 else 0, 1)
+            for b in corr:
+                em.bits(b, 1)
+            corr = []
+            run = 0
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF JPEG with an
+    IJG-style scan script: interleaved DC first at Al=1, per-component
+    AC first scans at Al=1, interleaved DC refine, per-component AC
+    refine scans to Al=0.  AC scans are two-pass: symbol frequencies
+    feed ``gen_optimal_table`` and each scan ships its own DHT.  The
+    quantized coefficients are identical to ``encode_jpeg``'s at the
+    same quality/subsampling, so decoding a progressive stream
+    reproduces the baseline decode bit-for-bit — the round-trip
+    equality the tests pin."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects (h, w, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w, _ = arr.shape
+    qy = quality_scale(QT_LUMA, quality)
+    qc = quality_scale(QT_CHROMA, quality)
+    qt = {0: qy, 1: qc}
+    ycc = _rgb_to_ycbcr(arr)
+    if subsampling == "444":
+        hv_y = (1, 1)
+        planes = [_pad_to(ycc[..., i], 8) for i in range(3)]
+    else:
+        hv_y = (2, 2)
+        ypad = _pad_to(ycc[..., 0], 16)
+        cp = []
+        for i in (1, 2):
+            c = _pad_to(ycc[..., i], 16)
+            cp.append(
+                (c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2] + c[1::2, 1::2])
+                / 4.0
+            )
+        planes = [ypad] + cp
+    comps = [
+        {"id": 1, "h": hv_y[0], "v": hv_y[1], "tq": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 1},
+        {"id": 3, "h": 1, "v": 1, "tq": 1},
+    ]
+    frame = {"h": h, "w": w, "comps": comps}
+    _, _, mcux, mcuy, geo = _comp_geometry(frame)
+
+    # FDCT + quantize into the same zigzag stores the decoder fills.
+    coefs = []
+    for ci, c in enumerate(comps):
+        g = geo[ci]
+        p = planes[ci]
+        p = np.pad(
+            p,
+            (
+                (0, g["bh_pad"] * 8 - p.shape[0]),
+                (0, g["bw_pad"] * 8 - p.shape[1]),
+            ),
+            mode="edge",
+        )
+        bh, bw = g["bh_pad"], g["bw_pad"]
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,abjk,kl->abil", _M, blocks, _M.T)
+        q = np.round(coef / qt[c["tq"]]).astype(np.int32)
+        coefs.append(q.reshape(bh, bw, 64)[..., ZIGZAG])
+
+    dc_l = build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in tab.flatten()[ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    def sos_header(members: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(members)])
+        for cid, td, ta in members:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    out += dqt(0, qy) + dqt(1, qc)
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    hvy = (hv_y[0] << 4) | hv_y[1]
+    out += seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, hvy, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+
+    def noninterleaved_order(ci: int) -> list[tuple[int, int]]:
+        g = geo[ci]
+        return [(by, bx) for by in range(g["bh"]) for bx in range(g["bw"])]
+
+    def each_interleaved_dc():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, c in enumerate(comps):
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            yield ci, int(
+                                coefs[ci][my * c["v"] + vy, mx * c["h"] + vx, 0]
+                            )
+
+    # ---- scan 1: DC first, all components interleaved, Al=1 ----
+    # DC point transform is the ARITHMETIC (floor) shift — it pairs
+    # with the decoder's `pred << Al` + refine-OR in two's complement.
+    out += sos_header([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, dc0 in each_interleaved_dc():
+        dc = dc0 >> 1
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = abs(diff).bit_length()
+        code, length = (dc_l if ci == 0 else dc_c)[s]
+        bw_.write(code, length)
+        if s:
+            bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += bw_.flush()
+
+    def ac_scan(ci: int, fn, ah: int, al: int) -> None:
+        nonlocal out
+        cid = comps[ci]["id"]
+        tid = 0 if ci == 0 else 1
+        order = noninterleaved_order(ci)
+        counter = _SymCounter()
+        fn(counter, coefs[ci], 1, 63, al, order)
+        bits, vals = gen_optimal_table(counter.freq)
+        out += dht(1, tid, bits, vals)
+        out += sos_header([(cid, 0, tid)], 1, 63, ah, al)
+        bw2 = _BitWriter()
+        fn(_SymWriter(bw2, build_huffman_codes(bits, vals)), coefs[ci], 1, 63, al, order)
+        out += bw2.flush()
+
+    # ---- AC first scans (one per component), Al=1 ----
+    for ci in (0, 2, 1):
+        ac_scan(ci, _encode_scan_ac_first, 0, 1)
+
+    # ---- DC refine (Ah=1, Al=0), interleaved; no Huffman, raw bits ----
+    out += sos_header([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for _, dc0 in each_interleaved_dc():
+        bw_.write(dc0 & 1, 1)
+    out += bw_.flush()
+
+    # ---- AC refine scans (Ah=1, Al=0) ----
+    for ci in (0, 2, 1):
+        ac_scan(ci, _encode_scan_ac_refine, 1, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)

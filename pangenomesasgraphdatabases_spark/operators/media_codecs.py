@@ -5,15 +5,16 @@ uncompressed 24-bit BMP, binary PPM (P6), PCM WAV, and (since r7)
 8-bit PNG — PNG's DEFLATE layer is stdlib ``zlib``, so a full,
 spec-correct decoder (all five row filters, gray/RGB/RGBA color
 types, CRC-checked chunks) needs no external library at all — plus
-baseline JFIF JPEG (operators/jpeg_codec: Annex K tables, canonical
-Huffman, orthonormal DCT, 4:4:4/4:2:0, restart markers; pure
-numpy).  These back the ``decode_stub=False`` path of
-operators/multimodal — the decode is genuinely real for these
-formats; the remaining boundary where PIL/ffmpeg would plug in is
-video/audio containers (MP4, compressed audio) and the exotic
-still-image variants nothing in the pipeline emits (palette/Adam7
-PNG, progressive/arithmetic/12-bit JPEG), each a documented
-NotImplementedError.
+huffman-DCT JFIF JPEG (operators/jpeg_codec: Annex K tables,
+canonical Huffman, orthonormal DCT, 4:4:4/4:2:0, restart markers,
+baseline interleaved + non-interleaved multi-scan + progressive SOF2
+with successive approximation; pure numpy).  These back the
+``decode_stub=False`` path of operators/multimodal — the decode is
+genuinely real for these formats; the remaining boundary where
+PIL/ffmpeg would plug in is video/audio containers (MP4, compressed
+audio) and the exotic still-image variants nothing in the pipeline
+emits (palette/Adam7 PNG, arithmetic/lossless/12-bit JPEG), each a
+documented NotImplementedError.
 
 Encoders are provided too (fixture generation, resize re-encode);
 every codec round-trips bit-exactly (pytest property — PNG is

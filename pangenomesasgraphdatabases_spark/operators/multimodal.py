@@ -8,14 +8,15 @@ tiers (r5):
 * ``decode_stub=False`` runs REAL decoders for the library-free
   formats (operators/media_codecs: uncompressed 24-bit BMP, binary
   PPM, PCM WAV; since r7 full 8-bit PNG — DEFLATE via stdlib zlib,
-  all five scanline filters, gray/RGB/RGBA — and baseline JFIF JPEG
-  — operators/jpeg_codec, pure numpy: Huffman + DCT + 4:2:0 +
-  restart markers), computing true image luminance / audio RMS
-  features and true nearest-neighbor resizes.  Video/audio
+  all five scanline filters, gray/RGB/RGBA — and huffman-DCT JFIF
+  JPEG — operators/jpeg_codec, pure numpy: Huffman + DCT + 4:2:0 +
+  restart markers; since r8 progressive SOF2 and non-interleaved
+  multi-scan baseline too), computing true image luminance / audio
+  RMS features and true nearest-neighbor resizes.  Video/audio
   containers (MP4 etc.) still raise NotImplementedError at the
   documented boundary where ffmpeg would plug in (this container
-  ships none), as do the non-baseline JPEG and palette/interlaced
-  PNG variants.
+  ships none), as do arithmetic/lossless/12-bit JPEG and
+  palette/interlaced PNG variants.
 * ``decode_stub=True`` keeps the deterministic byte-level fake
   features (the oracle-hashed `media_feature_extract` path, which
   wraps text payloads — not decodable media).

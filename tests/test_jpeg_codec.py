@@ -191,21 +191,23 @@ def test_grayscale_single_component_stream():
 # --- Boundary ---------------------------------------------------------------
 
 
-def test_non_baseline_variants_raise_documented():
-    """Progressive (SOF2) and 16-bit quant tables stay documented
-    NotImplementedError seams; garbage raises ValueError."""
+def test_non_huffman_dct_variants_raise_documented():
+    """Arithmetic-coded (SOF9) frames and 16-bit quant tables stay
+    documented NotImplementedError seams (progressive SOF2 decodes
+    for real now — test_jpeg_progressive.py); garbage raises
+    ValueError."""
     import struct
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    progressive = (
+    arith = (
         b"\xff\xd8"
-        + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC9, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(progressive)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
 
     pq1 = b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128)) + b"\xff\xd9"
     with pytest.raises(NotImplementedError, match="16-bit|12-bit"):
@@ -213,21 +215,6 @@ def test_non_baseline_variants_raise_documented():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00" * 32)
-
-
-def test_non_interleaved_scan_raises_documented():
-    """A baseline image MAY ship one scan per component (T.81 legal,
-    some encoders emit it); _decode_scan walks the MCU grid
-    interleaved, so a partial SOS must fail at the documented boundary
-    instead of a mid-stream KeyError (ADVICE r7)."""
-    blob = bytearray(encode_jpeg(np.full((8, 8, 3), 77, np.uint8)))
-    sos = blob.find(b"\xff\xda")
-    assert sos >= 0
-    # replace the 3-component SOS payload with a 1-component one
-    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
-    blob[sos : sos + 4 + 10] = new_sos
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
-        decode_jpeg(bytes(blob))
 
 
 def test_jpeg_roundtrip_property():
