@@ -221,8 +221,12 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
       coefficient with zero rounding error, and flat gray (R=G=B)
       keeps Cb=Cr=128 exactly through color conversion.  Dimensions
       ``w = 8*(1 + id % 3)``, ``h = 8*(1 + id % 2)``; block value
-      ``g[b] = (id*17 + 23*b) % 256`` (blocks row-major).  Exactness
-      is pinned by tests/test_multimodal.py over 120 seeds.
+      ``g[b] = (id*17 + 23*b) % 256`` (blocks row-major).  Ids with
+      ``(id >> 2) & 1`` encode as PROGRESSIVE (SOF2) streams, the
+      rest baseline — both carry the same quantized coefficients, so
+      the decoded integers (and the oracle) are identical while the
+      hash path exercises both scan structures.  Exactness is pinned
+      by tests/test_multimodal.py over 120 seeds.
 
     Runs executor-side in mapInPandas — the driver never sees a
     payload; at scale this is the fixture-injection path a pipeline
@@ -233,6 +237,7 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
 
         from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
             encode_jpeg,
+            encode_jpeg_progressive,
         )
         from pangenomesasgraphdatabases_spark.operators.media_codecs import (
             encode_bmp,
@@ -269,7 +274,18 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
                         np.repeat(blocks, 8, axis=0), 8, axis=1
                     )[..., None].repeat(3, axis=2)
                     mt = "image/jpeg"
-                    payload = encode_jpeg(arr, quality=100, subsampling="444")
+                    # Alternate baseline / progressive per id: the
+                    # decoded pixels are identical (flat blocks at
+                    # quality 100 round-trip bit-exactly through BOTH
+                    # scan structures), so the oracle is unchanged
+                    # while the driver hash pins the progressive
+                    # decode path too.
+                    enc = (
+                        encode_jpeg_progressive
+                        if (mid >> 2) & 1
+                        else encode_jpeg
+                    )
+                    payload = enc(arr, quality=100, subsampling="444")
                     mw, mh = w, h
                 else:
                     ns = 64 + mid % 101

@@ -1384,9 +1384,11 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same integers from the seed arithmetic: PNG is
     lossless (DEFLATE round-trip, all five filters cycled by id), and
     the JPEG fixture is flat 8x8 gray blocks at quality 100 where the
-    baseline round-trip is bit-exact (lone DC coefficient, all-ones
-    quant tables — exactness pinned over 120 seeds in
-    tests/test_multimodal.py).  n_bytes pins the encoded header layout
+    round-trip is bit-exact (lone DC coefficient, all-ones quant
+    tables — exactness pinned over 120 seeds in
+    tests/test_multimodal.py), alternating BASELINE and PROGRESSIVE
+    (SOF2) encodes per id so the driver hash pins both scan
+    structures.  n_bytes pins the encoded header layout
     for the raw containers (BMP/PPM/WAV) and the decoded buffer size
     for the compressed ones (the DEFLATE/Huffman stream length is not
     SQL-recomputable).  Any garbled byte in either codec direction

@@ -214,16 +214,19 @@ def test_synthesize_and_real_decode_integer_features(spark):
 def test_jpeg_flat_block_fixture_roundtrip_is_bit_exact():
     """The media_real_decode_features JPEG fixture relies on flat 8x8
     gray blocks at quality 100 round-tripping EXACTLY through the
-    baseline codec (lone DC coefficient, all-ones quant tables,
-    Cb=Cr=128 through color conversion).  Pin that property over all
-    120 distinct seeds the (w, h, block-values) recurrence can produce
-    — if DCT/quant/color-convert rounding ever drifts, this fails
-    before the driver hash does."""
+    huffman-DCT codec (lone DC coefficient, all-ones quant tables,
+    Cb=Cr=128 through color conversion) — through BOTH scan
+    structures, since synthesize_media alternates baseline and
+    progressive encodes per id.  Pin that property over all 120
+    distinct seeds the (w, h, block-values) recurrence can produce —
+    if DCT/quant/color-convert or successive-approximation rounding
+    ever drifts, this fails before the driver hash does."""
     import numpy as np
 
     from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
         decode_jpeg,
         encode_jpeg,
+        encode_jpeg_progressive,
     )
 
     for mid in range(0, 600, 5):
@@ -233,8 +236,9 @@ def test_jpeg_flat_block_fixture_roundtrip_is_bit_exact():
         arr = (
             np.repeat(np.repeat(g.reshape(bh, bw), 8, axis=0), 8, axis=1)
         )[..., None].repeat(3, axis=2)
-        out = decode_jpeg(encode_jpeg(arr, quality=100, subsampling="444"))
-        assert np.array_equal(out, arr), f"seed {mid} not exact"
+        for enc in (encode_jpeg, encode_jpeg_progressive):
+            out = decode_jpeg(enc(arr, quality=100, subsampling="444"))
+            assert np.array_equal(out, arr), f"seed {mid} {enc.__name__}"
 
 
 def test_compressed_format_seam_is_guarded():
