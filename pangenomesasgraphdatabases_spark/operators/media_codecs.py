@@ -10,11 +10,14 @@ canonical Huffman, orthonormal DCT, 4:4:4/4:2:0, restart markers,
 baseline interleaved + non-interleaved multi-scan + progressive SOF2
 with successive approximation; pure numpy).  These back the
 ``decode_stub=False`` path of operators/multimodal — the decode is
-genuinely real for these formats; the remaining boundary where
-PIL/ffmpeg would plug in is video/audio containers (MP4, compressed
-audio) and the exotic still-image variants nothing in the pipeline
-emits (palette/Adam7 PNG, arithmetic/lossless/12-bit JPEG), each a
-documented NotImplementedError.
+genuinely real for these formats.  The video/audio CONTAINER layer
+(MP4 box walk, Ogg page/packet walk) is real too since r8 —
+operators/containers — so the remaining boundary where PIL/ffmpeg
+would plug in is the compressed elementary-stream decode inside those
+containers (H.264/AAC/Vorbis/Opus DSP) and the exotic still-image
+variants nothing in the pipeline emits (palette/Adam7 PNG,
+arithmetic/lossless/12-bit JPEG), each a documented
+NotImplementedError.
 
 Encoders are provided too (fixture generation, resize re-encode);
 every codec round-trips bit-exactly (pytest property — PNG is

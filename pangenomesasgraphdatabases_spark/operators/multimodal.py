@@ -12,10 +12,13 @@ tiers (r5):
   JPEG — operators/jpeg_codec, pure numpy: Huffman + DCT + 4:2:0 +
   restart markers; since r8 progressive SOF2 and non-interleaved
   multi-scan baseline too), computing true image luminance / audio
-  RMS features and true nearest-neighbor resizes.  Video/audio
-  containers (MP4 etc.) still raise NotImplementedError at the
-  documented boundary where ffmpeg would plug in (this container
-  ships none), as do arithmetic/lossless/12-bit JPEG and
+  RMS features and true nearest-neighbor resizes.  Since r8 the
+  video/audio CONTAINER layer is real too: ``probe_containers``
+  walks MP4 boxes and Ogg pages (operators/containers) for codec
+  identity / geometry / duration / CRC health without decoding any
+  elementary stream.  The residual ffmpeg boundary is the compressed
+  elementary-stream DECODE inside those containers (H.264/AAC/
+  Vorbis/Opus DSP), plus arithmetic/lossless/12-bit JPEG and
   palette/interlaced PNG variants.
 * ``decode_stub=True`` keeps the deterministic byte-level fake
   features (the oracle-hashed `media_feature_extract` path, which
@@ -395,6 +398,207 @@ def real_decode_integer_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(proc, INT_FEATURE_SCHEMA)
+
+
+CONTAINER_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_streams", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_units", T.IntegerType(), True),
+        T.StructField("duration_usec", T.LongType(), True),
+        T.StructField("crc_failures", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_containers(media: DataFrame) -> DataFrame:
+    """REAL container probing over binary payloads (mapInPandas):
+    MP4/ISO-BMFF box walk and Ogg page/packet walk
+    (operators/containers — pure byte parsers of the public specs).
+    Emits exact-integer metadata per payload — codec fourcc/magic,
+    first-track geometry, sample counts (``n_units`` = MP4 samples or
+    Ogg packets), CRC health, and ``duration_usec`` as an exact
+    integer (``duration * 1e6 // timescale``; Opus granules at the
+    fixed 48 kHz minus pre-skip per RFC 7845) — so a driver hash can
+    pin the whole container layer.  Elementary-stream decode inside
+    the container stays the documented ffmpeg boundary; probing never
+    touches sample bytes (pinned by test_mp4_probe_ignores_mdat_
+    content).  Narrow plan: no shuffle, payload bytes never leave the
+    Arrow batch."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pangenomesasgraphdatabases_spark.operators.containers import (
+            probe_mp4,
+            probe_ogg,
+        )
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in CONTAINER_PROBE_SCHEMA.fields
+            }
+
+            def emit(media_id, **kw):
+                rows["media_id"].append(int(media_id))
+                for f in CONTAINER_PROBE_SCHEMA.fields[1:]:
+                    rows[f.name].append(kw.get(f.name))
+
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    emit(mid, container="empty")
+                elif b[:4] == b"OggS":
+                    probe = probe_ogg(bytes(b))
+                    s = probe["streams"][0] if probe["streams"] else {}
+                    rate = s.get("sample_rate")
+                    granule_rate = (
+                        48_000 if s.get("codec") == "opus" else rate
+                    )
+                    dur = s.get("duration_sec")
+                    emit(
+                        mid,
+                        container="ogg",
+                        codec=s.get("codec"),
+                        n_streams=len(probe["streams"]),
+                        sample_rate=rate,
+                        channels=s.get("channels"),
+                        n_units=s.get("n_packets"),
+                        duration_usec=(
+                            None
+                            if dur is None or not granule_rate
+                            else int(round(dur * granule_rate))
+                            * 1_000_000
+                            // granule_rate
+                        ),
+                        crc_failures=s.get("crc_failures"),
+                    )
+                elif len(b) >= 12 and b[4:8] in (b"ftyp", b"styp", b"moov"):
+                    probe = probe_mp4(bytes(b))
+                    t = probe["tracks"][0] if probe["tracks"] else {}
+                    ts = probe.get("timescale")
+                    dur = probe.get("duration_sec")
+                    emit(
+                        mid,
+                        container="mp4",
+                        codec=t.get("codec"),
+                        n_streams=len(probe["tracks"]),
+                        width=t.get("width"),
+                        height=t.get("height"),
+                        sample_rate=t.get("timescale"),
+                        n_units=t.get("n_samples"),
+                        duration_usec=(
+                            None
+                            if dur is None or not ts
+                            else int(round(dur * ts)) * 1_000_000 // ts
+                        ),
+                        crc_failures=0,
+                    )
+                else:
+                    emit(mid, container="raw")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "container": pd.Series(rows["container"], dtype="object"),
+                    "codec": pd.Series(rows["codec"], dtype="object"),
+                    "n_streams": pd.Series(rows["n_streams"], dtype="Int32"),
+                    "width": pd.Series(rows["width"], dtype="Int32"),
+                    "height": pd.Series(rows["height"], dtype="Int32"),
+                    "sample_rate": pd.Series(
+                        rows["sample_rate"], dtype="Int32"
+                    ),
+                    "channels": pd.Series(rows["channels"], dtype="Int32"),
+                    "n_units": pd.Series(rows["n_units"], dtype="Int32"),
+                    "duration_usec": pd.Series(
+                        rows["duration_usec"], dtype="Int64"
+                    ),
+                    "crc_failures": pd.Series(
+                        rows["crc_failures"], dtype="Int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(proc, CONTAINER_PROBE_SCHEMA)
+
+
+def synthesize_container_media(ids: DataFrame) -> DataFrame:
+    """Deterministic MP4/Ogg container fixtures from an integer id
+    frame (column ``media_id``), by ``kind = id % 3``: MP4 (0),
+    Opus-in-Ogg (1), Vorbis-in-Ogg (2).  All parameters are pure id
+    arithmetic so an SQL oracle can recompute every probed fact from
+    the id alone:
+
+    * MP4: ``w = 16*(1 + id%20)``, ``h = 16*(1 + id%12)``,
+      ``n = 10 + id%50`` samples, timescale 600, duration ``20*n``
+      (→ duration_usec = 20*n*1e6//600);
+    * Opus: ``p = 3 + id%6`` packets of 960 samples, pre-skip 312
+      (→ duration_usec = 960*p*1e6//48000);
+    * Vorbis: rate ``(8000,22050,44100,48000)[id%4]``, channels
+      ``1 + id%2``, ``p = 2 + id%5`` packets of 512 samples
+      (→ duration_usec = 512*p*1e6//rate).
+
+    Executor-side mapInPandas; the driver never sees a payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pangenomesasgraphdatabases_spark.operators.containers import (
+            encode_minimal_mp4,
+            encode_minimal_opus_ogg,
+            encode_minimal_vorbis_ogg,
+        )
+
+        rates = (8_000, 22_050, 44_100, 48_000)
+        for pdf in batches:
+            mids, mts, payloads, mws, mhs = [], [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                kind = mid % 3
+                if kind == 0:
+                    w, h = 16 * (1 + mid % 20), 16 * (1 + mid % 12)
+                    n = 10 + mid % 50
+                    payload = encode_minimal_mp4(
+                        width=w,
+                        height=h,
+                        n_samples=n,
+                        timescale=600,
+                        duration=20 * n,
+                    )
+                    mt, mw, mh = "video/mp4", w, h
+                elif kind == 1:
+                    p = 3 + mid % 6
+                    payload = encode_minimal_opus_ogg(
+                        n_audio_packets=p,
+                        samples_per_packet=960,
+                        pre_skip=312,
+                    )
+                    mt, mw, mh = "audio/ogg", p, 1
+                else:
+                    p = 2 + mid % 5
+                    payload = encode_minimal_vorbis_ogg(
+                        sample_rate=rates[mid % 4],
+                        channels=1 + mid % 2,
+                        n_audio_packets=p,
+                        samples_per_packet=512,
+                    )
+                    mt, mw, mh = "audio/ogg", p, 1
+                mids.append(mid)
+                mts.append(mt)
+                payloads.append(payload)
+                mws.append(mw)
+                mhs.append(mh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta_width": pd.Series(mws, dtype="int32"),
+                    "meta_height": pd.Series(mhs, dtype="int32"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

