@@ -188,3 +188,96 @@ def test_mp4_probe_ignores_mdat_content():
     for i in range(mdat["payload_offset"], mdat["offset"] + mdat["size"]):
         data[i] ^= 0xFF
     assert probe_mp4(bytes(data)) == before
+
+
+# --- Property tests -------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=1200), min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ogg_packet_reassembly_roundtrip(packets, serial):
+    """Arbitrary packets laced across as many pages as needed come
+    back byte-identical through parse + reassemble (RFC 3533 §5):
+    each page carries at most 255 lacing values, open-ended when a
+    packet crosses the boundary."""
+    from pangenomesasgraphdatabases_spark.operators.containers import (
+        _reassemble_packets,
+    )
+
+    pages = []
+    seq = 0
+    pending = b""
+    continued = False
+    for i, pkt in enumerate(packets):
+        buf = pending + pkt
+        # emit full pages of 255 max-lacing segments while too big
+        while len(buf) >= 255 * 255:
+            pages.append(
+                build_ogg_page(
+                    serial, seq, -1, [buf[: 255 * 255]],
+                    bos=(seq == 0), continued=continued, open_ended=True,
+                )
+            )
+            seq += 1
+            continued = True
+            buf = buf[255 * 255 :]
+        pages.append(
+            build_ogg_page(
+                serial, seq, i, [buf],
+                bos=(seq == 0), continued=continued,
+                eos=(i == len(packets) - 1),
+            )
+        )
+        seq += 1
+        continued = False
+        pending = b""
+    data = b"".join(pages)
+    parsed = parse_ogg_pages(data)
+    assert all(p["crc_ok"] for p in parsed)
+    out = _reassemble_packets(parsed)
+    assert out[serial] == packets
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_mp4_box_walk_random_trees(data):
+    """Random nested box trees (containers from the known set, random
+    leaf payloads) walk back to the exact structure."""
+    import struct as _s
+
+    containers = [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
+    leaves = [b"mvhd", b"tkhd", b"free", b"mdat", b"abcd"]
+
+    def gen(depth):
+        if depth == 0 or data.draw(st.booleans()):
+            payload = data.draw(st.binary(min_size=0, max_size=64))
+            btype = data.draw(st.sampled_from(leaves))
+            return (btype, payload, []), _s.pack(">I", 8 + len(payload)) + btype + payload
+        btype = data.draw(st.sampled_from(containers))
+        kids = [gen(depth - 1) for _ in range(data.draw(st.integers(1, 3)))]
+        body = b"".join(enc for _, enc in kids)
+        return (
+            (btype, None, [spec for spec, _ in kids]),
+            _s.pack(">I", 8 + len(body)) + btype + body,
+        )
+
+    specs = [gen(3) for _ in range(data.draw(st.integers(1, 4)))]
+    blob = b"".join(enc for _, enc in specs)
+
+    def check(spec, box):
+        btype, payload, kids = spec
+        assert box["type"] == btype
+        assert len(box["children"]) == len(kids)
+        for k_spec, k_box in zip(kids, box["children"]):
+            check(k_spec, k_box)
+
+    boxes = parse_mp4_boxes(blob)
+    assert len(boxes) == len(specs)
+    for (spec, _), box in zip(specs, boxes):
+        check(spec, box)
