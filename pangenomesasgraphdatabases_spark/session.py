@@ -23,6 +23,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE can COALESCE small shuffle partitions but never splits
+        # oversized ones (absent join skew), so the INITIAL partition
+        # count is the scale ceiling: at 30x graph scale (138M
+        # features) 32 initial partitions left ~4M rows/partition and
+        # the graph-build slope went superlinear (346.7s; 181.6s at
+        # 256 — SCALE.md r8).  But wider initial shuffles are NOT a
+        # free default: iterative plans that localCheckpoint between
+        # rounds pin the inflated partition count across every
+        # iteration (doc_ngram_jaccard_dedup measured 3x slower at
+        # sf0.1 with 128 vs 32 — the measured sweep is in SCALE.md).
+        # So the knob is sized per input scale by the caller (the
+        # scale harness sets 256 for the 30x graph runs), exactly as
+        # a 100 TB deployment sizes spark.sql.shuffle.partitions to
+        # its data, and the session default stays small-scale-tuned.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions or 32)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local[N] puts driver + all N executor threads in ONE JVM:

@@ -623,3 +623,61 @@ def test_jpeg_through_spark_decode_and_resize(spark):
     }
     for i, _, _, _ in rows:
         assert decode_jpeg(resized[i]).shape == (4, 6, 3)
+
+
+def test_container_probe_through_spark(spark):
+    """synthesize_container_media -> probe_containers end-to-end:
+    every probed integer matches the id arithmetic documented on the
+    fixture generator (the r9 oracle contract)."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        probe_containers,
+        synthesize_container_media,
+    )
+
+    ids = spark.range(0, 60).withColumnRenamed("id", "media_id")
+    media = synthesize_container_media(ids)
+    rows = {r.media_id: r for r in probe_containers(media).collect()}
+    assert len(rows) == 60
+    rates = (8_000, 22_050, 44_100, 48_000)
+    for mid in range(60):
+        r = rows[mid]
+        kind = mid % 3
+        assert r.crc_failures == 0
+        if kind == 0:
+            n = 10 + mid % 50
+            assert r.container == "mp4"
+            assert r.codec == "avc1"
+            assert (r.width, r.height) == (
+                16 * (1 + mid % 20),
+                16 * (1 + mid % 12),
+            )
+            assert r.n_units == n
+            assert r.duration_usec == 20 * n * 1_000_000 // 600
+        elif kind == 1:
+            p = 3 + mid % 6
+            assert (r.container, r.codec) == ("ogg", "opus")
+            assert r.sample_rate == 48_000
+            assert r.channels == 2
+            assert r.duration_usec == 960 * p * 1_000_000 // 48_000
+        else:
+            p = 2 + mid % 5
+            rate = rates[mid % 4]
+            assert (r.container, r.codec) == ("ogg", "vorbis")
+            assert r.sample_rate == rate
+            assert r.channels == 1 + mid % 2
+            assert r.duration_usec == 512 * p * 1_000_000 // rate
+
+
+def test_container_probe_non_container_payloads(spark):
+    """Text payloads probe as container='raw' (magic sniffing, not
+    media_type trust); empty payloads as 'empty'."""
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        documents_as_media,
+        probe_containers,
+    )
+
+    media = documents_as_media(table(spark, SF, "documents")).limit(10)
+    out = probe_containers(media).collect()
+    assert len(out) == 10
+    assert all(r.container == "raw" and r.codec is None for r in out)
