@@ -132,8 +132,17 @@ def main() -> None:
     registry = all_queries()
     clear = spark.catalog.clearCache
 
+    # Optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the
+    # table-query list (e.g. only the r8 additions at the 30x point
+    # instead of re-timing all families).
+    subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    queries = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else QUERIES
+    )
     results: dict[str, dict] = {}
-    for name in [] if graph_only else QUERIES:
+    for name in [] if graph_only else queries:
         q = registry[name]
         _force(q.fn(spark, WARM))  # codegen warmup
         clear()
