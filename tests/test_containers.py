@@ -281,3 +281,32 @@ def test_mp4_box_walk_random_trees(data):
     assert len(boxes) == len(specs)
     for (spec, _), box in zip(specs, boxes):
         check(spec, box)
+
+
+def test_ogg_multiplexed_streams_probe_independently():
+    """Two logical streams interleaved page-by-page (RFC 3533
+    multiplexing) keep independent packet/duration accounting."""
+    opus = encode_minimal_opus_ogg(n_audio_packets=3)
+    vorbis = encode_minimal_vorbis_ogg(n_audio_packets=2)
+    op = parse_ogg_pages(opus)
+    vp = parse_ogg_pages(vorbis)
+    # interleave original page bytes without re-paging
+    def page_bytes(data, pages):
+        out = []
+        for i, p in enumerate(pages):
+            end = pages[i + 1]["offset"] if i + 1 < len(pages) else len(data)
+            out.append(data[p["offset"] : end])
+        return out
+    mux = []
+    a, b = page_bytes(opus, op), page_bytes(vorbis, vp)
+    while a or b:
+        if a:
+            mux.append(a.pop(0))
+        if b:
+            mux.append(b.pop(0))
+    probe = probe_ogg(b"".join(mux))
+    assert len(probe["streams"]) == 2
+    by_codec = {s["codec"]: s for s in probe["streams"]}
+    assert by_codec["opus"]["n_packets"] == 3 + 2  # head + tags + audio
+    assert by_codec["vorbis"]["n_packets"] == 2 + 3  # ident+comment+setup
+    assert by_codec["opus"]["duration_sec"] == pytest.approx(3 * 960 / 48_000)
