@@ -1407,6 +1407,72 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return real_decode_integer_features(synthesize_media(ids))
 
 
+# r9-READY, intentionally UNREGISTERED (registry growth paused until
+# the never-driver-checked sweep completes — VERDICT r7 #3): the
+# container-probe query and its DuckDB oracle, pre-validated end to
+# end by tests/test_containers.py::test_media_container_probe_oracle.
+# Registration in r9 = wrap with @register(..., oracle=
+# MEDIA_CONTAINER_PROBE_ORACLE) and add the name to
+# QUEUED_AFTER_FREEZE if the r9 window is already frozen.
+MEDIA_CONTAINER_PROBE_ORACLE = """
+    WITH ids AS (
+        SELECT doc_id AS media_id, doc_id % 3 AS kind FROM documents
+        WHERE doc_id % 4 = 1
+    )
+    SELECT media_id,
+           CASE kind WHEN 0 THEN 'mp4' ELSE 'ogg' END AS container,
+           CASE kind WHEN 0 THEN 'avc1' WHEN 1 THEN 'opus'
+                ELSE 'vorbis' END AS codec,
+           CAST(1 AS INTEGER) AS n_streams,
+           CAST(CASE kind WHEN 0 THEN 16 * (1 + media_id % 20) END
+                AS INTEGER) AS width,
+           CAST(CASE kind WHEN 0 THEN 16 * (1 + media_id % 12) END
+                AS INTEGER) AS height,
+           CAST(CASE kind WHEN 0 THEN 600 WHEN 1 THEN 48000
+                ELSE [8000, 22050, 44100, 48000][1 + media_id % 4]
+                END AS INTEGER) AS sample_rate,
+           CAST(CASE kind WHEN 1 THEN 2
+                WHEN 2 THEN 1 + media_id % 2 END AS INTEGER) AS channels,
+           CAST(CASE kind WHEN 0 THEN 10 + media_id % 50
+                WHEN 1 THEN (3 + media_id % 6) + 2
+                ELSE (2 + media_id % 5) + 3 END AS INTEGER) AS n_units,
+           CAST(CASE kind
+                WHEN 0 THEN (20 * (10 + media_id % 50) * 1000000) // 600
+                WHEN 1 THEN (960 * (3 + media_id % 6) * 1000000) // 48000
+                ELSE (512 * (2 + media_id % 5) * 1000000)
+                     // ([8000, 22050, 44100, 48000][1 + media_id % 4])
+                END AS BIGINT) AS duration_usec,
+           CAST(0 AS INTEGER) AS crc_failures
+    FROM ids
+"""
+
+
+def media_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container probing, driver-hashable: every doc_id % 4 == 1
+    seeds a deterministic MP4 / Opus-in-Ogg / Vorbis-in-Ogg container
+    (kind = id % 3; operators/multimodal.synthesize_container_media),
+    built executor-side through the spec-valid fixture encoders and
+    probed back through the pure byte-walk parsers
+    (operators/containers: ISO-BMFF box tree, RFC 3533 page/packet
+    walk with CRC verification, RFC 7845/Vorbis-I ID headers).  Every
+    output is an exact integer recomputable from the id arithmetic
+    (MEDIA_CONTAINER_PROBE_ORACLE); any garbled byte in either
+    direction — box sizes, 16.16 fixed-point geometry, lacing, the
+    Ogg CRC table, granule/pre-skip handling — shifts a value and
+    fails the hash.  Narrow plan: synthesize and probe are two
+    mapInPandas stages over the same partitioning, no shuffle."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        probe_containers,
+        synthesize_container_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 4 == 1).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return probe_containers(synthesize_container_media(ids))
+
+
 @register(
     "doc_tfidf_top_terms",
     oracle="""

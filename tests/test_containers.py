@@ -310,3 +310,28 @@ def test_ogg_multiplexed_streams_probe_independently():
     assert by_codec["opus"]["n_packets"] == 3 + 2  # head + tags + audio
     assert by_codec["vorbis"]["n_packets"] == 2 + 3  # ident+comment+setup
     assert by_codec["opus"]["duration_sec"] == pytest.approx(3 * 960 / 48_000)
+
+
+def test_media_container_probe_oracle(spark):
+    """End-to-end pre-validation of the r9 registration: the Spark
+    probe query vs its DuckDB oracle (same compare the driver runs —
+    row count, column names, order-insensitive value multiset)."""
+    import duckdb
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        MEDIA_CONTAINER_PROBE_ORACLE,
+        media_container_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = media_container_probe(spark, sf).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    cols = [d[0] for d in con.execute(MEDIA_CONTAINER_PROBE_ORACLE).description]
+    expected = con.execute(MEDIA_CONTAINER_PROBE_ORACLE).fetchall()
+    assert sorted(got[0].asDict().keys()) == sorted(cols)
+    to_tuple = lambda row: tuple(row.asDict()[c] for c in cols)
+    assert sorted(map(to_tuple, got)) == sorted(expected)
+    assert len(got) > 0
