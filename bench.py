@@ -23,7 +23,16 @@ jiffies vs 12.4 s @ 26 on identical plans).  Every rep samples
 ``/proc/stat`` steal around itself so a polluted median is
 self-evident from the artifacts; the compact line also carries
 ``build_min_sec`` (min-of-reps for the graph build) as the
-steal-robust companion to the median."""
+steal-robust companion to the median.
+
+Steal-aware retry (r8): a rep whose steal delta exceeds 300 jiffies
+is polluted (~3x wall on this sandbox) and gets retried, bounded at
+2x the planned rep count; ALL reps stay in the detail artifact and
+the reported figure is the median over the clean reps when any exist
+(identical to plain median-of-reps on a calm host).  Before this, a
+steal storm could put 3 of 5 build reps at 39-54 s with 15 s clean
+reps beside them and the headline median reported the storm, not the
+engine."""
 
 from __future__ import annotations
 
@@ -136,6 +145,42 @@ def main() -> None:
                 print(f"WARN warmup {name} failed: {e}", file=sys.stderr)
             spark.catalog.clearCache()
 
+    # A rep whose steal delta exceeds this is co-tenant-polluted (a
+    # clean rep on this sandbox reads < ~100 jiffies; storms read
+    # thousands and cost ~3x wall — SCALE.md).  Polluted reps are
+    # RETRIED, bounded at 2x the planned rep count, and every rep
+    # (polluted included) stays in the detail artifact; the reported
+    # median is over the clean reps when any exist.  On a calm host
+    # this is byte-identical to the old median-of-reps; in a storm it
+    # reports the same number of CLEAN reps instead of letting
+    # co-tenant weather masquerade as a regression (r8: a stormed run
+    # measured the build median at 39.2 s with clean reps of 15.0 s
+    # sitting right next to it).
+    STEAL_CLEAN_JIFFIES = 300
+
+    def _timed_reps(run, planned: int) -> tuple[list[float], list[int], float]:
+        times: list[float] = []
+        steals: list[int] = []
+        while True:
+            s0 = _read_steal()
+            t0 = time.time()
+            run()
+            times.append(round(time.time() - t0, 3))
+            steals.append(_read_steal() - s0)
+            # Queries cache intermediates (shingles, centroids); drop
+            # them so each rep (and later queries) measures its own
+            # work, not heap pressure from earlier ones.
+            spark.catalog.clearCache()
+            clean = [
+                t for t, s in zip(times, steals) if s <= STEAL_CLEAN_JIFFIES
+            ]
+            if len(times) >= planned and (
+                len(clean) >= planned or len(times) >= 2 * planned
+            ):
+                break
+        med = statistics.median(clean if clean else times)
+        return times, steals, round(med, 3)
+
     raw: dict[str, list[float]] = {}
     steal: dict[str, list[int]] = {}
     timings: dict[str, float] = {}
@@ -143,19 +188,13 @@ def main() -> None:
         q = registry.get(name)
         if q is None:
             continue
-        raw[name] = []
-        steal[name] = []
-        for _ in range(reps):
-            s0 = _read_steal()
-            t0 = time.time()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            raw[name].append(round(time.time() - t0, 3))
-            steal[name].append(_read_steal() - s0)
-            # Queries cache intermediates (shingles, centroids); drop
-            # them so each rep (and later queries) measures its own
-            # work, not heap pressure from earlier ones.
-            spark.catalog.clearCache()
-        timings[name] = round(statistics.median(raw[name]), 3)
+        raw[name], steal[name], timings[name] = _timed_reps(
+            lambda q=q: q.fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            reps,
+        )
 
     # Reference-scale graph build: 770 strains x 6000 features = 4.62M
     # feature nodes — the dataset behind BASELINE.md's ~2072 s Neo4j
@@ -176,16 +215,8 @@ def main() -> None:
     # sandbox).  Extra reps make the median land on clean runs; the
     # metric itself stays the median (methodology unchanged).
     graph_reps = max(reps, 5)
-    raw["graph_build_770x6000"] = []
-    steal["graph_build_770x6000"] = []
-    for _ in range(graph_reps):
-        # Inputs re-persisted OUTSIDE the timer each rep (clearCache
-        # below drops them): the reference's 2072 s measures the build
-        # from already-prepared files.
-        for src in (f, c, comp):
-            src.persist().count()
-        s0 = _read_steal()
-        t0 = time.time()
+
+    def _run_build() -> None:
         g = build_graph(spark, f, c, comp, persist=True)
         for tbl in (
             "features",
@@ -198,13 +229,35 @@ def main() -> None:
             "strains",
         ):
             getattr(g, tbl).write.format("noop").mode("overwrite").save()
-        raw["graph_build_770x6000"].append(round(time.time() - t0, 3))
-        steal["graph_build_770x6000"].append(_read_steal() - s0)
+
+    # The build loop is hand-rolled (not _timed_reps) because each rep
+    # must re-persist the INPUTS outside the timer — clearCache drops
+    # them, and the reference's 2072 s baseline measures the build from
+    # already-prepared files, so data synthesis never bills to the rep.
+    times_b: list[float] = []
+    steals_b: list[int] = []
+    while True:
+        for src in (f, c, comp):
+            src.persist().count()
+        s0 = _read_steal()
+        t0 = time.time()
+        _run_build()
+        times_b.append(round(time.time() - t0, 3))
+        steals_b.append(_read_steal() - s0)
         spark.catalog.clearCache()
+        clean_b = [
+            t for t, s in zip(times_b, steals_b) if s <= STEAL_CLEAN_JIFFIES
+        ]
+        if len(times_b) >= graph_reps and (
+            len(clean_b) >= graph_reps or len(times_b) >= 2 * graph_reps
+        ):
+            break
+    raw["graph_build_770x6000"] = times_b
+    steal["graph_build_770x6000"] = steals_b
     timings["graph_build_770x6000"] = round(
-        statistics.median(raw["graph_build_770x6000"]), 3
+        statistics.median(clean_b if clean_b else times_b), 3
     )
-    build_min = round(min(raw["graph_build_770x6000"]), 3)
+    build_min = round(min(times_b), 3)
 
     total = round(sum(timings.values()), 3)
     detail = {
