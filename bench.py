@@ -88,6 +88,42 @@ def _read_steal() -> int:
         return 0
 
 
+# A rep whose steal delta exceeds this is co-tenant-polluted (a clean
+# rep on this sandbox reads < ~100 jiffies; storms read thousands and
+# cost ~3x wall — SCALE.md).  Polluted reps are RETRIED, bounded at 2x
+# the planned rep count, and every rep (polluted included) stays in
+# the detail artifact; the reported median is over the clean reps when
+# any exist.  On a calm host this is byte-identical to the old
+# median-of-reps; in a storm it reports the same number of CLEAN reps
+# instead of letting co-tenant weather masquerade as a regression
+# (r8: a stormed run measured the build median at 39.2 s with clean
+# reps of 15.0 s sitting right next to it).
+STEAL_CLEAN_JIFFIES = 300
+
+
+def _clean_median(
+    times: list[float], steals: list[int], threshold: int = STEAL_CLEAN_JIFFIES
+) -> float:
+    """Median over the steal-clean reps; all-polluted falls back to
+    the plain median (never drops to an empty sample)."""
+    clean = [t for t, s in zip(times, steals) if s <= threshold]
+    return round(statistics.median(clean if clean else times), 3)
+
+
+def _reps_done(
+    times: list[float],
+    steals: list[int],
+    planned: int,
+    threshold: int = STEAL_CLEAN_JIFFIES,
+) -> bool:
+    """Stop once `planned` clean reps exist, hard-capped at 2x
+    `planned` total reps so a permanent storm cannot loop forever."""
+    clean = sum(1 for s in steals if s <= threshold)
+    return len(times) >= planned and (
+        clean >= planned or len(times) >= 2 * planned
+    )
+
+
 def _warmup_dir(sf_dir: str, sf: float) -> str | None:
     """Smallest sibling sf* directory below the measured scale — the
     codegen-warmup input (derived from the layout, not hardcoded:
@@ -145,19 +181,6 @@ def main() -> None:
                 print(f"WARN warmup {name} failed: {e}", file=sys.stderr)
             spark.catalog.clearCache()
 
-    # A rep whose steal delta exceeds this is co-tenant-polluted (a
-    # clean rep on this sandbox reads < ~100 jiffies; storms read
-    # thousands and cost ~3x wall — SCALE.md).  Polluted reps are
-    # RETRIED, bounded at 2x the planned rep count, and every rep
-    # (polluted included) stays in the detail artifact; the reported
-    # median is over the clean reps when any exist.  On a calm host
-    # this is byte-identical to the old median-of-reps; in a storm it
-    # reports the same number of CLEAN reps instead of letting
-    # co-tenant weather masquerade as a regression (r8: a stormed run
-    # measured the build median at 39.2 s with clean reps of 15.0 s
-    # sitting right next to it).
-    STEAL_CLEAN_JIFFIES = 300
-
     def _timed_reps(run, planned: int) -> tuple[list[float], list[int], float]:
         times: list[float] = []
         steals: list[int] = []
@@ -171,15 +194,9 @@ def main() -> None:
             # them so each rep (and later queries) measures its own
             # work, not heap pressure from earlier ones.
             spark.catalog.clearCache()
-            clean = [
-                t for t, s in zip(times, steals) if s <= STEAL_CLEAN_JIFFIES
-            ]
-            if len(times) >= planned and (
-                len(clean) >= planned or len(times) >= 2 * planned
-            ):
+            if _reps_done(times, steals, planned):
                 break
-        med = statistics.median(clean if clean else times)
-        return times, steals, round(med, 3)
+        return times, steals, _clean_median(times, steals)
 
     raw: dict[str, list[float]] = {}
     steal: dict[str, list[int]] = {}
@@ -245,18 +262,11 @@ def main() -> None:
         times_b.append(round(time.time() - t0, 3))
         steals_b.append(_read_steal() - s0)
         spark.catalog.clearCache()
-        clean_b = [
-            t for t, s in zip(times_b, steals_b) if s <= STEAL_CLEAN_JIFFIES
-        ]
-        if len(times_b) >= graph_reps and (
-            len(clean_b) >= graph_reps or len(times_b) >= 2 * graph_reps
-        ):
+        if _reps_done(times_b, steals_b, graph_reps):
             break
     raw["graph_build_770x6000"] = times_b
     steal["graph_build_770x6000"] = steals_b
-    timings["graph_build_770x6000"] = round(
-        statistics.median(clean_b if clean_b else times_b), 3
-    )
+    timings["graph_build_770x6000"] = _clean_median(times_b, steals_b)
     build_min = round(min(times_b), 3)
 
     total = round(sum(timings.values()), 3)

@@ -62,3 +62,24 @@ def test_compact_line_stays_parseable():
         }
     )
     assert len(line) <= 1500, f"compact bench line {len(line)} B > 1.5 KB budget"
+
+
+def test_steal_retry_rule():
+    """The steal-aware rep policy is a pure function: clean median
+    ignores polluted reps, falls back when all are polluted, and the
+    stop rule caps at 2x planned."""
+    from bench import _clean_median, _reps_done
+
+    # storm on reps 1-2, clean 3-5: median over the clean three
+    times = [39.2, 54.1, 15.0, 14.4, 13.1]
+    steals = [11206, 7152, 69, 33, 24]
+    assert _clean_median(times, steals) == 14.4
+    # all polluted: plain median, never an empty sample
+    assert _clean_median([10.0, 20.0, 30.0], [999, 999, 999]) == 20.0
+    # stop: 3 planned, 3 clean -> done
+    assert _reps_done([1, 1, 1], [0, 0, 0], 3)
+    # 3 planned, one polluted -> keep going
+    assert not _reps_done([1, 1, 1], [0, 999, 0], 3)
+    # hard cap at 2x planned even if never clean
+    assert _reps_done([1] * 6, [999] * 6, 3)
+    assert not _reps_done([1] * 5, [999] * 5, 3)
