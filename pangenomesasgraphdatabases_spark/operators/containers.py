@@ -28,6 +28,16 @@ _MP4_CONTAINERS = frozenset(
     b"moov trak mdia minf stbl edts dinf udta mvex moof traf mfra".split()
 )
 
+# Box types a valid BMFF payload may LEAD with (ftyp/styp/moov plus the
+# free-space escapes 14496-12 §8.1.2 allows anywhere).  Shared between
+# probe_mp4's validity check and multimodal.probe_containers's magic
+# sniffer so the two can never disagree about what is probe-able
+# (ADVICE r8: free/skip/wide-leading payloads were parsed here but
+# sniffed as 'raw' upstream).
+MP4_LEADING_BOXES = frozenset(
+    b"ftyp styp moov free skip wide".split()
+)
+
 
 def parse_mp4_boxes(
     data: bytes, start: int = 0, end: int | None = None
@@ -95,14 +105,7 @@ def probe_mp4(data: bytes) -> dict:
     handler/codec/geometry/sample counts.  Pure metadata — no sample
     data is touched.  Raises ValueError when the payload is not BMFF
     or lacks the mandatory ftyp/moov boxes."""
-    if len(data) < 12 or data[4:8] not in (
-        b"ftyp",
-        b"styp",
-        b"moov",
-        b"free",
-        b"skip",
-        b"wide",
-    ):
+    if len(data) < 12 or data[4:8] not in MP4_LEADING_BOXES:
         raise ValueError("not an ISO-BMFF payload (no leading ftyp/moov)")
     top = parse_mp4_boxes(data)
     ftyp = _find(top, b"ftyp")
@@ -127,6 +130,11 @@ def probe_mp4(data: bytes) -> dict:
         else:
             timescale, duration = struct.unpack(">II", data[p + 8 : p + 16])
         out["timescale"] = timescale
+        # Raw integer duration in timescale units ALONGSIDE the rounded
+        # float seconds: exact-integer consumers (duration_usec hashes)
+        # must not round-trip through the float (ADVICE r8 — lossless
+        # for fixture ranges but silently rounding-error-bound).
+        out["duration_units"] = duration
         out["duration_sec"] = round(duration / timescale, 6) if timescale else None
     for trak in (b for b in moov["children"] if b["type"] == b"trak"):
         t: dict = {
@@ -136,6 +144,7 @@ def probe_mp4(data: bytes) -> dict:
             "width": None,
             "height": None,
             "timescale": None,
+            "duration_units": None,
             "duration_sec": None,
             "n_samples": None,
         }
@@ -159,6 +168,7 @@ def probe_mp4(data: bytes) -> dict:
                 else:
                     ts, dur = struct.unpack(">II", data[p + 8 : p + 16])
                 t["timescale"] = ts
+                t["duration_units"] = dur
                 t["duration_sec"] = round(dur / ts, 6) if ts else None
             hdlr = _find(mdia["children"], b"hdlr")
             if hdlr is not None:
@@ -342,6 +352,11 @@ def probe_ogg(data: bytes) -> dict:
                 (p["granule"] for p in s_pages if p["granule"] >= 0),
                 default=None,
             ),
+            # Raw integer sample count at granule_rate, pre-skip
+            # adjusted — exact-integer consumers use these instead of
+            # round-tripping duration_sec (ADVICE r8).
+            "duration_samples": None,
+            "granule_rate": None,
             "duration_sec": None,
         }
         first = pkts[0] if pkts else b""
@@ -349,7 +364,9 @@ def probe_ogg(data: bytes) -> dict:
             info["codec"] = "vorbis"
             info["channels"] = first[11]
             (info["sample_rate"],) = struct.unpack("<I", first[12:16])
-            if info["last_granule"] and info["sample_rate"]:
+            if info["last_granule"] is not None and info["sample_rate"]:
+                info["duration_samples"] = info["last_granule"]
+                info["granule_rate"] = info["sample_rate"]
                 info["duration_sec"] = round(
                     info["last_granule"] / info["sample_rate"], 6
                 )
@@ -360,8 +377,12 @@ def probe_ogg(data: bytes) -> dict:
             # input_sample_rate is informational; granules are 48 kHz.
             (info["sample_rate"],) = struct.unpack("<I", first[12:16])
             if info["last_granule"] is not None:
+                info["duration_samples"] = max(
+                    info["last_granule"] - pre_skip, 0
+                )
+                info["granule_rate"] = 48_000
                 info["duration_sec"] = round(
-                    max(info["last_granule"] - pre_skip, 0) / 48_000.0, 6
+                    info["duration_samples"] / 48_000.0, 6
                 )
         elif first.startswith(b"\x80theora"):
             info["codec"] = "theora"

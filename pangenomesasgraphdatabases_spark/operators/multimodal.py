@@ -433,7 +433,10 @@ def probe_containers(media: DataFrame) -> DataFrame:
     Arrow batch."""
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         from pangenomesasgraphdatabases_spark.operators.containers import (
+            MP4_LEADING_BOXES,
             probe_mp4,
             probe_ogg,
         )
@@ -449,56 +452,66 @@ def probe_containers(media: DataFrame) -> DataFrame:
                     rows[f.name].append(kw.get(f.name))
 
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
-                if not b:
-                    emit(mid, container="empty")
-                elif b[:4] == b"OggS":
-                    probe = probe_ogg(bytes(b))
-                    s = probe["streams"][0] if probe["streams"] else {}
-                    rate = s.get("sample_rate")
-                    granule_rate = (
-                        48_000 if s.get("codec") == "opus" else rate
-                    )
-                    dur = s.get("duration_sec")
-                    emit(
-                        mid,
-                        container="ogg",
-                        codec=s.get("codec"),
-                        n_streams=len(probe["streams"]),
-                        sample_rate=rate,
-                        channels=s.get("channels"),
-                        n_units=s.get("n_packets"),
-                        duration_usec=(
-                            None
-                            if dur is None or not granule_rate
-                            else int(round(dur * granule_rate))
-                            * 1_000_000
-                            // granule_rate
-                        ),
-                        crc_failures=s.get("crc_failures"),
-                    )
-                elif len(b) >= 12 and b[4:8] in (b"ftyp", b"styp", b"moov"):
-                    probe = probe_mp4(bytes(b))
-                    t = probe["tracks"][0] if probe["tracks"] else {}
-                    ts = probe.get("timescale")
-                    dur = probe.get("duration_sec")
-                    emit(
-                        mid,
-                        container="mp4",
-                        codec=t.get("codec"),
-                        n_streams=len(probe["tracks"]),
-                        width=t.get("width"),
-                        height=t.get("height"),
-                        sample_rate=t.get("timescale"),
-                        n_units=t.get("n_samples"),
-                        duration_usec=(
-                            None
-                            if dur is None or not ts
-                            else int(round(dur * ts)) * 1_000_000 // ts
-                        ),
-                        crc_failures=0,
-                    )
-                else:
-                    emit(mid, container="raw")
+                # This operator magic-sniffs ARBITRARY payloads, so a
+                # garbage payload that happens to lead with OggS/ftyp
+                # must yield a 'corrupt' row, never fail the Spark
+                # stage (ADVICE r8).
+                try:
+                    if not b:
+                        emit(mid, container="empty")
+                    elif b[:4] == b"OggS":
+                        probe = probe_ogg(bytes(b))
+                        s = (
+                            probe["streams"][0] if probe["streams"] else {}
+                        )
+                        raw = s.get("duration_samples")
+                        grate = s.get("granule_rate")
+                        emit(
+                            mid,
+                            container="ogg",
+                            codec=s.get("codec"),
+                            n_streams=len(probe["streams"]),
+                            sample_rate=s.get("sample_rate"),
+                            channels=s.get("channels"),
+                            n_units=s.get("n_packets"),
+                            duration_usec=(
+                                None
+                                if raw is None or not grate
+                                else raw * 1_000_000 // grate
+                            ),
+                            crc_failures=s.get("crc_failures"),
+                        )
+                    elif len(b) >= 12 and b[4:8] in MP4_LEADING_BOXES:
+                        probe = probe_mp4(bytes(b))
+                        t = probe["tracks"][0] if probe["tracks"] else {}
+                        ts = probe.get("timescale")
+                        raw = probe.get("duration_units")
+                        emit(
+                            mid,
+                            container="mp4",
+                            codec=t.get("codec"),
+                            n_streams=len(probe["tracks"]),
+                            width=t.get("width"),
+                            height=t.get("height"),
+                            sample_rate=t.get("timescale"),
+                            n_units=t.get("n_samples"),
+                            duration_usec=(
+                                None
+                                if raw is None or not ts
+                                else raw * 1_000_000 // ts
+                            ),
+                            crc_failures=0,
+                        )
+                    else:
+                        emit(mid, container="raw")
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    _struct.error,
+                    IndexError,
+                    KeyError,
+                ):
+                    emit(mid, container="corrupt")
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(rows["media_id"], dtype="int64"),

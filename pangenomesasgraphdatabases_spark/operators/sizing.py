@@ -1,0 +1,57 @@
+"""Input-stat-driven shuffle sizing.
+
+AQE can COALESCE small shuffle partitions but never SPLITS oversized
+ones (absent join skew), so the configured width is a hard ceiling on
+parallelism-per-byte: at 30x graph scale, 32 initial partitions left
+~4.3M rows/partition and the build went memory-bound (346.7 s vs
+181.6 s at 256 — SCALE.md r8).  The same ceiling put
+``doc_jaccard_containment``'s 10->30 slope at 3.7x per x3 data
+(VERDICT r8 #4).
+
+The remedy a 100 TB deployment applies — size the shuffle width from
+the input volume — is expressed here as a pure helper so plans can
+self-size from a cheap row-count statistic instead of relying on a
+session-wide env knob.  The helper is deliberately conservative:
+
+* never BELOW the session's configured width (small inputs keep the
+  small-scale-tuned plan byte-identical — no behavior change at test
+  scale);
+* never above ``cap`` (a runaway estimate must not create millions of
+  tiny shuffle files — the classic too-many-partitions failure mode);
+* target rows/partition defaults to 1M, comfortably inside executor
+  memory for the slim (key, id) posting frames this sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+# Explicit widths chosen by this helper are user-specified
+# repartitions, which AQE respects (no coalesce back down) — so the
+# cap guards against file-explosion at estimate blowups.
+DEFAULT_TARGET_ROWS = 1_000_000
+DEFAULT_CAP = 4096
+
+
+def sized_shuffle_width(
+    n_rows: int | None,
+    floor: int,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    cap: int = DEFAULT_CAP,
+) -> int:
+    """Shuffle width for a frame of ``n_rows``: ceil(n/target),
+    clamped to [floor, cap].  ``None``/non-positive counts (empty
+    input, missing stats) fall back to ``floor`` — never guess wide
+    without evidence."""
+    if not n_rows or n_rows <= 0:
+        return floor
+    return max(floor, min(cap, math.ceil(n_rows / target_rows)))
+
+
+def session_shuffle_floor(spark) -> int:
+    """The session's configured shuffle width — the floor below which
+    sizing never shrinks a plan (keeps small-scale plans unchanged)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200  # Spark's own default

@@ -1407,13 +1407,11 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return real_decode_integer_features(synthesize_media(ids))
 
 
-# r9-READY, intentionally UNREGISTERED (registry growth paused until
-# the never-driver-checked sweep completes — VERDICT r7 #3): the
-# container-probe query and its DuckDB oracle, pre-validated end to
-# end by tests/test_containers.py::test_media_container_probe_oracle.
-# Registration in r9 = wrap with @register(..., oracle=
-# MEDIA_CONTAINER_PROBE_ORACLE) and add the name to
-# QUEUED_AFTER_FREEZE if the r9 window is already frozen.
+# Registered in r9 while composing the window (VERDICT r8 #1): built
+# and oracle-pre-validated in r8 (tests/test_containers.py::
+# test_media_container_probe_oracle), held back only by the registry
+# growth pause; it takes the window slot right after the
+# never-driver-checked sweep tail.
 MEDIA_CONTAINER_PROBE_ORACLE = """
     WITH ids AS (
         SELECT doc_id AS media_id, doc_id % 3 AS kind FROM documents
@@ -1447,6 +1445,11 @@ MEDIA_CONTAINER_PROBE_ORACLE = """
 """
 
 
+@register(
+    "media_container_probe",
+    oracle=MEDIA_CONTAINER_PROBE_ORACLE,
+    tags=("ext-multimodal", "container"),
+)
 def media_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container probing, driver-hashable: every doc_id % 4 == 1
     seeds a deterministic MP4 / Opus-in-Ogg / Vorbis-in-Ogg container
@@ -2598,7 +2601,19 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to doc_ngram_jaccard_dedup's inverted
     index (docfreq-pruned, never all-pairs); the direction expansion
-    is a map-side 2x of the intersecting-pairs frame only."""
+    is a map-side 2x of the intersecting-pairs frame only.  The
+    posting self-join is SIZED from the posting count (r9, VERDICT r8
+    #4): the fixed session shuffle width capped this query's 10->30x
+    slope at 3.7x per x3 data, so when the docfreq stats say the
+    posting frame outgrows ~1M rows/partition, ``inv`` is explicitly
+    hash-repartitioned on the join key — both join inputs then
+    already satisfy the join's distribution (no further exchange) and
+    the width scales with the data instead of the config."""
+    from pangenomesasgraphdatabases_spark.operators.sizing import (
+        session_shuffle_floor,
+        sized_shuffle_width,
+    )
+
     sh = (
         shingles_of(table(spark, sf_dir, "documents"))
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
@@ -2612,10 +2627,22 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
+    # Cheap scalar over the (cached-shingle) docfreq agg: the posting
+    # count the pruned inverted index will have.
+    n_post_row = (
+        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP))
+        .agg(F.sum("df").alias("n"))
+        .collect()[0]
+    )
+    floor = session_shuffle_floor(spark)
+    width = sized_shuffle_width(n_post_row["n"], floor)
     inv = sh.join(
         dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
         "shingle",
-    ).cache()
+    )
+    if width > floor:
+        inv = inv.repartition(width, "shingle")
+    inv = inv.cache()
     inter = (
         inv.select(F.col("doc_id").alias("doc1"), "shingle")
         .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")

@@ -15,8 +15,23 @@ def get_spark(
     app_name: str = "pangenome-spark",
     cpus: str | int | None = None,
     shuffle_partitions: int | None = None,
+    initial_partitions: int | None = None,
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    # AQE initial width precedence (ADVICE r8: the env var silently
+    # overrode an explicitly passed width and could leak across
+    # same-process get_spark calls): explicit initial_partitions arg >
+    # explicit shuffle_partitions arg > SPARK_GRAFT_INITIAL_PARTITIONS
+    # env (harness-level knob for callers that can't thread an arg) >
+    # the 32 small-scale default.
+    if initial_partitions is not None:
+        initial = initial_partitions
+    elif shuffle_partitions is not None:
+        initial = shuffle_partitions
+    else:
+        initial = int(
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "32")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -39,7 +54,7 @@ def get_spark(
         # its data, and the session default stays small-scale-tuned.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions or 32)),
+            str(initial),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

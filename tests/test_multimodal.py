@@ -681,3 +681,41 @@ def test_container_probe_non_container_payloads(spark):
     out = probe_containers(media).collect()
     assert len(out) == 10
     assert all(r.container == "raw" and r.codec is None for r in out)
+
+
+def test_container_probe_corrupt_payloads(spark):
+    """Adversarial payloads that PASS the magic sniff but fail the
+    parse yield container='corrupt' rows instead of failing the Spark
+    stage (ADVICE r8), and free/skip/wide-leading BMFF payloads are
+    sniffed as probe-able via the shared MP4_LEADING_BOXES set."""
+    import struct
+
+    from pangenomesasgraphdatabases_spark.operators.containers import (
+        encode_minimal_mp4,
+    )
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        probe_containers,
+    )
+
+    good = encode_minimal_mp4(width=32, height=16, n_samples=12)
+    payloads = [
+        (0, b"OggS" + b"\x00" * 3),                 # truncated Ogg header
+        (1, b"OggS" + bytes(range(256)) * 4),       # garbage after magic
+        (2, struct.pack(">I", 2**31) + b"ftypisom"),  # absurd box size
+        (3, b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"),  # no moov
+        # free-box-led payload: strip good's ftyp, prepend free+ftyp
+        (4, b"\x00\x00\x00\x08free" + good),
+        (5, good),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in payloads],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in probe_containers(df).collect()}
+    assert len(rows) == 6
+    for mid in (0, 1, 2, 3):
+        assert rows[mid].container == "corrupt", rows[mid]
+    for mid in (4, 5):
+        assert rows[mid].container == "mp4"
+        assert (rows[mid].width, rows[mid].height) == (32, 16)
+        assert rows[mid].n_units == 12

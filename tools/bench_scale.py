@@ -121,14 +121,15 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--graph-only"]
     graph_only = "--graph-only" in sys.argv[1:]
     reps = int(args[0]) if args else 2
-    if graph_only:
-        # Size the initial shuffle width to the graph scale (AQE
-        # coalesces back down; it never splits) — the same sizing a
-        # real deployment does per input volume.  At 138M features
-        # (30x) 32 initial partitions go memory-bound: 346.7s build
-        # vs 181.6s at 256 (SCALE.md r8).  Explicit env overrides win.
-        os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTITIONS", "256")
-    spark = get_spark("pangenome-scale-bench")
+    # Size the initial shuffle width to the graph scale (AQE coalesces
+    # back down; it never splits) — the same sizing a real deployment
+    # does per input volume.  At 138M features (30x) 32 initial
+    # partitions go memory-bound: 346.7s build vs 181.6s at 256
+    # (SCALE.md r8).  Passed as an explicit argument (ADVICE r8: the
+    # setdefault-into-os.environ pattern leaked into later get_spark
+    # calls in the same process); env still overrides for sweeps.
+    initial = int(os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256")) if graph_only else None
+    spark = get_spark("pangenome-scale-bench", initial_partitions=initial)
     registry = all_queries()
     clear = spark.catalog.clearCache
 
