@@ -102,9 +102,13 @@ def _fullbox_fields(data: bytes, box: dict) -> tuple[int, int]:
 
 def probe_mp4(data: bytes) -> dict:
     """Probe an ISO-BMFF payload: brands, movie duration, per-track
-    handler/codec/geometry/sample counts.  Pure metadata — no sample
-    data is touched.  Raises ValueError when the payload is not BMFF
-    or lacks the mandatory ftyp/moov boxes."""
+    handler/codec/geometry/sample counts.  Fragmented files (§8.8)
+    are first-class: trun sample counts accumulate into each track's
+    ``n_samples``, ``n_fragments`` counts the moof boxes, and a
+    zero mvhd duration falls back to mvex/mehd's fragment_duration.
+    Pure metadata — no sample data is touched.  Raises ValueError
+    when the payload is not BMFF or lacks the mandatory ftyp/moov
+    boxes."""
     if len(data) < 12 or data[4:8] not in MP4_LEADING_BOXES:
         raise ValueError("not an ISO-BMFF payload (no leading ftyp/moov)")
     top = parse_mp4_boxes(data)
@@ -188,6 +192,41 @@ def probe_mp4(data: bytes) -> dict:
                     _, p = _fullbox_fields(data, stsz)
                     t["n_samples"] = struct.unpack(">I", data[p + 4 : p + 8])[0]
         out["tracks"].append(t)
+
+    # Movie fragments (14496-12 §8.8, fMP4/CMAF): samples live in
+    # moof/traf/trun, not the (empty) moov sample tables; the movie
+    # duration lives in mvex/mehd because mvhd's is 0.
+    frag_samples: dict[int, int] = {}
+    moofs = [b for b in top if b["type"] == b"moof"]
+    for moof in moofs:
+        for traf in (b for b in moof["children"] if b["type"] == b"traf"):
+            tfhd = _find(traf["children"], b"tfhd")
+            if tfhd is None:
+                continue
+            _, p = _fullbox_fields(data, tfhd)
+            (track_id,) = struct.unpack(">I", data[p : p + 4])
+            for trun in (b for b in traf["children"] if b["type"] == b"trun"):
+                _, p = _fullbox_fields(data, trun)
+                (n,) = struct.unpack(">I", data[p : p + 4])
+                frag_samples[track_id] = frag_samples.get(track_id, 0) + n
+    out["n_fragments"] = len(moofs)
+    if frag_samples:
+        for t in out["tracks"]:
+            t["n_samples"] = (t["n_samples"] or 0) + frag_samples.get(
+                t["track_id"], 0
+            )
+    if not out.get("duration_units"):
+        mvex = _find(moov["children"], b"mvex")
+        mehd = mvex and _find(mvex["children"], b"mehd")
+        if mehd is not None:
+            ver, p = _fullbox_fields(data, mehd)
+            if ver == 1:
+                (dur,) = struct.unpack(">Q", data[p : p + 8])
+            else:
+                (dur,) = struct.unpack(">I", data[p : p + 4])
+            out["duration_units"] = dur
+            ts = out.get("timescale")
+            out["duration_sec"] = round(dur / ts, 6) if ts else None
     return out
 
 
@@ -503,6 +542,138 @@ def encode_minimal_mp4(
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def encode_minimal_fragmented_mp4(
+    width: int = 64,
+    height: int = 48,
+    fragment_samples: tuple[int, ...] = (10, 10, 10),
+    timescale: int = 600,
+    sample_duration: int = 20,
+    codec: bytes = b"avc1",
+) -> bytes:
+    """A minimal spec-valid FRAGMENTED MP4 (14496-12 §8.8): ftyp +
+    moov whose sample tables are EMPTY (all samples live in movie
+    fragments) with an mvex/mehd+trex, then one moof(mfhd, traf(tfhd,
+    trun)) + mdat pair per entry of ``fragment_samples``, closed by an
+    mfra(tfra, mfro).  mvhd/mdhd durations are 0 — for fMP4 the movie
+    duration is mvex/mehd's fragment_duration, exactly as real
+    packagers (CMAF/DASH segmenters) write it.  mdat bytes are fake;
+    probing never reads them."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def fullbox(btype: bytes, ver: int, flags: int, payload: bytes) -> bytes:
+        return box(btype, struct.pack(">I", (ver << 24) | flags) + payload)
+
+    total_samples = sum(fragment_samples)
+    total_duration = total_samples * sample_duration
+    sample_size = 16
+
+    ftyp = box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5" + b"mp41")
+    mvhd = fullbox(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, 0)  # duration 0: see mehd
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + bytes(10)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    tkhd = fullbox(
+        b"tkhd",
+        0,
+        7,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)
+        + bytes(4)
+        + struct.pack(">I", 0)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = fullbox(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, 0)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = fullbox(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12) + b"frag\x00")
+    entry = (
+        struct.pack(">I", 8 + 78)
+        + codec
+        + bytes(6)
+        + struct.pack(">H", 1)
+        + bytes(16)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + bytes(4)
+        + struct.pack(">H", 1)
+        + bytes(32)
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    # Empty sample tables: every sample lives in a fragment.
+    stts = fullbox(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = fullbox(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = fullbox(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = fullbox(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = box(
+        b"dinf",
+        fullbox(
+            b"dref", 0, 0, struct.pack(">I", 1) + fullbox(b"url ", 0, 1, b"")
+        ),
+    )
+    vmhd = fullbox(b"vmhd", 0, 1, bytes(8))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    mehd = fullbox(b"mehd", 0, 0, struct.pack(">I", total_duration))
+    trex = fullbox(
+        b"trex",
+        0,
+        0,
+        struct.pack(">IIIII", 1, 1, sample_duration, sample_size, 0),
+    )
+    mvex = box(b"mvex", mehd + trex)
+    moov = box(b"moov", mvhd + trak + mvex)
+
+    out = ftyp + moov
+    for seq, n in enumerate(fragment_samples, start=1):
+        mfhd = fullbox(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd flag 0x020000: default-base-is-moof (CMAF style).
+        tfhd = fullbox(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        # trun flag 0x1: data-offset present; sizes/durations come
+        # from the trex defaults.
+        trun = fullbox(b"trun", 0, 0x000001, struct.pack(">Ii", n, 0))
+        traf = box(b"traf", tfhd + trun)
+        moof = box(b"moof", mfhd + traf)
+        # Fix up the trun data_offset to point at the mdat payload
+        # (relative to moof start under default-base-is-moof).
+        data_offset = len(moof) + 8
+        trun = fullbox(
+            b"trun", 0, 0x000001, struct.pack(">Ii", n, data_offset)
+        )
+        traf = box(b"traf", tfhd + trun)
+        moof = box(b"moof", mfhd + traf)
+        mdat = box(b"mdat", bytes(range(16)) * n)
+        out += moof + mdat
+    # mfra: one tfra with zero entries + the mandatory trailing mfro.
+    tfra = fullbox(
+        b"tfra", 0, 0, struct.pack(">III", 1, 0, 0)
+    )
+    mfro_size = 8 + len(tfra) + 8 + 4 + 4  # mfra hdr + tfra + mfro
+    mfra = box(b"mfra", tfra + fullbox(b"mfro", 0, 0, struct.pack(">I", mfro_size)))
+    return out + mfra
 
 
 def encode_minimal_opus_ogg(

@@ -13,6 +13,7 @@ import pytest
 
 from pangenomesasgraphdatabases_spark.operators.containers import (
     build_ogg_page,
+    encode_minimal_fragmented_mp4,
     encode_minimal_mp4,
     encode_minimal_opus_ogg,
     encode_minimal_vorbis_ogg,
@@ -335,3 +336,77 @@ def test_media_container_probe_oracle(spark):
     to_tuple = lambda row: tuple(row.asDict()[c] for c in cols)
     assert sorted(map(to_tuple, got)) == sorted(expected)
     assert len(got) > 0
+
+
+# --- Fragmented MP4 (14496-12 §8.8; VERDICT r8 #6) ---------------------------
+
+
+def test_fragmented_mp4_box_structure():
+    data = encode_minimal_fragmented_mp4(fragment_samples=(7, 8, 9))
+    top = [b["type"] for b in parse_mp4_boxes(data)]
+    assert top == [
+        b"ftyp", b"moov",
+        b"moof", b"mdat", b"moof", b"mdat", b"moof", b"mdat",
+        b"mfra",
+    ]
+    moov = parse_mp4_boxes(data)[1]
+    assert [b["type"] for b in moov["children"]] == [b"mvhd", b"trak", b"mvex"]
+    mvex = moov["children"][2]
+    assert [b["type"] for b in mvex["children"]] == [b"mehd", b"trex"]
+    mfra = parse_mp4_boxes(data)[-1]
+    assert [b["type"] for b in mfra["children"]] == [b"tfra", b"mfro"]
+
+
+def test_fragmented_mp4_probe_roundtrip():
+    """Fragment-level sample counts and the mehd movie duration round-
+    trip through probe_mp4: n_samples sums the trun counts across all
+    moof fragments (the moov sample tables are empty), n_fragments
+    counts the moofs, and the 0 mvhd duration falls back to
+    mvex/mehd's fragment_duration."""
+    data = encode_minimal_fragmented_mp4(
+        width=320,
+        height=180,
+        fragment_samples=(7, 8, 9),
+        timescale=1000,
+        sample_duration=40,
+    )
+    info = probe_mp4(data)
+    assert info["brand"] == "iso5"
+    assert info["n_fragments"] == 3
+    assert info["timescale"] == 1000
+    assert info["duration_units"] == (7 + 8 + 9) * 40
+    assert info["duration_sec"] == pytest.approx(24 * 40 / 1000)
+    (track,) = info["tracks"]
+    assert track["codec"] == "avc1"
+    assert (track["width"], track["height"]) == (320, 180)
+    assert track["n_samples"] == 7 + 8 + 9
+
+
+def test_fragmented_mp4_through_container_probe(spark):
+    """The Spark-side probe_containers path reports fMP4 payloads with
+    fragment-derived n_units and exact mehd-based duration_usec."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        probe_containers,
+    )
+
+    data = encode_minimal_fragmented_mp4(
+        width=640,
+        height=360,
+        fragment_samples=(12, 13),
+        timescale=600,
+        sample_duration=25,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "media_id long, payload binary"
+    )
+    (row,) = probe_containers(df).collect()
+    assert row.container == "mp4"
+    assert row.codec == "avc1"
+    assert (row.width, row.height) == (640, 360)
+    assert row.n_units == 25
+    assert row.duration_usec == 25 * 25 * 1_000_000 // 600
+
+
+def test_unfragmented_probe_reports_zero_fragments():
+    info = probe_mp4(encode_minimal_mp4())
+    assert info["n_fragments"] == 0

@@ -174,8 +174,18 @@ def compare_frames(spdf, dpdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:]) or None
+    # --out PATH: archive the per-query results as JSON (VERDICT r8
+    # #7 — "251/251 at HEAD" claims become a committed artifact, e.g.
+    # ORACLE_r09.json, instead of a COVERAGE.md sentence).
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:]) or None
+    ledger: dict[str, dict] = {}
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -204,11 +214,21 @@ def main():
             spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            ledger[name] = {
+                "status": "fail",
+                "err": f"spark error: {e}"[:500],
+                "sec": round(time.time() - t0, 1),
+            }
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only) — {len(spdf)} rows "
                   f"[{time.time()-t0:.1f}s]")
+            ledger[name] = {
+                "status": "rows_only",
+                "rows": len(spdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_noracle += 1
             continue
         try:
@@ -218,6 +238,11 @@ def main():
             dpdf = rel.df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            ledger[name] = {
+                "status": "fail",
+                "err": f"duckdb error: {e}"[:500],
+                "sec": round(time.time() - t0, 1),
+            }
             n_fail += 1
             continue
         problems = []
@@ -236,11 +261,38 @@ def main():
         problems += compare_frames(spdf, dpdf)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            ledger[name] = {
+                "status": "fail",
+                "rows": len(spdf),
+                "err": "; ".join(problems)[:500],
+                "sec": round(time.time() - t0, 1),
+            }
             n_fail += 1
         else:
             print(f"PASS {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
+            ledger[name] = {
+                "status": "pass",
+                "rows": len(spdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_noracle,
+                    "queries": ledger,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"ledger -> {out_path}")
     sys.exit(1 if n_fail else 0)
 
 
