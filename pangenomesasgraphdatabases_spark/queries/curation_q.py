@@ -406,3 +406,72 @@ def doc_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((rk - 1) % _KFOLD).cast("bigint").alias("fold"),
         rk.cast("bigint").alias("shuffle_rank"),
     )
+
+
+@register(
+    "doc_token_budget_mixture",
+    oracle="""
+    WITH tok AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE)))
+                   AS BIGINT) AS wgt
+        FROM tok
+    ),
+    tot AS (SELECT sum(wgt) AS z FROM w)
+    SELECT source, n_docs, n_tokens,
+           CAST(wgt * 1000000 // t.z AS BIGINT) AS mix_micro,
+           CAST(wgt * 1000000000 // t.z AS BIGINT) AS alloc_tokens_1b
+    FROM w CROSS JOIN tot t
+    """,
+    tags=("ext-curation", "mixture", "sampling"),
+)
+def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted token-budget allocation across sources
+    (extension — the mixture step of a pretraining pipeline: sources
+    are sampled ∝ share^T rather than raw share, so long-tail domains
+    are up-weighted; T = 0.5, the sqrt smoothing multilingual recipes
+    standardized).  Emits per-source raw token counts, the smoothed
+    mixture weight in exact micros, and the allocation of a 1 B-token
+    budget.
+
+    Cross-engine exactness: sqrt of an integer-valued double is
+    IEEE-754 correctly-rounded (bit-identical in Spark and DuckDB,
+    unlike pow(x, 0.7)), and floor pins it to a BIGINT weight, so the
+    whole computation after the token count is integer arithmetic —
+    no float-sum ordering can shift the hash.
+
+    Scale shape: one shuffle on `source` with map-side partial
+    counts; the per-source frame (thousands of rows at web scale) is
+    scalar-joined via broadcast."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = tok.withColumn(
+        "wgt",
+        F.floor(F.sqrt((F.col("n_tokens") * 1_000_000).cast("double"))).cast(
+            "bigint"
+        ),
+    )
+    tot = w.agg(F.sum("wgt").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(wgt * 1000000L div z AS BIGINT)").alias("mix_micro"),
+            F.expr("CAST(wgt * 1000000000L div z AS BIGINT)").alias(
+                "alloc_tokens_1b"
+            ),
+        )
+    )

@@ -3876,3 +3876,86 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("budget_burn_ppm"),
     )
+
+
+@register(
+    "events_freshness_lag",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type,
+               ((event_id % 100003) * 7919) % 5000 AS lag_ms
+        FROM events
+    ),
+    sized AS (
+        SELECT event_type, lag_ms,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY lag_ms) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM lagged
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lag_ms END)
+               AS BIGINT) AS p50_ms,
+           CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_ms END)
+               AS BIGINT) AS p95_ms,
+           CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN lag_ms END)
+               AS BIGINT) AS p99_ms,
+           CAST(max(lag_ms) AS BIGINT) AS max_ms
+    FROM sized GROUP BY event_type
+    """,
+    tags=("ext-events", "observability", "percentile"),
+)
+def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-freshness lag percentiles per event type (extension —
+    the pipeline-observability rollup every streaming ingest runs:
+    how stale is data when it lands, p50/p95/p99/max).  The events
+    table carries no arrival timestamp, so lag is derived
+    deterministically from the event id (a fixed mixing congruence,
+    identical arithmetic in both engines) — the PERCENTILE MACHINERY
+    is the operator under test.
+
+    Exact discrete percentiles, engine-independently: both sides
+    compute index = ceil(q*n) IN INTEGER ARITHMETIC ((n*95+99)//100,
+    never float q*n whose ulp placement DuckDB's percentile_disc and
+    Spark's percentile() resolve differently) and pick that row of
+    the per-group sort.  The value at a sorted index is well-defined
+    under ties, so the window tie-order is irrelevant.
+
+    Scale shape: one shuffle on event_type; the per-group sort is the
+    windowed rank (at 100 TB with few types and giant groups the same
+    statistic rides approx_percentile or a two-pass histogram — this
+    exact form is the oracle-checkable contract)."""
+    e = table(spark, sf_dir, "events")
+    lagged = e.select(
+        "event_type",
+        (((F.col("event_id") % 100003) * 7919) % 5000).alias("lag_ms"),
+    )
+    w = Window.partitionBy("event_type").orderBy("lag_ms")
+    wc = Window.partitionBy("event_type")
+    sized = lagged.select(
+        "event_type",
+        "lag_ms",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    pick = lambda expr: F.max(expr).cast("bigint")
+    return sized.groupBy("event_type").agg(
+        pick(F.col("n")).alias("n_events"),
+        pick(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lag_ms"))
+        ).alias("p50_ms"),
+        pick(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) div 100"),
+                F.col("lag_ms"),
+            )
+        ).alias("p95_ms"),
+        pick(
+            F.when(
+                F.col("rn") == F.expr("(n * 99 + 99) div 100"),
+                F.col("lag_ms"),
+            )
+        ).alias("p99_ms"),
+        pick(F.col("lag_ms")).alias("max_ms"),
+    )

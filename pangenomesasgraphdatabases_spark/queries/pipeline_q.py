@@ -1230,3 +1230,81 @@ def doc_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame
 doc_shard_assignment_balanced.__doc__ = doc_shard_assignment_balanced.__doc__.replace(
     "{k}", str(_N_SHARDS)
 )
+
+
+@register(
+    "doc_token_snake_shards",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+                   AS rk
+        FROM tok
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN rk % {2 * _N_SHARDS} < {_N_SHARDS}
+                    THEN rk % {2 * _N_SHARDS}
+                    ELSE {2 * _N_SHARDS - 1} - rk % {2 * _N_SHARDS}
+                    END AS BIGINT) AS shard
+        FROM ranked
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens
+            FROM assigned)
+    SELECT a.shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(a.n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(sum(a.n_tokens) * {_N_SHARDS} * 1000000
+                // min(t.all_tokens) AS BIGINT) AS load_ppm_of_even
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.shard
+    """,
+    tags=("ext-pipeline", "sharding", "output-layout"),
+)
+def doc_token_snake_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted SNAKE (boustrophedon) shard assignment
+    (extension — the refinement over round-robin dealing: on a
+    size-sorted order, round-robin always hands shard 0 the largest
+    document of every round, a systematic heavy-shard bias; snaking
+    the deal direction every pass cancels it, the same trick
+    tournament seeding uses).  Load reported in exact ppm of the even
+    split — comparable side by side with
+    ``doc_shard_assignment_balanced``'s round-robin ppm.
+
+    Scale shape: same as the round-robin variant — one global
+    size-rank sort (range-partitioned rank via operators/prefix at
+    petabyte scale), then a pure-map assignment and a 16-row
+    rollup."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("n_tokens"), "doc_id")
+    rk = F.row_number().over(w) - 1
+    fold = rk % (2 * _N_SHARDS)
+    assigned = d.select(
+        "n_tokens",
+        F.when(fold < _N_SHARDS, fold)
+        .otherwise(F.lit(2 * _N_SHARDS - 1) - fold)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    tot = assigned.agg(F.sum("n_tokens").cast("bigint").alias("all_tokens"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.expr(
+                f"sum(n_tokens) * {_N_SHARDS}L * 1000000L div min(all_tokens)"
+            )
+            .cast("bigint")
+            .alias("load_ppm_of_even"),
+        )
+    )

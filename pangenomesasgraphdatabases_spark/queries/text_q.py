@@ -3463,3 +3463,88 @@ def doc_bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_nll_e4"),
         )
     )
+
+
+@register(
+    "doc_prefix_canonical_pick",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               array_to_string(
+                   list_slice(string_split(trim(text), ' '), 1, 5), ' ')
+                   AS prefix_key
+        FROM documents
+    ),
+    grouped AS (
+        SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM keyed GROUP BY prefix_key HAVING count(*) > 1
+    )
+    SELECT g.prefix_key, g.n_members,
+           min(k.doc_id) AS canonical_doc_id,
+           g.max_chars,
+           CAST(g.total_chars - g.max_chars AS BIGINT) AS chars_saved
+    FROM grouped g JOIN keyed k
+      ON k.prefix_key = g.prefix_key AND k.n_chars = g.max_chars
+    GROUP BY g.prefix_key, g.n_members, g.max_chars, g.total_chars
+    """,
+    tags=("ext-text", "dedup", "canonical"),
+)
+def doc_prefix_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection inside duplicate clusters
+    (extension — the step AFTER dedup finds groups: pipelines keep
+    one representative per cluster, by convention the longest
+    member with a deterministic tie-break, and account the bytes the
+    drop saves).  Clusters here are shared-5-word-prefix groups — the
+    boilerplate signature (mirrors/templated pages share openings
+    long before they share full text).  Emits one row per multi-member
+    cluster: size, the canonical pick (longest member, ties to the
+    smallest doc_id), and exact chars_saved.
+
+    Scale shape: one shuffle on the prefix key with map-side partial
+    aggs; the multi-member cluster frame is small by construction
+    (duplication rate × corpus) and broadcasts back onto the keyed
+    frame for the canonical argmax — the training corpus itself is
+    never joined pairwise."""
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.array_join(F.slice(F.split(F.trim("text"), " "), 1, 5), " ").alias(
+            "prefix_key"
+        ),
+    )
+    grouped = (
+        keyed.groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    g = grouped.select(
+        F.col("prefix_key").alias("g_prefix_key"),
+        "n_members",
+        "max_chars",
+        "total_chars",
+    )
+    return (
+        keyed.join(
+            F.broadcast(g),
+            (keyed["prefix_key"] == g["g_prefix_key"])
+            & (keyed["n_chars"] == g["max_chars"]),
+        )
+        .groupBy("g_prefix_key", "n_members", "max_chars", "total_chars")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+        .select(
+            F.col("g_prefix_key").alias("prefix_key"),
+            "n_members",
+            "canonical_doc_id",
+            "max_chars",
+            (F.col("total_chars") - F.col("max_chars"))
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+    )
