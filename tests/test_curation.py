@@ -127,3 +127,62 @@ def test_kfold_balanced_within_every_source(spark):
         assert set(folds) <= set(range(5))
         assert max(folds.values()) - min(folds.values()) <= 1, src
     assert len(a) == 500
+
+
+def test_token_budget_mixture_properties(spark):
+    """Temperature-0.5 smoothing: weights sum to ~1e6 micros (floor
+    slack < n_sources), the allocation is monotone in token count,
+    and smoothing compresses the spread vs raw shares (the point of
+    the temperature)."""
+    from pangenomesasgraphdatabases_spark.queries.curation_q import (
+        doc_token_budget_mixture,
+    )
+
+    rows = doc_token_budget_mixture(spark, SF).collect()
+    total_micro = sum(r.mix_micro for r in rows)
+    assert 1_000_000 - len(rows) <= total_micro <= 1_000_000
+    by_tokens = sorted(rows, key=lambda r: (r.n_tokens, r.source))
+    mixes = [r.mix_micro for r in by_tokens]
+    assert mixes == sorted(mixes)
+    # smoothing: smoothed share of the largest source is BELOW its raw
+    # share; of the smallest source, above (strictly, when unequal).
+    tot_tokens = sum(r.n_tokens for r in rows)
+    big, small = by_tokens[-1], by_tokens[0]
+    if big.n_tokens != small.n_tokens:
+        assert big.mix_micro * tot_tokens < big.n_tokens * 1_000_000
+        assert small.mix_micro * tot_tokens > small.n_tokens * 1_000_000
+
+
+def test_prefix_canonical_pick_is_longest_member(spark):
+    """Every reported canonical doc belongs to its prefix cluster,
+    has the cluster's max length, and chars_saved equals the bytes of
+    the dropped members."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_prefix_canonical_pick,
+    )
+
+    got = doc_prefix_canonical_pick(spark, SF).collect()
+    assert got, "sf0.01 corpus has prefix clusters"
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.array_join(
+                F.slice(F.split(F.trim("text"), " "), 1, 5), " "
+            ).alias("k"),
+        )
+        .collect()
+    )
+    clusters: dict[str, list] = {}
+    for d in docs:
+        clusters.setdefault(d.k, []).append(d)
+    for r in got:
+        members = clusters[r.prefix_key]
+        assert r.n_members == len(members) and len(members) > 1
+        best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
+        assert r.max_chars == best.n_chars
+        assert r.canonical_doc_id == min(
+            m.doc_id for m in members if m.n_chars == r.max_chars
+        )
+        assert r.chars_saved == sum(m.n_chars for m in members) - r.max_chars

@@ -383,3 +383,73 @@ def test_snapshot_diff_is_change_sized_and_consistent(spark):
     assert got == {
         "removed": want_removed, "changed": want_changed, "added": want_added,
     }
+
+
+def test_snake_shards_balance_beats_round_robin(spark):
+    """The boustrophedon deal must spread total tokens across shards
+    at least as evenly as round-robin on the same ranked order (the
+    bias it exists to remove), and cover all 16 shards."""
+    from pangenomesasgraphdatabases_spark.queries.pipeline_q import (
+        _N_SHARDS,
+        doc_token_snake_shards,
+    )
+
+    rows = doc_token_snake_shards(spark, SF).collect()
+    assert len(rows) == _N_SHARDS
+    snake_loads = sorted(r.shard_tokens for r in rows)
+    snake_spread = snake_loads[-1] - snake_loads[0]
+
+    # round-robin reference on the identical ranking
+    from pyspark.sql import Window
+
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("t"),
+        )
+    )
+    w = Window.orderBy(F.desc("t"), "doc_id")
+    rr = (
+        d.select("t", ((F.row_number().over(w) - 1) % _N_SHARDS).alias("s"))
+        .groupBy("s")
+        .agg(F.sum("t").alias("load"))
+        .collect()
+    )
+    rr_loads = sorted(r.load for r in rr)
+    rr_spread = rr_loads[-1] - rr_loads[0]
+    assert snake_spread <= rr_spread
+    # conservation: both deals partition the same token total
+    assert sum(snake_loads) == sum(rr_loads)
+
+
+def test_freshness_lag_percentiles_match_sorted_index(spark):
+    """The integer ceil-index formula must pick exactly the
+    ceil(q*n)-th smallest lag per group (checked against a plain
+    python sort of the same derived lags)."""
+    import math
+
+    from pangenomesasgraphdatabases_spark.queries.events_q import (
+        events_freshness_lag,
+    )
+
+    got = {r.event_type: r for r in events_freshness_lag(spark, SF).collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "event_id")
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(
+            ((r.event_id % 100003) * 7919) % 5000
+        )
+    for etype, lags in by_type.items():
+        lags.sort()
+        n = len(lags)
+        row = got[etype]
+        assert row.n_events == n
+        assert row.p50_ms == lags[math.ceil(n * 50 / 100) - 1]
+        assert row.p95_ms == lags[math.ceil(n * 95 / 100) - 1]
+        assert row.p99_ms == lags[math.ceil(n * 99 / 100) - 1]
+        assert row.max_ms == lags[-1]

@@ -118,8 +118,16 @@ def _time_reps(fn, reps: int, clear) -> list[float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--graph-only"]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--graph-only", "--tables-only")
+    ]
     graph_only = "--graph-only" in sys.argv[1:]
+    # --tables-only: skip the graph-build/RGP section (targeted
+    # re-measures of individual table queries shouldn't pay the
+    # multi-minute 770xN graph legs).
+    tables_only = "--tables-only" in sys.argv[1:]
     reps = int(args[0]) if args else 2
     # Size the initial shuffle width to the graph scale (AQE coalesces
     # back down; it never splits) — the same sizing a real deployment
@@ -211,6 +219,10 @@ def main() -> None:
             out["rgp_steal"].append(_read_steal() - s0)
             clear()
         return out
+
+    if tables_only:
+        print(json.dumps({"metric": "scale_10x", "results": results}))
+        return
 
     small = run_graph(*GRAPH_SMALL, reps)
     big = run_graph(*GRAPH_BIG, reps)
