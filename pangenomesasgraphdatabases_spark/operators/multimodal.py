@@ -539,10 +539,13 @@ def probe_containers(media: DataFrame) -> DataFrame:
 
 def synthesize_container_media(ids: DataFrame) -> DataFrame:
     """Deterministic MP4/Ogg container fixtures from an integer id
-    frame (column ``media_id``), by ``kind = id % 3``: MP4 (0),
-    Opus-in-Ogg (1), Vorbis-in-Ogg (2).  All parameters are pure id
-    arithmetic so an SQL oracle can recompute every probed fact from
-    the id alone:
+    frame (column ``media_id``), by ``kind = (id // 4) % 4``
+    (id-arithmetic that still cycles when callers seed ids from a
+    fixed residue class mod 4): MP4 (0),
+    Opus-in-Ogg (1), Vorbis-in-Ogg (2), FRAGMENTED MP4 (3 — the
+    CMAF/DASH shape: empty moov tables, moof/mdat pairs, mehd
+    duration).  All parameters are pure id arithmetic so an SQL
+    oracle can recompute every probed fact from the id alone:
 
     * MP4: ``w = 16*(1 + id%20)``, ``h = 16*(1 + id%12)``,
       ``n = 10 + id%50`` samples, timescale 600, duration ``20*n``
@@ -551,12 +554,17 @@ def synthesize_container_media(ids: DataFrame) -> DataFrame:
       (→ duration_usec = 960*p*1e6//48000);
     * Vorbis: rate ``(8000,22050,44100,48000)[id%4]``, channels
       ``1 + id%2``, ``p = 2 + id%5`` packets of 512 samples
-      (→ duration_usec = 512*p*1e6//rate).
+      (→ duration_usec = 512*p*1e6//rate);
+    * fMP4: ``w = 16*(1 + id%10)``, ``h = 16*(1 + id%8)``,
+      ``2 + id%4`` fragments × ``5 + id%7`` samples, timescale 1000,
+      sample_duration 30 (→ n_units = frags*s,
+      duration_usec = frags*s*30*1e6//1000).
 
     Executor-side mapInPandas; the driver never sees a payload."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pangenomesasgraphdatabases_spark.operators.containers import (
+            encode_minimal_fragmented_mp4,
             encode_minimal_mp4,
             encode_minimal_opus_ogg,
             encode_minimal_vorbis_ogg,
@@ -567,8 +575,21 @@ def synthesize_container_media(ids: DataFrame) -> DataFrame:
             mids, mts, payloads, mws, mhs = [], [], [], [], []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                kind = mid % 3
-                if kind == 0:
+                kind = (mid // 4) % 4
+                if kind == 3:
+                    # Fragmented MP4 (CMAF shape): n_frag fragments of
+                    # s samples each; duration via mvex/mehd.
+                    w, h = 16 * (1 + mid % 10), 16 * (1 + mid % 8)
+                    n_frag, s = 2 + mid % 4, 5 + mid % 7
+                    payload = encode_minimal_fragmented_mp4(
+                        width=w,
+                        height=h,
+                        fragment_samples=(s,) * n_frag,
+                        timescale=1000,
+                        sample_duration=30,
+                    )
+                    mt, mw, mh = "video/mp4", w, h
+                elif kind == 0:
                     w, h = 16 * (1 + mid % 20), 16 * (1 + mid % 12)
                     n = 10 + mid % 50
                     payload = encode_minimal_mp4(

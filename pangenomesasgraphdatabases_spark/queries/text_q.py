@@ -1414,31 +1414,37 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never-driver-checked sweep tail.
 MEDIA_CONTAINER_PROBE_ORACLE = """
     WITH ids AS (
-        SELECT doc_id AS media_id, doc_id % 3 AS kind FROM documents
+        SELECT doc_id AS media_id, (doc_id // 4) % 4 AS kind FROM documents
         WHERE doc_id % 4 = 1
     )
     SELECT media_id,
-           CASE kind WHEN 0 THEN 'mp4' ELSE 'ogg' END AS container,
-           CASE kind WHEN 0 THEN 'avc1' WHEN 1 THEN 'opus'
-                ELSE 'vorbis' END AS codec,
+           CASE WHEN kind IN (0, 3) THEN 'mp4' ELSE 'ogg' END AS container,
+           CASE kind WHEN 1 THEN 'opus' WHEN 2 THEN 'vorbis'
+                ELSE 'avc1' END AS codec,
            CAST(1 AS INTEGER) AS n_streams,
-           CAST(CASE kind WHEN 0 THEN 16 * (1 + media_id % 20) END
+           CAST(CASE kind WHEN 0 THEN 16 * (1 + media_id % 20)
+                WHEN 3 THEN 16 * (1 + media_id % 10) END
                 AS INTEGER) AS width,
-           CAST(CASE kind WHEN 0 THEN 16 * (1 + media_id % 12) END
+           CAST(CASE kind WHEN 0 THEN 16 * (1 + media_id % 12)
+                WHEN 3 THEN 16 * (1 + media_id % 8) END
                 AS INTEGER) AS height,
-           CAST(CASE kind WHEN 0 THEN 600 WHEN 1 THEN 48000
+           CAST(CASE kind WHEN 0 THEN 600 WHEN 1 THEN 48000 WHEN 3 THEN 1000
                 ELSE [8000, 22050, 44100, 48000][1 + media_id % 4]
                 END AS INTEGER) AS sample_rate,
            CAST(CASE kind WHEN 1 THEN 2
                 WHEN 2 THEN 1 + media_id % 2 END AS INTEGER) AS channels,
            CAST(CASE kind WHEN 0 THEN 10 + media_id % 50
                 WHEN 1 THEN (3 + media_id % 6) + 2
-                ELSE (2 + media_id % 5) + 3 END AS INTEGER) AS n_units,
+                WHEN 2 THEN (2 + media_id % 5) + 3
+                ELSE (2 + media_id % 4) * (5 + media_id % 7)
+                END AS INTEGER) AS n_units,
            CAST(CASE kind
                 WHEN 0 THEN (20 * (10 + media_id % 50) * 1000000) // 600
                 WHEN 1 THEN (960 * (3 + media_id % 6) * 1000000) // 48000
-                ELSE (512 * (2 + media_id % 5) * 1000000)
+                WHEN 2 THEN (512 * (2 + media_id % 5) * 1000000)
                      // ([8000, 22050, 44100, 48000][1 + media_id % 4])
+                ELSE ((2 + media_id % 4) * (5 + media_id % 7) * 30 * 1000000)
+                     // 1000
                 END AS BIGINT) AS duration_usec,
            CAST(0 AS INTEGER) AS crc_failures
     FROM ids

@@ -641,9 +641,19 @@ def test_container_probe_through_spark(spark):
     rates = (8_000, 22_050, 44_100, 48_000)
     for mid in range(60):
         r = rows[mid]
-        kind = mid % 3
+        kind = (mid // 4) % 4
         assert r.crc_failures == 0
-        if kind == 0:
+        if kind == 3:
+            n_frag, s = 2 + mid % 4, 5 + mid % 7
+            assert r.container == "mp4"
+            assert r.codec == "avc1"
+            assert (r.width, r.height) == (
+                16 * (1 + mid % 10),
+                16 * (1 + mid % 8),
+            )
+            assert r.n_units == n_frag * s
+            assert r.duration_usec == n_frag * s * 30 * 1_000_000 // 1000
+        elif kind == 0:
             n = 10 + mid % 50
             assert r.container == "mp4"
             assert r.codec == "avc1"
