@@ -145,14 +145,19 @@ def _reps_done(
 # shows index >> 1 alongside uniformly slow queries (drift), while a
 # real regression moves queries but not the index.
 #
-# CALIBRATION_REF_SEC was measured on a calm r9 host (steal 1-31
-# jiffies across probe reps, local[32], two 5-rep sessions after a
-# JIT warm rep: mins 0.847 / 0.787) — the FIXED denominator; do NOT
-# re-measure it per run or the index degenerates to 1.0 by
-# construction.  Calibrated for the DRIVER SHAPE (local[32]): an
-# ad-hoc run with SPARK_GRAFT_CPUS=8 reads ~1.5 from thread count
-# alone, so compare indices only between same-shape runs.
-CALIBRATION_REF_SEC = 0.82
+# CALIBRATION_REF_SEC is the calm-host BENCH-CONTEXT floor: the best
+# probe inside a full r9 driver-shape run (local[32], steal 0-2
+# jiffies on every probe rep, post-bench probe reps
+# [1.286, 0.663, 0.555]).  The in-bench JVM is far deeper JIT-warmed
+# than a fresh session (fresh-session mins read 0.79-0.85, ~1.5x),
+# which is why the probe runs at BOTH ends and the index uses the
+# best — by the post-probe the JIT state is reproducible
+# run-to-run.  FIXED denominator; do NOT re-measure per run or the
+# index degenerates to 1.0 by construction.  Calibrated for the
+# DRIVER SHAPE: an ad-hoc run with SPARK_GRAFT_CPUS=8 reads ~2x from
+# thread count alone, so compare indices only between same-shape
+# runs.
+CALIBRATION_REF_SEC = 0.56
 CALIBRATION_ROWS = 10_000_000
 
 
