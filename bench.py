@@ -81,6 +81,10 @@ HEADLINE = [
     "order_basket_pairs",
     "interval_sweep_concurrency",
     "events_hll_distinct",
+    # r9: the posting self-join got in-plan width sizing this round
+    # (operators/sizing); headline-tracked so a future sizing
+    # regression is visible round-over-round.
+    "doc_jaccard_containment",
 ]
 
 

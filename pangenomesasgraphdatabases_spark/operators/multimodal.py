@@ -406,6 +406,7 @@ CONTAINER_PROBE_SCHEMA = T.StructType(
         T.StructField("container", T.StringType(), True),
         T.StructField("codec", T.StringType(), True),
         T.StructField("n_streams", T.IntegerType(), True),
+        T.StructField("n_fragments", T.IntegerType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
@@ -491,6 +492,7 @@ def probe_containers(media: DataFrame) -> DataFrame:
                             container="mp4",
                             codec=t.get("codec"),
                             n_streams=len(probe["tracks"]),
+                            n_fragments=probe.get("n_fragments"),
                             width=t.get("width"),
                             height=t.get("height"),
                             sample_rate=t.get("timescale"),
@@ -518,6 +520,9 @@ def probe_containers(media: DataFrame) -> DataFrame:
                     "container": pd.Series(rows["container"], dtype="object"),
                     "codec": pd.Series(rows["codec"], dtype="object"),
                     "n_streams": pd.Series(rows["n_streams"], dtype="Int32"),
+                    "n_fragments": pd.Series(
+                        rows["n_fragments"], dtype="Int32"
+                    ),
                     "width": pd.Series(rows["width"], dtype="Int32"),
                     "height": pd.Series(rows["height"], dtype="Int32"),
                     "sample_rate": pd.Series(

@@ -1422,6 +1422,9 @@ MEDIA_CONTAINER_PROBE_ORACLE = """
            CASE kind WHEN 1 THEN 'opus' WHEN 2 THEN 'vorbis'
                 ELSE 'avc1' END AS codec,
            CAST(1 AS INTEGER) AS n_streams,
+           CAST(CASE kind WHEN 0 THEN 0
+                WHEN 3 THEN 2 + media_id % 4 END
+                AS INTEGER) AS n_fragments,
            CAST(CASE kind WHEN 0 THEN 16 * (1 + media_id % 20)
                 WHEN 3 THEN 16 * (1 + media_id % 10) END
                 AS INTEGER) AS width,

@@ -647,6 +647,7 @@ def test_container_probe_through_spark(spark):
             n_frag, s = 2 + mid % 4, 5 + mid % 7
             assert r.container == "mp4"
             assert r.codec == "avc1"
+            assert r.n_fragments == n_frag
             assert (r.width, r.height) == (
                 16 * (1 + mid % 10),
                 16 * (1 + mid % 8),
