@@ -859,6 +859,62 @@ def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_tokenizer_fertility",
+    oracle=f"""
+    WITH counted AS (
+        SELECT lang,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text,
+                   '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS bpe,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(bpe) * 1000000 // sum(ws) AS BIGINT)
+               AS fertility_micro,
+           CAST(sum(n_chars) * 1000000 // sum(bpe) AS BIGINT)
+               AS chars_per_bpe_micro
+    FROM counted GROUP BY lang
+    """,
+    tags=("ext-text", "tokens", "bpe", "fertility"),
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (extension — the
+    tokenizer-efficiency audit a multilingual pretraining pipeline
+    runs: BPE tokens per whitespace word.  High-fertility languages
+    pay more compute per word and get shorter effective context;
+    the table drives per-language budget corrections alongside
+    ``doc_token_budget_mixture``).  Exact integers end to end: corpus
+    sums of the same per-doc counts ``doc_token_count_bpe`` bills by,
+    ratios in integer micros.
+
+    Scale shape: regexp counting is map-side JVM work; one shuffle on
+    ``lang`` with map-side partial sums — a 100 TB corpus reduces to
+    a languages-count row frame."""
+    d = table(spark, sf_dir, "documents")
+    counted = d.select(
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("ws"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("bigint").alias("bpe"),
+        "n_chars",
+    )
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("n_ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.expr("CAST(sum(bpe) * 1000000L div sum(ws) AS BIGINT)").alias(
+            "fertility_micro"
+        ),
+        F.expr("CAST(sum(n_chars) * 1000000L div sum(bpe) AS BIGINT)").alias(
+            "chars_per_bpe_micro"
+        ),
+    )
+
+
 _RH_P = 2_147_483_647  # rolling-hash modulus (2^31 - 1)
 
 
