@@ -35,19 +35,34 @@ def normalize_events(raw: DataFrame) -> DataFrame:
       micros-truncated timestamp.
     - TIMESTAMP(MICROS) (current testdata, arrives as TIMESTAMP_NTZ or
       TIMESTAMP): ts is the column itself, ts_ns = unix_micros * 1000.
-      The session timezone is pinned to UTC (session.get_spark), so the
-      NTZ->TZ cast is the identity on the underlying micros and ts_ns
-      is timezone-independent — matching DuckDB's naive epoch(ts).
+
+    SESSION-TIMEZONE PROOFING (r9, caught by tools/probe_env.py): a
+    bare NTZ->TZ cast interprets the stored wall time in the SESSION
+    timezone, so under a non-UTC driver session every epoch (and every
+    day-bucket boundary) would shift by the UTC offset —
+    events_error_budget_burn read 31 rows instead of 30 under an
+    America/New_York session.  The NTZ branch therefore re-anchors the
+    cast with from_utc_timestamp(.., current_timezone()), which is the
+    bit-exact identity under UTC and "treat the wall time as UTC"
+    under any other session timezone — matching DuckDB's naive
+    epoch(ts) everywhere.  (Instants inside a DST transition hour
+    could still shift by 1h under a DST session; the synthetic data
+    has none, and UTC sessions are unaffected.)
 
     Downstream queries only ever see (ts_ns BIGINT, ts TIMESTAMP)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(raw.schema["ts"].dataType, LongType):
         ts_ns = F.col("ts").alias("ts_ns")
         ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
     else:
-        ts_col = F.col("ts").cast("timestamp")
+        if isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+            ts_col = F.expr(
+                "from_utc_timestamp(cast(ts as timestamp), current_timezone())"
+            )
+        else:
+            ts_col = F.col("ts").cast("timestamp")
         ts_ns = (F.unix_micros(ts_col) * F.lit(1000)).alias("ts_ns")
         ts = ts_col.alias("ts")
     return raw.select(

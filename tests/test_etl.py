@@ -124,3 +124,28 @@ def test_etl_feeds_graph_build(etl, spark):
     g = build_graph(spark, etl.feature_nodes, etl.cluster_nodes.drop("feature_ids", "gene_family"))
     assert g.ortholog.count() == N_FEATURES
     assert g.clusters.filter("lonely_cluster").count() == 2
+
+
+def test_events_ts_ns_is_session_timezone_proof(spark):
+    """ts_ns must be the same epoch regardless of the session timezone
+    (r9, caught by tools/probe_env.py: the driver runs our queries
+    under ITS session — a bare NTZ cast shifted every epoch by the UTC
+    offset and moved day-bucket boundaries)."""
+    from pangenomesasgraphdatabases_spark.data import table
+
+    sf = "/root/testdata/sf0.001"
+    utc = {
+        r.event_id: r.ts_ns
+        for r in table(spark, sf, "events").select("event_id", "ts_ns").collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny = {
+            r.event_id: r.ts_ns
+            for r in table(spark, sf, "events")
+            .select("event_id", "ts_ns")
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert ny == utc
