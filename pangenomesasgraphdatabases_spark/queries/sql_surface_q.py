@@ -193,16 +193,28 @@ def string_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar bucketing (date_trunc month) compared as epoch seconds
-    (extension; the reference uses no date arithmetic — F15 note)."""
+    (extension; the reference uses no date arithmetic — F15 note).
+
+    month_start is pure DATE arithmetic (days-since-epoch * 86400),
+    never date->timestamp: date_trunc returns a LOCAL-midnight
+    timestamp, so unix_timestamp of it shifts by the session-timezone
+    offset under a non-UTC consumer session (r9, caught by
+    tools/probe_env.py) while DuckDB's epoch(DATE) is always UTC
+    midnight."""
     o = table(spark, sf_dir, "orders")
     return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        o.groupBy(F.trunc("o_orderdate", "month").alias("m"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
         )
         .select(
-            F.unix_timestamp("m").alias("month_start"), "n_orders", "month_revenue"
+            (
+                F.datediff(F.col("m"), F.lit("1970-01-01")).cast("bigint")
+                * 86400
+            ).alias("month_start"),
+            "n_orders",
+            "month_revenue",
         )
     )
 
