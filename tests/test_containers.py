@@ -410,3 +410,41 @@ def test_fragmented_mp4_through_container_probe(spark):
 def test_unfragmented_probe_reports_zero_fragments():
     info = probe_mp4(encode_minimal_mp4())
     assert info["n_fragments"] == 0
+
+
+def test_fragment_samples_accumulate_per_track_id():
+    """trun sample counts must land on the track their traf's tfhd
+    names — a moof referencing a foreign track id must not inflate
+    track 1's n_samples (multiplexed fMP4 shape), while n_fragments
+    counts every moof."""
+
+    def fullbox(btype, ver, flags, payload):
+        return (
+            struct.pack(">I", 12 + len(payload))
+            + btype
+            + struct.pack(">I", (ver << 24) | flags)
+            + payload
+        )
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    data = encode_minimal_fragmented_mp4(fragment_samples=(6, 7))
+    # Append a third moof whose traf names track id 7 (no such trak
+    # in moov) with 99 samples, plus its mdat.
+    mfhd = fullbox(b"mfhd", 0, 0, struct.pack(">I", 3))
+    tfhd = fullbox(b"tfhd", 0, 0x020000, struct.pack(">I", 7))
+    trun = fullbox(b"trun", 0, 0x000001, struct.pack(">Ii", 99, 0))
+    moof = box(b"moof", mfhd + box(b"traf", tfhd + trun))
+    mdat = box(b"mdat", b"\x00" * 16)
+    # Splice before the trailing mfra so the box walk stays valid.
+    boxes = parse_mp4_boxes(data)
+    mfra = boxes[-1]
+    assert mfra["type"] == b"mfra"
+    spliced = data[: mfra["offset"]] + moof + mdat + data[mfra["offset"] :]
+
+    info = probe_mp4(spliced)
+    assert info["n_fragments"] == 3
+    (track,) = info["tracks"]
+    assert track["track_id"] == 1
+    assert track["n_samples"] == 6 + 7  # the foreign 99 never lands
