@@ -3879,6 +3879,92 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_freshness_lag",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type,
+               ((event_id % 100003) * 7919) % 5000 AS lag_ms
+        FROM events
+    ),
+    sized AS (
+        SELECT event_type, lag_ms,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY lag_ms) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM lagged
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lag_ms END)
+               AS BIGINT) AS p50_ms,
+           CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_ms END)
+               AS BIGINT) AS p95_ms,
+           CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN lag_ms END)
+               AS BIGINT) AS p99_ms,
+           CAST(max(lag_ms) AS BIGINT) AS max_ms
+    FROM sized GROUP BY event_type
+    """,
+    tags=("ext-stream", "observability", "percentile", "streaming"),
+)
+def stream_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``events_freshness_lag`` — the
+    freshness-percentile rollup running where an ingest pipeline
+    actually needs it, as an incremental streaming query.  The
+    streaming stage maintains a per-(event_type, lag_ms) COUNT
+    histogram — the mergeable-sketch trick of the stream_hll/CMS
+    family: lag values are bounded (ms grid), so the state is a
+    bounded histogram that any shard/batch merges by addition,
+    instead of the unbounded raw-value buffer an exact streaming
+    percentile would otherwise hold.  The batch side then extracts
+    EXACT discrete percentiles from the materialized histogram:
+    value-at-index k = the smallest lag whose cumulative count
+    reaches k, with k = ceil(q*n) computed in integer arithmetic —
+    hash-identical to the batch twin's per-row derivation, so one
+    oracle serves both.
+
+    Scale shape: streaming state = (#types × ≤5000 lag buckets) rows
+    forever; the percentile extraction runs on that small frame."""
+    from pangenomesasgraphdatabases_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir).select(
+        "event_type",
+        (((F.col("event_id") % 100003) * 7919) % 5000).alias("lag_ms"),
+    )
+    hist_stream = stream.groupBy("event_type", "lag_ms").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hist = run_available_now(hist_stream, spark, output_mode="complete")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("lag_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "lag_ms",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def at_idx(idx_sql: str):
+        return F.min(
+            F.when(F.col("cum") >= F.expr(idx_sql), F.col("lag_ms"))
+        ).cast("bigint")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        at_idx("(n + 1) div 2").alias("p50_ms"),
+        at_idx("(n * 95 + 99) div 100").alias("p95_ms"),
+        at_idx("(n * 99 + 99) div 100").alias("p99_ms"),
+        F.max("lag_ms").cast("bigint").alias("max_ms"),
+    )
+
+
+@register(
     "events_freshness_lag",
     oracle="""
     WITH lagged AS (
