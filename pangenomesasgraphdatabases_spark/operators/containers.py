@@ -212,9 +212,14 @@ def probe_mp4(data: bytes) -> dict:
     out["n_fragments"] = len(moofs)
     if frag_samples:
         for t in out["tracks"]:
-            t["n_samples"] = (t["n_samples"] or 0) + frag_samples.get(
-                t["track_id"], 0
-            )
+            # Only tracks that actually carry fragment samples get the
+            # fragment total added; a track with no stsz AND no trun
+            # keeps n_samples=None ('unknown') rather than collapsing
+            # to 0.
+            if t["track_id"] in frag_samples:
+                t["n_samples"] = (t["n_samples"] or 0) + frag_samples[
+                    t["track_id"]
+                ]
     if not out.get("duration_units"):
         mvex = _find(moov["children"], b"mvex")
         mehd = mvex and _find(mvex["children"], b"mehd")

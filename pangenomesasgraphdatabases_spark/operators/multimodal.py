@@ -506,14 +506,23 @@ def probe_containers(media: DataFrame) -> DataFrame:
                         )
                     else:
                         emit(mid, container="raw")
-                except (
-                    ValueError,
-                    NotImplementedError,
-                    _struct.error,
-                    IndexError,
-                    KeyError,
-                ):
+                except (ValueError, NotImplementedError, _struct.error):
+                    # The parsers raise these (ValueError family) on
+                    # malformed input by design: expected 'corrupt'.
                     emit(mid, container="corrupt")
+                except (IndexError, KeyError) as exc:
+                    # NOT a documented parser failure mode on bad
+                    # input — likely a parser regression.  Keep the
+                    # stage alive (garbage payloads must never kill
+                    # the job) but carry the diagnostic in `codec` so
+                    # a regression on valid payloads stays visible
+                    # instead of silently reading as corrupt input
+                    # (ADVICE r9).
+                    emit(
+                        mid,
+                        container="probe_error",
+                        codec=f"{type(exc).__name__}: {exc}"[:120],
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(rows["media_id"], dtype="int64"),

@@ -1204,7 +1204,15 @@ def doc_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame
     (at petabyte scale it rides operators/prefix.global_cumsum's
     range-partitioned rank instead of a single-partition window —
     the same swap documented for the Gini rank); assignment is then
-    a pure map and the report a {k}-row rollup."""
+    a pure map and the report a {k}-row rollup.
+
+    Arithmetic bound (ADVICE r9): ``load_ppm_of_even`` multiplies the
+    per-shard sum by {k}*1e6 before dividing, so a per-shard sum above
+    ~5.7e11 (2^63 / 1.6e7) would overflow BIGINT — ~576 G chars/shard,
+    far above any realistic shard target (shards exist to be small);
+    a deployment sharding >500 GB per shard should divide first
+    (``sum div (all div {k})`` with remainder correction) at the cost
+    of one ulp of ppm precision."""
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.orderBy(F.desc("n_chars"), "doc_id")
     assigned = d.select(
@@ -1280,7 +1288,8 @@ def doc_token_snake_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same as the round-robin variant — one global
     size-rank sort (range-partitioned rank via operators/prefix at
     petabyte scale), then a pure-map assignment and a 16-row
-    rollup."""
+    rollup.  Same ppm-overflow bound as the round-robin variant:
+    per-shard token sums above ~5.7e11 need divide-before-scale."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens")
     )

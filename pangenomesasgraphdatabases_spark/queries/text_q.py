@@ -1517,8 +1517,9 @@ MEDIA_CONTAINER_PROBE_ORACLE = """
 )
 def media_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container probing, driver-hashable: every doc_id % 4 == 1
-    seeds a deterministic MP4 / Opus-in-Ogg / Vorbis-in-Ogg container
-    (kind = id % 3; operators/multimodal.synthesize_container_media),
+    seeds a deterministic MP4 / Opus-in-Ogg / Vorbis-in-Ogg /
+    fragmented-MP4 container (kind = (id // 4) % 4;
+    operators/multimodal.synthesize_container_media),
     built executor-side through the spec-valid fixture encoders and
     probed back through the pure byte-walk parsers
     (operators/containers: ISO-BMFF box tree, RFC 3533 page/packet
@@ -2673,7 +2674,15 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting frame outgrows ~1M rows/partition, ``inv`` is explicitly
     hash-repartitioned on the join key — both join inputs then
     already satisfy the join's distribution (no further exchange) and
-    the width scales with the data instead of the config."""
+    the width scales with the data instead of the config.
+
+    NOTE (ADVICE r9): the width sizing runs an EAGER posting-count
+    job (one shingle+docfreq aggregation) at plan-construction time
+    and leaves the shingle frame cached for the main job — building
+    this DataFrame is not free, and callers that enumerate plans
+    without executing them should expect one small Spark job here.
+    The caches are session-scoped; the test/bench harnesses reclaim
+    them via ``spark.catalog.clearCache()`` between queries."""
     from pangenomesasgraphdatabases_spark.operators.sizing import (
         session_shuffle_floor,
         sized_shuffle_width,
