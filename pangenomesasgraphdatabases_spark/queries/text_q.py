@@ -341,7 +341,9 @@ def band_frame(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs agreeing on at least one band.
 
     The band frame is cached before the self-join: both join sides
@@ -351,12 +353,41 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     (doc, band) — 16 rows per document regardless of document size, so
     the cache is always tiny relative to the corpus.
 
+    ``max_bucket`` (optional, default off) is the occupancy guard for
+    hot band buckets (VERDICT r9 #1): a bucket holding b docs yields
+    b^2/2 candidate rows, so one pathological bucket — near-identical
+    boilerplate that survives exact-dup collapse — can dominate the
+    join.  With the cap set, buckets above the limit are dropped from
+    candidate generation and REPORTED (count + total rows skipped) via
+    the module logger — never silently (a doc pair sharing any other
+    surviving band still surfaces, so recall degrades gracefully).
+    The oracled ``doc_lsh_near_dup_pairs`` runs capless — its guard is
+    exact-dup collapse, which keeps results bit-identical.
+
     Lifecycle (module policy above): the returned plan's lineage reads
     the cached frame, so it cannot be unpersisted here; across a
     multi-query run the per-query frames are dropped by the caller's
     clearCache between queries (bench.py, tools/check_oracle.py) and
     otherwise bounded by LRU eviction."""
     bands = band_frame(sig).cache()
+    if max_bucket is not None:
+        occ = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
+        hot = occ.filter(F.col("_n") > max_bucket).cache()
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("n_buckets"), F.sum("_n").alias("n_rows")
+        ).collect()[0]
+        if stats["n_buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping %d band bucket(s) over "
+                "max_bucket=%d (%d band rows skipped); pairs confined "
+                "to those buckets will not be candidates",
+                stats["n_buckets"],
+                max_bucket,
+                stats["n_rows"],
+            )
+        bands = bands.join(hot.select("band", "bh"), ["band", "bh"], "left_anti")
     a = bands.select(F.col("doc_id").alias("doc1"), "band", "bh")
     b = bands.select(F.col("doc_id").alias("doc2"), "band", "bh")
     return (
@@ -408,8 +439,29 @@ def doc_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates via a band-bucket join, exact shingle-Jaccard verifies
     them (extension).  Only candidate pairs pay the verification join;
     r1's single-band-of-one-hash variant had P(candidate) = J — too
-    leaky below and too lossy above the threshold (VERDICT r1)."""
-    sh = _shingles(spark, sf_dir).cache()
+    leaky below and too lossy above the threshold (VERDICT r1).
+
+    Hot-bucket guard (VERDICT r9 #1): exact-duplicate texts collapse
+    to their min-id representative BEFORE shingling
+    (operators/rep_collapse) — identical texts share every band, so a
+    g-member dup cluster otherwise costs O(g^2) band-join rows per
+    band; collapsed it costs one.  The rep-level verified pairs are
+    then expanded back to the full all-pairs contract: cross pairs
+    inherit the rep pair's (n_common, jaccard) — Jaccard depends only
+    on content — and within-group pairs are emitted directly with
+    n_common = the group's shingle count and jaccard = 1.0 (groups
+    with zero shingles emit nothing, exactly as the uncollapsed join
+    produced nothing for signature-less docs).  Output is
+    bit-identical to the uncollapsed plan; the driver oracle pins it."""
+    from pangenomesasgraphdatabases_spark.operators.rep_collapse import (
+        collapse_exact,
+        expand_cross_pairs,
+        within_group_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep_docs, members = collapse_exact(d, "doc_id", F.md5("text"))
+    sh = shingles_of(rep_docs).cache()
     cand = lsh_candidate_pairs(minhash_sig_of(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
@@ -425,11 +477,26 @@ def doc_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("n_common")
     )
-    return (
+    rep_pairs = (
         inter.join(z1, "doc1")
         .join(z2, "doc2")
         .select("doc1", "doc2", "n_common", F.round(jac, 4).alias("jaccard"))
     )
+    cross = expand_cross_pairs(rep_pairs, members, "doc1", "doc2")
+    within = (
+        within_group_pairs(members, "doc1", "doc2")
+        .join(
+            sizes.select(F.col("doc_id").alias("_rep"), "sz"),
+            "_rep",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            F.col("sz").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # 64-bit SimHash as four 16-bit vote groups (group g reads md5 hex
@@ -2211,8 +2278,26 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deploys at web scale — candidates shuffle on block value (4
     emissions per doc), never the pair space; a hot block (all-zero
     signatures from empty docs) is the skew watch item, handled by
-    salting that one key if it appears."""
-    sig = simhash_of(table(spark, sf_dir, "documents")).cache()
+    salting that one key if it appears.
+
+    Hot-bucket guard (VERDICT r9 #1): exact-duplicate texts collapse
+    to one representative before signatures (operators/rep_collapse) —
+    a g-member dup cluster shares all four blocks, so uncollapsed it
+    costs O(g^2) block-join rows; collapsed it costs one.  Expansion
+    restores the all-pairs contract: cross pairs inherit the rep
+    pair's Hamming distance (content-determined), within-group pairs
+    are Hamming 0 by identity (every doc gets a signature — even
+    empty text yields one '' token — so no group is signature-less).
+    Bit-identical to the uncollapsed plan; the driver oracle pins it."""
+    from pangenomesasgraphdatabases_spark.operators.rep_collapse import (
+        collapse_exact,
+        expand_cross_pairs,
+        within_group_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep_docs, members = collapse_exact(d, "doc_id", F.md5("text"))
+    sig = simhash_of(rep_docs).cache()
     blocks = None
     for g in range(_SIMHASH_GROUPS):
         part = sig.select(
@@ -2236,12 +2321,17 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sa"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sb"))
     ham = simhash_hamming(F.col("sa"), F.col("sb"))
-    return (
+    rep_pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(ham <= _SH_MAXD)
         .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
     )
+    cross = expand_cross_pairs(rep_pairs, members, "doc_a", "doc_b")
+    within = within_group_pairs(members, "doc_a", "doc_b").select(
+        "doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming")
+    )
+    return cross.unionByName(within)
 
 
 @register(

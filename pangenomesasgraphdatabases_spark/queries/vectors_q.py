@@ -368,8 +368,27 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — pair recall 0.90 at the threshold on the random sf0.01
     corpus (higher on genuinely duplicated data: a true near-dup pair
     agrees on almost every hyperplane).  The exact all-pairs baseline
-    remains available as emb_cosine_near_dup_exact (size-gated)."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    remains available as emb_cosine_near_dup_exact (size-gated).
+
+    Hot-bucket guard (VERDICT r9 #1): bit-identical embeddings
+    collapse to their min-id representative before hashing
+    (operators/rep_collapse; the group key is the raw float array —
+    exact equality, no hash-collision risk) — identical vectors share
+    every (table, bucket), so a g-member dup cluster otherwise costs
+    O(g^2) bucket-join rows per table.  Expansion restores the
+    all-pairs contract: cross pairs inherit the rep pair's cosine
+    (content-determined), within-group pairs get the representative's
+    self-cosine computed through the SAME dot/norm expression and
+    threshold as the pair path — ~1.0 for any non-zero vector, NULL
+    (filtered, matching the uncollapsed plan) for a zero vector."""
+    from pangenomesasgraphdatabases_spark.operators.rep_collapse import (
+        collapse_exact,
+        expand_cross_pairs,
+        within_group_pairs,
+    )
+
+    e0 = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e, members = collapse_exact(e0, "vec_id", F.col("embedding"))
     sig = _sig_frame(e)
     a = sig.select(F.col("vec_id").alias("vec1"), "tbl", "bucket")
     b = sig.select(F.col("vec_id").alias("vec2"), "tbl", "bucket")
@@ -382,13 +401,26 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ae = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
     be = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
     cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
-    return (
+    rep_pairs = (
         cand.join(ae, "vec1")
         .join(be, "vec2")
         .select("vec1", "vec2", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .select("vec1", "vec2", F.round("cosine", 4).alias("cosine"))
     )
+    self_cos = _dot(F.col("embedding"), F.col("embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("embedding"))
+    )
+    rep_self = (
+        e.select(F.col("vec_id").alias("_rep"), self_cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .select("_rep", F.round("cosine", 4).alias("cosine"))
+    )
+    cross = expand_cross_pairs(rep_pairs, members, "vec1", "vec2")
+    within = within_group_pairs(members, "vec1", "vec2").join(
+        rep_self, "_rep"
+    ).select("vec1", "vec2", "cosine")
+    return cross.unionByName(within)
 
 
 def emb_cosine_near_dup_exact(
