@@ -172,3 +172,250 @@ def etl_genbank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature_id",
         "product",
     )
+
+
+_GF_GENOME_COLS = [f"S0{i}" for i in range(1, 9)]  # fixture strain columns
+_GF_CLEANED = ", ".join(
+    f"replace(regexp_replace(\"{c}\", '[()]', '', 'g'), ':', ';')"
+    for c in _GF_GENOME_COLS
+)
+_FP48_DUCK = "CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+_ETL_E2E_ORACLE = f"""
+    WITH coords AS (
+        SELECT Name, Start, "End", Length, Type AS FeatureType,
+               CAST(Strand AS VARCHAR) AS Strand, Product,
+               regexp_extract(filename, '([^/]+?)\\.[^/]*$', 1) AS Strain
+        FROM read_csv('{RAW}/co-ords/*.tsv', delim='\t', header=true,
+                      filename=true)
+    ),
+    repr AS (
+        SELECT regexp_extract(line, '^>([^;]+)', 1) AS cluster_name,
+               regexp_extract(line, 'locus_tag=([^;]+)', 1) AS reference_locus
+        FROM (SELECT unnest(string_split(content, chr(10))) AS line
+              FROM read_text('{RAW}/representative_sequences.ffn'))
+        WHERE line LIKE '>%'
+    ),
+    gf AS (
+        SELECT allele_name, gene_family, consensus_product,
+               CAST(threshold AS INTEGER) AS threshold,
+               CAST(number_genomes AS INTEGER) AS number_genomes,
+               list_filter(string_split(concat_ws(';', {_GF_CLEANED}), ';'),
+                           x -> x <> '' AND x <> '0') AS feature_ids
+        FROM read_csv('{RAW}/PIRATE.gene_families.tsv', delim='\t',
+                      header=true, all_varchar=true)
+    ),
+    feat_fa AS (
+        SELECT Cluster, Feature, Seq FROM (
+            SELECT regexp_extract(filename, '([^/]+?)\\.[^/]*$', 1) AS Cluster,
+                   trim(split_part(rec, chr(10), 1)) AS Feature,
+                   replace(CASE WHEN strpos(rec, chr(10)) = 0 THEN rec
+                                ELSE substr(rec, strpos(rec, chr(10)) + 1)
+                           END, chr(10), '') AS Seq
+            FROM (SELECT filename, unnest(string_split(content, '>')) AS rec
+                  FROM read_text('{RAW}/feature_sequences/*.fasta'))
+            WHERE len(trim(rec)) > 0
+        ) WHERE len(Seq) > 0
+    ),
+    strain_seqs AS (
+        SELECT regexp_extract(filename, '([^/]+?)\\.[^/]*$', 1) AS Strain,
+               replace(regexp_replace(string_split(content, '##FASTA')[-1],
+                                      '(?m)^>.*$', '', 'g'), chr(10), '')
+                   AS Sequence
+        FROM read_text('{RAW}/modified_gffs/*.gff')
+    ),
+    with_locus AS (
+        SELECT f.Cluster, f.Feature, f.Seq, r.reference_locus
+        FROM feat_fa f JOIN repr r ON f.Cluster = r.cluster_name
+    ),
+    aligned_ref AS (
+        SELECT a.Cluster, a.Feature, a.Seq, a.reference_locus,
+               r.Seq AS Seq_reference
+        FROM with_locus a LEFT JOIN with_locus r
+          ON a.reference_locus = r.Feature AND a.Cluster = r.Cluster
+    ),
+    pairs AS (SELECT DISTINCT Seq, Seq_reference FROM aligned_ref),
+    diff0 AS (
+        SELECT Seq, Seq_reference, i, substr(Seq, i, 1) AS a
+        FROM pairs, generate_series(1, 4000) t(i)
+        WHERE Seq_reference IS NOT NULL
+          AND i <= least(len(Seq), len(Seq_reference))
+          AND substr(Seq, i, 1) <> substr(Seq_reference, i, 1)
+    ),
+    diff1 AS (
+        SELECT Seq, Seq_reference, i, a,
+               i - coalesce(lag(i) OVER (PARTITION BY Seq, Seq_reference
+                                         ORDER BY i), 1) AS dist
+        FROM diff0
+    ),
+    enc AS (
+        SELECT Seq, Seq_reference,
+               string_agg(CAST(dist AS VARCHAR) || a, '' ORDER BY i) AS var
+        FROM diff1 GROUP BY Seq, Seq_reference
+    ),
+    var_pairs AS (
+        SELECT p.Seq, p.Seq_reference,
+               CASE WHEN p.Seq_reference IS NULL THEN NULL
+                    ELSE coalesce(e.var, '') END AS Variation
+        FROM pairs p LEFT JOIN enc e
+          ON p.Seq = e.Seq AND p.Seq_reference = e.Seq_reference
+    ),
+    per_feature AS (
+        SELECT a.Feature, v.Variation
+        FROM aligned_ref a LEFT JOIN var_pairs v
+          ON a.Seq = v.Seq AND a.Seq_reference = v.Seq_reference
+    ),
+    features AS (
+        SELECT c.*, p.Variation
+        FROM coords c LEFT JOIN per_feature p ON c.Name = p.Feature
+    ),
+    fnodes AS (
+        SELECT f.Name, f.Start, f."End", f.Length, f.Strand, f.Product,
+               f.Strain, f.FeatureType,
+               coalesce(f.Variation, '') AS Variation,
+               CASE WHEN f.Variation IS NULL
+                    THEN substr(s.Sequence, f.Start, f."End" - f.Start + 1)
+                    ELSE '' END AS FullSequences
+        FROM features f LEFT JOIN strain_seqs s ON f.Strain = s.Strain
+    ),
+    member AS (
+        SELECT g.allele_name, unnest(g.feature_ids) AS Name FROM gf g
+    ),
+    lengths AS (
+        SELECT m.allele_name, min(c.Length) AS min_length,
+               max(c.Length) AS max_length
+        FROM member m JOIN coords c ON m.Name = c.Name
+        GROUP BY m.allele_name
+    ),
+    ref_seq AS (
+        SELECT Cluster AS gene_family_key, Seq AS Seq_out
+        FROM aligned_ref WHERE Feature = reference_locus
+    ),
+    cnodes AS (
+        SELECT g.allele_name, g.gene_family, g.consensus_product,
+               g.threshold, g.number_genomes, l.min_length, l.max_length,
+               array_to_string(g.feature_ids, ';') AS feature,
+               r.reference_locus, rs.Seq_out AS Seq
+        FROM gf g
+        JOIN repr r ON g.gene_family = r.cluster_name
+        LEFT JOIN lengths l ON g.allele_name = l.allele_name
+        LEFT JOIN ref_seq rs ON g.gene_family = rs.gene_family_key
+    ),
+    edges AS (
+        SELECT src AS sourceFeature, Name AS receivingFeature
+        FROM (SELECT Name, lag(Name) OVER (PARTITION BY Strain
+                                           ORDER BY Start, Name) AS src
+              FROM coords)
+        WHERE src IS NOT NULL
+    ),
+    ffp AS (
+        SELECT {_FP48_DUCK.format(expr='''concat_ws('|', Name, Start, "End",
+            Length, Strand, Product, Strain, FeatureType, Variation,
+            FullSequences)''')} AS fp
+        FROM fnodes
+    ),
+    cfp AS (
+        SELECT {_FP48_DUCK.format(expr='''concat_ws('|', allele_name,
+            gene_family, consensus_product, threshold, number_genomes,
+            min_length, max_length, feature, reference_locus,
+            coalesce(Seq, ''))''')} AS fp
+        FROM cnodes
+    ),
+    efp AS (
+        SELECT {_FP48_DUCK.format(
+            expr="concat_ws('>', sourceFeature, receivingFeature)"
+        )} AS fp
+        FROM edges
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM fnodes) AS n_features,
+        (SELECT CAST(coalesce(sum(fp), 0) AS BIGINT) FROM ffp) AS feat_fp,
+        (SELECT CAST(count(*) AS BIGINT) FROM cnodes) AS n_clusters,
+        (SELECT CAST(coalesce(sum(fp), 0) AS BIGINT) FROM cfp) AS cluster_fp,
+        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        (SELECT CAST(coalesce(sum(fp), 0) AS BIGINT) FROM efp) AS edge_fp
+"""
+
+
+def _fp48(col):
+    """48-bit md5-derived content fingerprint — engine-portable (the
+    minhash base-hash discipline: md5 is byte-identical across
+    engines); 12 hex chars keep the SUM inside int64 up to ~32k rows
+    (56 bits overflowed at 340 rows under ANSI)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+@register(
+    "etl_pirate_to_graph",
+    oracle=_ETL_E2E_ORACLE,
+    tags=("S1", "S2", "S3", "S4", "S5", "J1", "J4", "F5", "F6", "W1",
+          "etl-e2e"),
+)
+def etl_pirate_to_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL PIRATE->graph ETL as one oracled row (VERDICT r9 #7):
+    graph/etl.pirate_to_graph runs end-to-end over the committed raw
+    fixture tree — S1 coords glob, S2 wide gene-families TSV, S3/S4
+    FASTA headers+records, S5 GFF FASTA tails, J1-J5 joins, F6 delta
+    encoding (dedup-before-UDF), F5 genomic substrings, W1 neighbour
+    window — and each output table is reduced to (count, content
+    fingerprint): the sum over rows of a 48-bit md5 of the row's
+    canonical '|'-joined rendering.  The oracle re-derives all three
+    tables INDEPENDENTLY in SQL, including the delta encoding
+    (positional diff + lag-window distance + ordered string_agg,
+    mirroring functions/sequence.delta_encode_py): any drift in any
+    parser, join, window, or the variation codec shifts a fingerprint.
+    average_length columns are excluded from the rendering (double
+    accumulation order is not cross-engine-stable; min/max lock the
+    same member join).  The oracle's diff scan is bounded at 4000
+    positions (DuckDB's generate_series cannot take a lateral length;
+    fixture alignments are 12 bp — the bound is fixture-local, the
+    Spark side has no such limit).  Reference:
+    pirateToDatabase.py:333-377."""
+    from pangenomesasgraphdatabases_spark.graph.etl import pirate_to_graph
+
+    out = pirate_to_graph(spark, RAW)
+    fn = out.feature_nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        F.coalesce(
+            F.sum(
+                _fp48(
+                    F.concat_ws(
+                        "|", "Name", "Start", "End", "Length", "Strand",
+                        "Product", "Strain", "FeatureType", "Variation",
+                        "FullSequences",
+                    )
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("feat_fp"),
+    )
+    cl = out.cluster_nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.coalesce(
+            F.sum(
+                _fp48(
+                    F.concat_ws(
+                        "|", "allele_name", "gene_family",
+                        "consensus_product", "threshold", "number_genomes",
+                        "min_length", "max_length", "feature",
+                        "reference_locus", F.coalesce("Seq", F.lit("")),
+                    )
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("cluster_fp"),
+    )
+    ed = out.neighbour_edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.coalesce(
+            F.sum(_fp48(F.concat_ws(">", "sourceFeature", "receivingFeature"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("edge_fp"),
+    )
+    return fn.crossJoin(cl).crossJoin(ed)
