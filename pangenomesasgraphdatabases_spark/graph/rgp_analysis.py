@@ -311,6 +311,32 @@ def linkage_clusters_scalable(
     component (complete-linkage merges only pairs already connected at
     <= threshold), so the approximation coarsens, never splits.
 
+    MEASURED divergence of that coarsening (VERDICT r9 #4; fixtures
+    and exact numbers pinned by tests/test_linkage.py::
+    test_single_linkage_divergence_is_measured — "split pairs" are
+    item pairs complete-linkage co-clusters but the approximation
+    separates, "over-merge rate" is the fraction of approx co-clustered
+    pairs that exact complete linkage does NOT co-cluster):
+
+    ======================================  ===========  ================
+    fixture family                          split pairs  over-merge rate
+    ======================================  ===========  ================
+    well-separated blobs (diam <= 0.3t)          0            0.000
+    chain, consecutive dist 0.9t (n=40)          0            0.974
+    2D geometric, above percolation (t so        0            0.980
+    the <=t graph spans all 200 points)
+    2D geometric, below percolation              0            0.565
+    (same points, t halved)
+    ======================================  ===========  ================
+
+    Reading: when true clusters are compact and separated (the RGP
+    insertion-similarity regime the reference's fcluster cut targets,
+    RGPs.ipynb:2712), the fallback is EXACT in practice; divergence is
+    driven entirely by chain/percolation structure at the threshold —
+    if the <=t pair graph percolates, single linkage degenerates
+    toward one component and the approx flag must be treated as
+    "upper envelope", not "almost complete-linkage".
+
     Returns ``(item, cluster, approx)`` where ``cluster`` is the
     lexicographic-min member — a deterministic label under both paths.
     Node ids for the distributed path come from ``xxhash64(item)``
