@@ -54,6 +54,18 @@ _SEQ_SCHEMA = T.StructType(
     ]
 )
 
+def _unquote(v: str) -> str:
+    """GenBank qualifier value: strip ONE surrounding quote pair, then
+    unescape doubled quotes (a doubled quote is a literal quote inside
+    a quoted value).  A blind strip of all edge quotes would also eat
+    an escaped quote at the value edge ('"foo' + 3 quotes means
+    'foo' + one literal quote)."""
+    v = v.strip()
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        v = v[1:-1]
+    return v.replace('""', '"')
+
+
 _KEY_RE = re.compile(r"^ {5}(\S+)\s*(.*)$")
 _QUAL_RE = re.compile(r"^\s+/(\w+)(?:=(.*))?$")
 _LOCUS_RE = re.compile(r"^LOCUS\s+(\S+)")
@@ -73,15 +85,31 @@ def _split_records(text: str) -> list[str]:
     return recs
 
 
+# Remote segment reference inside join()/order(): 'ACCESSION[.v]:a..b'
+# — the whole segment (incl. its coordinates, which index a DIFFERENT
+# sequence) must stay out of this record's envelope
+# (bp_genbank2gff3.pl delegates to Bio::Location, which splits these
+# off; the local envelope is over local segments only).
+_REMOTE_SEG_RE = re.compile(r"[A-Za-z][A-Za-z0-9_]*(?:\.\d+)?:[^,()]*")
+
+
 def _parse_location(loc: str) -> tuple[int, int, str, bool] | None:
     """(start, end, strand, partial) from a GenBank location string.
 
-    ``complement(..)`` → '-'; ``join(a..b,c..d)`` → envelope
-    [min, max] (the downstream cleanup works on genomic extent, not
-    exon structure); ``<``/``>`` flag the feature partial."""
+    ``complement(..)`` → '-'; ``join(a..b,c..d)`` / ``order(..)`` →
+    envelope [min, max] (the downstream cleanup works on genomic
+    extent, not exon structure); ``<``/``>`` flag the feature partial.
+    Fuzzy forms take their numeric envelope too: ``(122.133)..204``
+    spans [122, 204], ``102^103`` the between-bases pair [102, 103],
+    ``one-of(1888,1901)..2200`` the widest reading [1888, 2200] —
+    the same extent BioPerl's Fuzzy/Split locations resolve to.
+    Remote segments (``J00194.1:100..202``) are dropped whole; a
+    location with ONLY remote segments yields None (feature skipped,
+    as the reference's converter does for unresolvable locations)."""
     strand = "-" if "complement(" in loc else "+"
-    partial = "<" in loc or ">" in loc
-    nums = [int(n) for n in re.findall(r"\d+", loc)]
+    local = _REMOTE_SEG_RE.sub("", loc)
+    partial = "<" in local or ">" in local
+    nums = [int(n) for n in re.findall(r"\d+", local)]
     if not nums:
         return None
     return min(nums), max(nums), strand, partial
@@ -117,7 +145,17 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
         quals: list[list[str]] = []  # [name, value-so-far]
         for raw in lines:
             stripped = raw.strip()
-            qm = _QUAL_RE.match(raw) if stripped.startswith("/") else None
+            # A '/'-leading line is a NEW qualifier only when the
+            # current value's quote is closed: a quoted value like
+            # /product="foo\n/bar baz" legitimately continues across
+            # a line that starts with '/' (bp_genbank2gff3.pl:835-
+            # 1180 tracks the same open-quote state).
+            in_open_quote = bool(quals) and quals[-1][1].count('"') % 2 == 1
+            qm = (
+                _QUAL_RE.match(raw)
+                if stripped.startswith("/") and not in_open_quote
+                else None
+            )
             if qm:
                 quals.append([qm.group(1), qm.group(2) or ""])
             elif quals:
@@ -130,7 +168,7 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
         if parsed is None:
             continue
         start, end, strand, partial = parsed
-        qd = {name: val.strip().strip('"') for name, val in quals}
+        qd = {name: _unquote(val) for name, val in quals}
         ftype = key
         if key == "gene" and "pseudo" in qd:
             # The reference pipeline's GFF3 carries these as
