@@ -32,7 +32,10 @@ sys.path.insert(0, REPO)
 from pangenomesasgraphdatabases_spark.queries.registry import all_queries
 from pangenomesasgraphdatabases_spark.session import get_spark
 
-SMALL = "/root/testdata/sf0.1"
+# Small-side dir: $SPARK_GRAFT_SMALL_DIR overrides (e.g. a planted-
+# duplicate variant of sf0.1 so both sides of a slope carry the same
+# planted fixture).
+SMALL = os.environ.get("SPARK_GRAFT_SMALL_DIR", "/root/testdata/sf0.1")
 # Big-side scale dir: $SPARK_GRAFT_SCALE_DIR overrides (e.g. .scale/sf3
 # built with `gen_scale_data.py ... 30` for the 30x point of the curve).
 BIG = os.environ.get(
