@@ -87,6 +87,17 @@ HEADLINE = [
     "doc_jaccard_containment",
 ]
 
+# Bench hygiene (VERDICT r9 #8): HEADLINE grows as heavy queries are
+# born, which makes the all-queries total incomparable round-over-
+# round.  FIXED_HEADLINE is the frozen r8-era membership (everything
+# above the r9 addition, plus the graph build appended by main());
+# the compact line reports BOTH ``fixed_total_sec`` (like-for-like
+# across rounds) and ``value`` (all current headline entries).  This
+# tuple is append-never: new queries join HEADLINE only.
+FIXED_HEADLINE = tuple(h for h in HEADLINE if h != "doc_jaccard_containment") + (
+    "graph_build_770x6000",
+)
+
 
 def _read_steal() -> int:
     """Cumulative steal jiffies (aggregate ``cpu`` line, field 8
@@ -356,6 +367,9 @@ def main() -> None:
     host_speed_index = round(cal_best / CALIBRATION_REF_SEC, 3)
 
     total = round(sum(timings.values()), 3)
+    fixed_total = round(
+        sum(v for n, v in timings.items() if n in FIXED_HEADLINE), 3
+    )
     detail = {
         "reps": raw,
         # Per-rep steal-jiffy deltas: wall time tracks steal almost
@@ -414,6 +428,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "fixed_total_sec": fixed_total,
                 "build_min_sec": build_min,
                 "host_speed_index": host_speed_index,
                 "sf": sf,

@@ -370,6 +370,18 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agrees on almost every hyperplane).  The exact all-pairs baseline
     remains available as emb_cosine_near_dup_exact (size-gated).
 
+    Quadratic-output caveat (measured r10, SCALE.md): at threshold
+    0.35 on a RANDOM corpus the CONTRACT itself is quadratic — random
+    64-d cosines sit ~N(0, 1/64), so P(cos >= 0.35) ~ 2.6e-3 and the
+    true output is ~0.0026 * n^2 / 2 rows; no candidate scheme beats
+    its own output size, and 8 tables x 3 hyperplanes prune random
+    pairs only ~2x at this weak threshold (raising bits to prune more
+    collapses recall at theta ~ 70 degrees: p = 1 - theta/pi = 0.61
+    per plane).  On real near-dup corpora (tight clusters, few random
+    pairs near the threshold) output is linear and the bucket join
+    prunes; for corpus-scale sweeps at a weak threshold use the gated
+    exact variant on a sample or raise the threshold.
+
     Hot-bucket guard (VERDICT r9 #1): bit-identical embeddings
     collapse to their min-id representative before hashing
     (operators/rep_collapse; the group key is the raw float array —
