@@ -3720,3 +3720,74 @@ def doc_prefix_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_saved"),
         )
     )
+
+
+_OCC_HOT = 8  # audit threshold: buckets above this occupancy are 'hot'
+
+
+@register(
+    "doc_lsh_band_occupancy",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_HASHED_SQL},
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    occ AS (
+        SELECT band, bh, CAST(count(*) AS BIGINT) AS n
+        FROM bands GROUP BY band, bh
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_occupancy,
+           CAST(sum(CASE WHEN n > {_OCC_HOT} THEN n ELSE 0 END) AS BIGINT)
+               AS rows_in_hot,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM occ GROUP BY band
+    """,
+    tags=("ext-text", "dedup", "lsh", "monitoring"),
+)
+def doc_lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy audit (extension — the batch
+    monitoring counterpart of the r10 hot-bucket guards): per band,
+    the bucket count, the hottest bucket's occupancy, the rows
+    sitting in hot buckets (occupancy > {hot}), and the EXACT
+    candidate-pair bill sum(n*(n-1)/2) the band join would pay.  Run
+    on the RAW corpus (deliberately uncollapsed — exact duplicates
+    are precisely what the audit must surface): a crawl shard whose
+    candidate_pairs is quadratic in one bucket is flagged here before
+    the pair join runs, the operational decision the
+    ``lsh_candidate_pairs`` ``max_bucket`` cap and the rep-collapse
+    guard then implement.
+
+    Scale shape: one shuffle on (band, bh) then a {bands}-row rollup —
+    the audit costs one aggregation over the band frame it audits."""
+    occ = (
+        band_frame(minhash_sig_of(_shingles(spark, sf_dir)))
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_occupancy"),
+        F.sum(F.when(F.col("n") > _OCC_HOT, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_in_hot"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("candidate_pairs"),
+    ).select(
+        F.col("band").cast("bigint").alias("band"),
+        "n_buckets",
+        "max_occupancy",
+        "rows_in_hot",
+        "candidate_pairs",
+    )
+
+
+doc_lsh_band_occupancy.__doc__ = doc_lsh_band_occupancy.__doc__.replace(
+    "{hot}", str(_OCC_HOT)
+).replace("{bands}", str(_N_BANDS))

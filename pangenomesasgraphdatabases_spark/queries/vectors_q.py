@@ -2341,3 +2341,99 @@ def emb_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_sq_dist_micro"),
         F.max("dist_micro").cast("bigint").alias("max_sq_dist_micro"),
     )
+
+
+_NDR_SAMPLE_PCT = 20  # deterministic md5 sample: ~20% of vectors
+
+
+@register(
+    "emb_near_dup_rate_sampled",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, embedding
+        FROM embeddings
+        WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))
+                   AS BIGINT) % 100 < {_NDR_SAMPLE_PCT}
+    ),
+    d AS (
+        SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+               sum(CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE))
+                 / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE)
+                             * CAST(a.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(b.embedding[i] AS DOUBLE)
+                             * CAST(b.embedding[i] AS DOUBLE)))) AS cosine
+        FROM s a JOIN s b ON a.vec_id < b.vec_id,
+             generate_series(1, 64) t(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sampled,
+               CAST(count(*) FILTER (WHERE cosine >= 0.35) AS BIGINT)
+                   AS n_near_dup
+        FROM d
+    )
+    SELECT n_sampled,
+           CAST(n_sampled * (n_sampled - 1) // 2 AS BIGINT) AS n_pairs,
+           n_near_dup,
+           CAST(n_near_dup * 1000000
+                // (n_sampled * (n_sampled - 1) // 2) AS BIGINT)
+               AS near_dup_ppm
+    FROM agg
+    """,
+    tags=("ext-vector", "dedup", "sampling", "estimator"),
+)
+def emb_near_dup_rate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled EXACT near-duplicate-rate estimator (extension — the
+    corpus-scale answer at weak cosine thresholds that SCALE.md r10
+    adjudicates: at threshold 0.35 the full pair sweep is quadratic in
+    its own OUTPUT, so production estimates the dup rate on a sample
+    and sweeps exactly only where the estimate demands it).  A
+    deterministic md5-keyed ~{pct}% sample (engine-portable, the
+    doc_importance_resample discipline — no rand()) is scored
+    ALL-PAIRS with the exact cosine, and the one-row report carries
+    (n_sampled, n_pairs, n_near_dup, near_dup_ppm) in exact integer
+    ppm.  Pair cost is n_s^2/2 by construction: the sample RATE is the
+    knob that bounds it (at 100 TB you fix n_s ~ 1e4 via the rate, not
+    the corpus).
+
+    Scale shape: the sample is broadcast-sized by design, so the
+    non-equi self-join is one broadcast-nested-loop over a tiny frame;
+    the 64-dim dot products stay JVM-side (F.aggregate HOFs)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+    s = e.filter(key < _NDR_SAMPLE_PCT)
+    a = s.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"))
+    b = s.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"))
+    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+    nd = (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+        .select(cos.alias("cosine"))
+        .agg(
+            F.count(F.when(F.col("cosine") >= 0.35, 1))
+            .cast("bigint")
+            .alias("n_near_dup")
+        )
+    )
+    n = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    return (
+        n.crossJoin(nd)
+        .withColumn(
+            "n_pairs",
+            F.expr("CAST(n_sampled * (n_sampled - 1) div 2 AS BIGINT)"),
+        )
+        .withColumn(
+            "near_dup_ppm",
+            F.expr("CAST(n_near_dup * 1000000 div n_pairs AS BIGINT)"),
+        )
+        .select("n_sampled", "n_pairs", "n_near_dup", "near_dup_ppm")
+    )
+
+
+emb_near_dup_rate_sampled.__doc__ = emb_near_dup_rate_sampled.__doc__.replace(
+    "{pct}", str(_NDR_SAMPLE_PCT)
+)
