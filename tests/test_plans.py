@@ -544,3 +544,27 @@ def test_batch12_plans(spark):
     q18 = _plan(orders_large_basket_q18(spark, SF))
     assert q18.count("Exchange hashpartitioning") == 1
     assert q18.count("BroadcastHashJoin") >= 2
+
+
+def test_pair_query_guards_stay_bucket_shaped(spark):
+    """The r10 rep-collapse rewrites must not introduce cartesian /
+    nested-loop joins anywhere: candidates still shuffle on band
+    buckets / block values / (tbl, bucket), the collapse and
+    expansion are equi-joins on content keys and rep ids."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_lsh_near_dup_pairs,
+        doc_simhash_hamming_pairs,
+    )
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        emb_cosine_near_dup,
+    )
+
+    for fn in (
+        doc_lsh_near_dup_pairs,
+        doc_simhash_hamming_pairs,
+        emb_cosine_near_dup,
+    ):
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    spark.catalog.clearCache()
