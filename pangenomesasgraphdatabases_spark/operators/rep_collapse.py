@@ -30,12 +30,17 @@ small verified-pair frame — rows are paid for only at emission, never
 as shuffle-join intermediates.  The output is bit-identical to the
 uncollapsed plan (the driver oracles pin this).
 
-Known residual skew: a single giant group makes ``within_group_pairs``
-emit g^2/2 rows under one join key (one task).  That is output-bound
-work — ~10^8 emitted pairs/task/minute — and only hurts when the
-caller truly wants every pair of a million-dup cluster materialized;
-a dedup pipeline that only needs doc -> canonical should read the
-member frame itself (cf. queries/pipeline_q.doc_curation_verdicts).
+``within_group_pairs`` spreads giant groups: a group of g members
+would otherwise emit its g^2/2 output pairs under ONE join key (one
+task).  Groups above ``big_min`` members are expanded through a
+block-pair decomposition instead — members hash into ``blocks``
+buckets, pairs are generated per (block, block') combination keyed on
+(_rep, block'), so the group's output spreads over ``blocks`` tasks —
+while small groups (the overwhelming majority) keep the plain
+single-key join.  A dedup pipeline that only needs doc -> canonical
+should still read the member frame itself rather than materializing a
+million-dup cluster's pairs (cf. queries/pipeline_q.
+doc_curation_verdicts).
 """
 
 from __future__ import annotations
@@ -95,11 +100,59 @@ def expand_cross_pairs(
     )
 
 
-def within_group_pairs(members: DataFrame, c1: str, c2: str) -> DataFrame:
+def within_group_pairs(
+    members: DataFrame,
+    c1: str,
+    c2: str,
+    big_min: int = 4096,
+    blocks: int = 16,
+) -> DataFrame:
     """All ordered member pairs (c1 < c2) inside each exact group,
     with the ``_rep`` key kept so callers can join per-group payload
     (e.g. the representative's shingle count).  Singleton groups emit
-    nothing."""
-    a = members.select("_rep", F.col("_id").alias(c1))
-    b = members.select("_rep", F.col("_id").alias(c2))
-    return a.join(b, "_rep").filter(F.col(c1) < F.col(c2))
+    nothing.
+
+    Groups with more than ``big_min`` members take the block-pair
+    path (module docstring): each member hashes into one of
+    ``blocks`` buckets; the left side explodes each member over the
+    bucket range [own_bucket, blocks), the right side keys on
+    (_rep, bucket), and the equi-join on (_rep, target-bucket) emits
+    every unordered pair exactly once — cross-bucket pairs from the
+    lower bucket's row, same-bucket pairs via the id-order filter —
+    spread over ``blocks`` join-key values instead of one.  Small
+    groups pay nothing beyond one size aggregation and an
+    empty-broadcast anti-probe."""
+    members = members.cache()
+    big = (
+        members.groupBy("_rep")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > big_min)
+        .select("_rep")
+    )
+    small_m = members.join(F.broadcast(big), "_rep", "left_anti")
+    a = small_m.select("_rep", F.col("_id").alias(c1))
+    b = small_m.select("_rep", F.col("_id").alias(c2))
+    small_pairs = a.join(b, "_rep").filter(F.col(c1) < F.col(c2))
+
+    big_m = members.join(F.broadcast(big), "_rep").withColumn(
+        "_b", F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int")
+    )
+    left = big_m.withColumn(
+        "_b2", F.explode(F.sequence(F.col("_b"), F.lit(blocks - 1)))
+    )
+    right = big_m.select(
+        "_rep", F.col("_b").alias("_b2"), F.col("_id").alias("_rid")
+    )
+    same_block = F.col("_b") == F.col("_b2")
+    big_pairs = (
+        left.join(right, ["_rep", "_b2"])
+        .filter(
+            (~same_block) | (F.col("_id") < F.col("_rid"))
+        )
+        .select(
+            "_rep",
+            F.least("_id", "_rid").alias(c1),
+            F.greatest("_id", "_rid").alias(c2),
+        )
+    )
+    return small_pairs.unionByName(big_pairs)

@@ -224,3 +224,40 @@ def test_lsh_candidate_pairs_bucket_cap_logs_and_drops(spark, caplog):
     assert any("dropping" in rec.message for rec in caplog.records), (
         "cap must log its dropped-bucket report"
     )
+
+
+def test_within_group_pairs_block_path_matches_plain(spark):
+    """The block-pair decomposition for big groups emits exactly the
+    same pair set as the plain single-key join: force it for every
+    group (big_min=0) over mixed group sizes and compare."""
+    from pangenomesasgraphdatabases_spark.operators.rep_collapse import (
+        within_group_pairs,
+    )
+
+    rows = []
+    for g, size in [(100, 37), (200, 5), (300, 1), (400, 2), (500, 19)]:
+        rows += [(g + i, g) for i in range(size)]
+    members = spark.createDataFrame(rows, "_id long, _rep long")
+
+    plain = {
+        (r.a, r.b)
+        for r in within_group_pairs(
+            members, "a", "b", big_min=10**9
+        ).collect()
+    }
+    for blocks in (1, 3, 16):
+        blocked = [
+            (r.a, r.b)
+            for r in within_group_pairs(
+                members, "a", "b", big_min=0, blocks=blocks
+            ).collect()
+        ]
+        assert len(blocked) == len(plain), f"dup pairs at blocks={blocks}"
+        assert set(blocked) == plain, f"pair set differs at blocks={blocks}"
+    # mixed: threshold between the two group sizes
+    mixed = {
+        (r.a, r.b)
+        for r in within_group_pairs(members, "a", "b", big_min=20).collect()
+    }
+    assert mixed == plain
+    spark.catalog.clearCache()
