@@ -240,10 +240,7 @@ def test_within_group_pairs_block_path_matches_plain(spark):
     members = spark.createDataFrame(rows, "_id long, _rep long")
 
     plain = {
-        (r.a, r.b)
-        for r in within_group_pairs(
-            members, "a", "b", big_min=10**9
-        ).collect()
+        (r.a, r.b) for r in within_group_pairs(members, "a", "b").collect()
     }
     for blocks in (1, 3, 16):
         blocked = [
