@@ -749,3 +749,93 @@ def encode_minimal_vorbis_ogg(
             eos=(i == n_audio_packets - 1),
         )
     return out
+
+
+# --- RIFF / WAVE (Microsoft/IBM WAVE spec; RIFF chunk grammar) ----------------
+
+
+def probe_wav(data: bytes) -> dict:
+    """Parse a RIFF/WAVE file's chunk tree — pure byte walk of the
+    public WAVE format: the RIFF header (magic, declared size, WAVE
+    form type), then a chunk walk honoring the spec's odd-size pad
+    byte, requiring one 'fmt ' chunk before 'data'.  Returns exact
+    integers: format tag, channels, sample_rate, bits_per_sample,
+    n_frames (data size / block align), duration_usec.
+
+    Raises ValueError on malformed input (the documented 'corrupt'
+    contract shared by probe_mp4/probe_ogg): bad magic, truncated
+    chunks, a declared RIFF size beyond the payload, a block-align
+    that contradicts channels*bits/8, or a data size that is not a
+    whole number of frames."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if 8 + riff_size > len(data):
+        raise ValueError("declared RIFF size beyond payload")
+    end = 8 + riff_size
+    pos = 12
+    fmt: dict | None = None
+    out: dict = {"chunks": []}
+    while pos + 8 <= end:
+        ctype = data[pos : pos + 4]
+        (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        out["chunks"].append(ctype.decode("latin1"))
+        if ctype == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            tag, ch, rate, _byterate, align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if ch == 0 or rate == 0:
+                raise ValueError("zero channels or sample rate")
+            if align != ch * bits // 8:
+                raise ValueError("block align contradicts channels*bits/8")
+            fmt = {
+                "format_tag": tag,
+                "channels": ch,
+                "sample_rate": rate,
+                "bits": bits,
+                "block_align": align,
+            }
+        elif ctype == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            if csize % fmt["block_align"]:
+                raise ValueError("data size not whole frames")
+            n = csize // fmt["block_align"]
+            out.update(fmt)
+            out["n_frames"] = n
+            out["duration_usec"] = n * 1_000_000 // fmt["sample_rate"]
+        pos += 8 + csize + (csize & 1)  # RIFF pads odd chunks
+    if "n_frames" not in out:
+        raise ValueError("no data chunk")
+    return out
+
+
+def encode_minimal_wav(
+    sample_rate: int = 8_000,
+    channels: int = 1,
+    bits: int = 16,
+    n_frames: int = 100,
+    with_list_chunk: bool = False,
+) -> bytes:
+    """A minimal spec-valid PCM WAVE file: RIFF header, 'fmt ' (PCM
+    tag 1), optionally a LIST/INFO chunk BEFORE data (so probes must
+    walk chunks, not assume fixed offsets; odd-sized to exercise the
+    RIFF pad byte), then 'data' with deterministic fake sample
+    bytes."""
+    align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * align, align, bits
+    )
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if with_list_chunk:
+        info = b"INFOISFT" + struct.pack("<I", 5) + b"synth"  # 5 is odd
+        chunks.append(b"LIST" + struct.pack("<I", len(info)) + info + b"\x00")
+    pcm = bytes((i * 31) % 251 for i in range(n_frames * align))
+    chunks.append(b"data" + struct.pack("<I", len(pcm)) + pcm)
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

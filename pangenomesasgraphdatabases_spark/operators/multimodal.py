@@ -440,6 +440,7 @@ def probe_containers(media: DataFrame) -> DataFrame:
             MP4_LEADING_BOXES,
             probe_mp4,
             probe_ogg,
+            probe_wav,
         )
 
         for pdf in batches:
@@ -481,6 +482,23 @@ def probe_containers(media: DataFrame) -> DataFrame:
                                 else raw * 1_000_000 // grate
                             ),
                             crc_failures=s.get("crc_failures"),
+                        )
+                    elif len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        probe = probe_wav(bytes(b))
+                        emit(
+                            mid,
+                            container="wav",
+                            codec=(
+                                f"pcm{probe['bits']}"
+                                if probe["format_tag"] == 1
+                                else f"fmt{probe['format_tag']}"
+                            ),
+                            n_streams=1,
+                            sample_rate=probe["sample_rate"],
+                            channels=probe["channels"],
+                            n_units=probe["n_frames"],
+                            duration_usec=probe["duration_usec"],
+                            crc_failures=0,
                         )
                     elif len(b) >= 12 and b[4:8] in MP4_LEADING_BOXES:
                         probe = probe_mp4(bytes(b))
@@ -643,6 +661,58 @@ def synthesize_container_media(ids: DataFrame) -> DataFrame:
                     "payload": pd.Series(payloads, dtype="object"),
                     "meta_width": pd.Series(mws, dtype="int32"),
                     "meta_height": pd.Series(mhs, dtype="int32"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_wav_media(ids: DataFrame) -> DataFrame:
+    """Deterministic RIFF/WAVE fixtures from an integer id frame
+    (column ``media_id``) — the PCM-audio sibling of
+    ``synthesize_container_media``, all parameters pure id arithmetic
+    so an SQL oracle recomputes every probed fact from the id alone:
+
+    * sample_rate = (8000, 16000, 22050, 44100, 48000)[id % 5]
+    * channels    = 1 + id % 2
+    * bits        = (8, 16, 24, 32)[id % 4]
+    * n_frames    = 50 + id % 100
+    * ids with id % 3 == 0 carry an odd-sized LIST/INFO chunk BEFORE
+      data (the chunk-walk + RIFF pad-byte branch)
+    * duration_usec = n_frames * 1e6 // sample_rate
+
+    Executor-side mapInPandas; the driver never sees a payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pangenomesasgraphdatabases_spark.operators.containers import (
+            encode_minimal_wav,
+        )
+
+        rates = (8_000, 16_000, 22_050, 44_100, 48_000)
+        bits_menu = (8, 16, 24, 32)
+        for pdf in batches:
+            mids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                payloads.append(
+                    encode_minimal_wav(
+                        sample_rate=rates[mid % 5],
+                        channels=1 + mid % 2,
+                        bits=bits_menu[mid % 4],
+                        n_frames=50 + mid % 100,
+                        with_list_chunk=(mid % 3 == 0),
+                    )
+                )
+                mids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "media_type": pd.Series(
+                        ["audio/wav"] * len(mids), dtype="object"
+                    ),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta_width": pd.Series([0] * len(mids), dtype="int32"),
+                    "meta_height": pd.Series([0] * len(mids), dtype="int32"),
                 }
             )
 

@@ -3791,3 +3791,60 @@ def doc_lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_lsh_band_occupancy.__doc__ = doc_lsh_band_occupancy.__doc__.replace(
     "{hot}", str(_OCC_HOT)
 ).replace("{bands}", str(_N_BANDS))
+
+
+MEDIA_WAV_PROBE_ORACLE = """
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents WHERE doc_id % 4 = 2
+    )
+    SELECT media_id,
+           'wav' AS container,
+           'pcm' || CAST([8, 16, 24, 32][1 + media_id % 4] AS VARCHAR)
+               AS codec,
+           CAST(1 AS INTEGER) AS n_streams,
+           CAST(NULL AS INTEGER) AS n_fragments,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST([8000, 16000, 22050, 44100, 48000][1 + media_id % 5]
+                AS INTEGER) AS sample_rate,
+           CAST(1 + media_id % 2 AS INTEGER) AS channels,
+           CAST(50 + media_id % 100 AS INTEGER) AS n_units,
+           CAST((50 + media_id % 100) * 1000000
+                // [8000, 16000, 22050, 44100, 48000][1 + media_id % 5]
+                AS BIGINT) AS duration_usec,
+           CAST(0 AS INTEGER) AS crc_failures
+    FROM ids
+"""
+
+
+@register(
+    "media_wav_probe",
+    oracle=MEDIA_WAV_PROBE_ORACLE,
+    tags=("ext-multimodal", "container", "wav"),
+)
+def media_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE container probing, driver-hashable (the PCM
+    sibling of media_container_probe): every doc_id % 4 == 2 seeds a
+    deterministic WAV via operators/multimodal.synthesize_wav_media —
+    rate/channels/bits/frame-count pure id arithmetic, every third id
+    carrying an odd-sized LIST chunk before data so the probe's chunk
+    walk and RIFF pad-byte handling are on the hashed path — built
+    executor-side through operators/containers.encode_minimal_wav and
+    probed back through the pure chunk-walk parser
+    (containers.probe_wav: RIFF grammar, fmt/data ordering, block-
+    align cross-check, whole-frame data size).  Every output is an
+    exact integer recomputable from the id (MEDIA_WAV_PROBE_ORACLE);
+    any garbled byte — chunk sizes, the pad byte, little-endian fmt
+    fields — shifts a value and fails the hash.  Narrow plan:
+    synthesize and probe are two mapInPandas stages over the same
+    partitioning, no shuffle."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        probe_containers,
+        synthesize_wav_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 4 == 2).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return probe_containers(synthesize_wav_media(ids))

@@ -448,3 +448,90 @@ def test_fragment_samples_accumulate_per_track_id():
     (track,) = info["tracks"]
     assert track["track_id"] == 1
     assert track["n_samples"] == 6 + 7  # the foreign 99 never lands
+
+
+def test_wav_probe_roundtrip_grid():
+    """encode_minimal_wav -> probe_wav recovers every parameter across
+    the rate/channels/bits grid, with and without the odd-sized LIST
+    chunk (chunk walk + RIFF pad byte)."""
+    from pangenomesasgraphdatabases_spark.operators.containers import (
+        encode_minimal_wav,
+        probe_wav,
+    )
+
+    for rate in (8_000, 22_050, 48_000):
+        for ch in (1, 2):
+            for bits in (8, 16, 24, 32):
+                for lst in (False, True):
+                    n = 77 if lst else 100
+                    p = probe_wav(
+                        encode_minimal_wav(rate, ch, bits, n, lst)
+                    )
+                    assert (
+                        p["format_tag"],
+                        p["channels"],
+                        p["sample_rate"],
+                        p["bits"],
+                        p["n_frames"],
+                        p["duration_usec"],
+                    ) == (1, ch, rate, bits, n, n * 1_000_000 // rate)
+                    assert ("LIST" in p["chunks"]) == lst
+
+
+def test_wav_probe_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from pangenomesasgraphdatabases_spark.operators.containers import (
+        encode_minimal_wav,
+        probe_wav,
+    )
+
+    good = encode_minimal_wav(8_000, 2, 16, 10)
+    cases = [
+        b"RIFX" + good[4:],                      # bad magic
+        good[:4] + struct.pack("<I", 10**6) + good[8:],  # size beyond payload
+        good[:-3],                               # truncated data chunk
+        good[:12] + good[12:].replace(
+            struct.pack("<H", 4), struct.pack("<H", 6), 1
+        ),                                       # block align contradiction
+    ]
+    for bad in cases:
+        with _pytest.raises(ValueError):
+            probe_wav(bad)
+
+
+def test_wav_probe_through_spark_path(spark):
+    """synthesize_wav_media -> probe_containers end-to-end, plus a
+    corrupt RIFF payload yielding container='corrupt', not a stage
+    failure."""
+    from pangenomesasgraphdatabases_spark.operators.containers import (
+        encode_minimal_wav,
+    )
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        probe_containers,
+        synthesize_wav_media,
+    )
+
+    ids = spark.createDataFrame([(6,), (7,), (9,)], "media_id long")
+    rows = {
+        r.media_id: r
+        for r in probe_containers(synthesize_wav_media(ids)).collect()
+    }
+    for mid in (6, 7, 9):
+        rate = (8_000, 16_000, 22_050, 44_100, 48_000)[mid % 5]
+        assert rows[mid].container == "wav"
+        assert rows[mid].codec == f"pcm{(8, 16, 24, 32)[mid % 4]}"
+        assert rows[mid].channels == 1 + mid % 2
+        assert rows[mid].n_units == 50 + mid % 100
+        assert rows[mid].duration_usec == (50 + mid % 100) * 1_000_000 // rate
+
+    good = encode_minimal_wav(8_000, 1, 16, 10)
+    df = spark.createDataFrame(
+        [(0, bytearray(good[:20])), (1, bytearray(good))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in probe_containers(df).collect()}
+    assert out[0].container == "corrupt"
+    assert out[1].container == "wav" and out[1].n_units == 10
