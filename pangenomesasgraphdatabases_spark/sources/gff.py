@@ -190,3 +190,87 @@ def clean_parsed_features(
         "file", "seqid", "feature_type", "start", "end", "strand", "feature_id"
     )
     return proj.groupBy("file").applyInPandas(finalize, _CLEAN_SCHEMA)
+
+
+def write_gff3(
+    feats: DataFrame, path: str, scaffolds: DataFrame | None = None
+) -> None:
+    """GFF3 sink — the OUTPUT side of the reference's converter stage
+    (bp_genbank2gff3.pl emits GFF3 files the rest of the pipeline
+    consumes; readme.md:29-41): one tab-joined feature line per row of
+    a GFF_COLS-shaped frame (the ``genbank_to_gff`` /
+    ``parse_gff_features`` contract), ``##gff-version 3`` headers, and
+    optionally the ``##FASTA`` tail with one wrapped scaffold record
+    per (file, seqid, seq) row — exactly the file shape
+    ``parse_gff_features`` + ``read_gff_scaffolds`` read back
+    (round-trip pinned by test_gff_clean.py).
+
+    One output file per input ``file`` value via partitionBy — the
+    per-strain file layout the reference's directory convention
+    expects; each file lands as ``<path>/file=<stem>/<stem>.gff``.
+    The part files are renamed to the stem after the write: Spark's
+    part-file names repeat the same task UUID across partition dirs,
+    and the READERS identify files by filename stem (input_file_name
+    regex) — identical stems would merge two strains into one logical
+    file and swallow everything after the first ##FASTA marker.  The
+    rename is one driver-side metadata op per output file (local
+    filesystem here; an object-store deployment does the same with
+    its FileSystem rename)."""
+    line = F.concat_ws(
+        "\t",
+        "seqid",
+        "source",
+        "feature_type",
+        F.col("start").cast("string"),
+        F.col("end").cast("string"),
+        "score",
+        "strand",
+        "phase",
+        "attributes",
+    )
+    body = feats.select("file", line.alias("value"), F.lit(1).alias("ord"))
+    header = (
+        feats.select("file").distinct().select(
+            "file", F.lit("##gff-version 3").alias("value"),
+            F.lit(0).alias("ord"),
+        )
+    )
+    parts = [header, body]
+    if scaffolds is not None:
+        marker = scaffolds.select("file").distinct().select(
+            "file", F.lit("##FASTA").alias("value"), F.lit(2).alias("ord")
+        )
+        fasta = scaffolds.select(
+            "file",
+            F.concat(
+                F.lit(">"), F.col("seqid"), F.lit("\n"),
+                F.regexp_replace("seq", "(.{80})", "$1\n"),
+            ).alias("value"),
+            F.lit(3).alias("ord"),
+        )
+        parts += [marker, fasta]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (
+        out.repartition("file")
+        .sortWithinPartitions("file", "ord", "value")
+        .select("file", "value")
+        .write.mode("overwrite")
+        .partitionBy("file")
+        .text(path)
+    )
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.glob(_os.path.join(path, "file=*")):
+        stem = _os.path.basename(d).split("=", 1)[1]
+        parts = sorted(_glob.glob(_os.path.join(d, "part-*")))
+        if len(parts) == 1:
+            _os.rename(parts[0], _os.path.join(d, f"{stem}.gff"))
+        else:  # >1 part per file value: concatenate in part order
+            with open(_os.path.join(d, f"{stem}.gff"), "wb") as outf:
+                for p in parts:
+                    with open(p, "rb") as inf:
+                        outf.write(inf.read())
+                    _os.remove(p)

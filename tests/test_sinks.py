@@ -29,3 +29,44 @@ def test_fasta_sink_strips_gaps(spark, tmp_path_factory):
     # gap stripped
     assert "AC-GT" not in text
     assert "ACGT" in text
+
+
+def test_gff3_sink_roundtrip(spark, tmp_path):
+    """write_gff3 -> parse_gff_features/read_gff_scaffolds round-trip:
+    the sink emits exactly the file shape the sources read (S12's GFF
+    sibling — the reference converter's output side)."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        read_genbank_features,
+        read_genbank_sequences,
+    )
+    from pangenomesasgraphdatabases_spark.sources.gff import (
+        parse_gff_features,
+        read_gff_scaffolds,
+        write_gff3,
+    )
+
+    GBK = "/root/repo/fixtures_data/genbank"
+    from pangenomesasgraphdatabases_spark.sources.genbank import genbank_to_gff
+
+    feats = genbank_to_gff(spark, f"{GBK}/*.gbk")
+    seqs = read_genbank_sequences(spark, f"{GBK}/*.gbk")
+    out = str(tmp_path / "gff_out")
+    write_gff3(feats, out, scaffolds=seqs)
+
+    back = parse_gff_features(spark, f"{out}/file=*/*.gff")
+    want = {
+        (r.seqid, r.feature_type, r.start, r.end, r.strand, r.feature_id,
+         r.attributes)
+        for r in feats.collect()
+    }
+    got = {
+        (r.seqid, r.feature_type, r.start, r.end, r.strand, r.feature_id,
+         r.attributes)
+        for r in back.collect()
+    }
+    assert got == want and len(got) > 0
+
+    sback = read_gff_scaffolds(spark, f"{out}/file=*/*.gff")
+    want_s = {(r.seqid, r.seq) for r in seqs.collect()}
+    got_s = {(r.seqid, r.seq) for r in sback.collect()}
+    assert got_s == want_s
