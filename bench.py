@@ -89,12 +89,37 @@ HEADLINE = [
 
 # Bench hygiene (VERDICT r9 #8): HEADLINE grows as heavy queries are
 # born, which makes the all-queries total incomparable round-over-
-# round.  FIXED_HEADLINE is the frozen r8-era membership (everything
-# above the r9 addition, plus the graph build appended by main());
-# the compact line reports BOTH ``fixed_total_sec`` (like-for-like
-# across rounds) and ``value`` (all current headline entries).  This
-# tuple is append-never: new queries join HEADLINE only.
-FIXED_HEADLINE = tuple(h for h in HEADLINE if h != "doc_jaccard_containment") + (
+# round.  FIXED_HEADLINE is the frozen r8-era membership; the compact
+# line reports BOTH ``fixed_total_sec`` (like-for-like across rounds)
+# and ``value`` (all current headline entries).  This tuple is an
+# EXPLICIT LITERAL, deliberately not derived from HEADLINE (a derived
+# tuple would silently absorb every future HEADLINE append and defeat
+# the like-for-like guarantee): append-never, new queries join
+# HEADLINE only.
+FIXED_HEADLINE = (
+    "gi_scan_flagship",
+    "multiway_join_revenue",
+    "lag_adjacency_edges",
+    "interval_path_counts",
+    "rolling_mean_min_periods",
+    "group_collect_list",
+    "canonical_pair_dedup",
+    "dice_similarity_pairs",
+    "doc_minhash_signature",
+    "doc_lsh_near_dup_pairs",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "doc_ngram_jaccard_dedup",
+    "events_sessionize",
+    "pangenome_rgp",
+    "ann_ivfpq_topk",
+    "emb_pq_codes",
+    "doc_segment_dedup",
+    "events_gap_fill",
+    "doc_fuzzy_match_pairs",
+    "order_basket_pairs",
+    "interval_sweep_concurrency",
+    "events_hll_distinct",
     "graph_build_770x6000",
 )
 

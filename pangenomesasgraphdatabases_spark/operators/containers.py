@@ -789,9 +789,11 @@ def probe_wav(data: bytes) -> dict:
             tag, ch, rate, _byterate, align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if ch == 0 or rate == 0:
-                raise ValueError("zero channels or sample rate")
-            if align != ch * bits // 8:
+            if ch == 0 or rate == 0 or align == 0:
+                raise ValueError("zero channels, sample rate, or block align")
+            # The ch*bits/8 relation holds for PCM only — ADPCM-family
+            # formats declare a codec block size unrelated to it.
+            if tag == 1 and align != ch * bits // 8:
                 raise ValueError("block align contradicts channels*bits/8")
             fmt = {
                 "format_tag": tag,

@@ -464,7 +464,11 @@ def doc_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep_docs, members = collapse_exact(d, "doc_id", F.md5("text"))
+    # sha2-256, not md5: the collapse key asserts EXACT content
+    # equality on adversarial crawl data, and md5 collisions are
+    # constructible — a crafted collision would merge two distinct
+    # texts and emit false jaccard-1.0 pairs (r10 review).
+    rep_docs, members = collapse_exact(d, "doc_id", F.sha2("text", 256))
     sh = shingles_of(rep_docs).cache()
     cand = lsh_candidate_pairs(minhash_sig_of(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -491,12 +495,17 @@ def doc_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2", "n_common", F.round(jac, 4).alias("jaccard"))
     )
     cross = expand_cross_pairs(rep_pairs, members, "doc1", "doc2")
+    # Restrict members to groups WITH shingles BEFORE pair generation
+    # (r10 review): a giant cluster of <3-token texts has no shingles
+    # and emits nothing, so generating its g^2/2 pairs only to drop
+    # them on the payload join would reintroduce the blow-up the
+    # collapse exists to prevent.
+    rep_sz = sizes.select(F.col("doc_id").alias("_rep"), "sz")
     within = (
-        within_group_pairs(members, "doc1", "doc2")
-        .join(
-            sizes.select(F.col("doc_id").alias("_rep"), "sz"),
-            "_rep",
+        within_group_pairs(
+            members.join(rep_sz.select("_rep"), "_rep"), "doc1", "doc2"
         )
+        .join(rep_sz, "_rep")
         .select(
             "doc1",
             "doc2",
@@ -2304,7 +2313,9 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep_docs, members = collapse_exact(d, "doc_id", F.md5("text"))
+    # sha2-256, not md5 (r10 review): the key asserts exact equality;
+    # md5 collisions are constructible on adversarial corpora.
+    rep_docs, members = collapse_exact(d, "doc_id", F.sha2("text", 256))
     sig = simhash_of(rep_docs).cache()
     blocks = None
     for g in range(_SIMHASH_GROUPS):
@@ -2336,9 +2347,16 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
     )
     cross = expand_cross_pairs(rep_pairs, members, "doc_a", "doc_b")
-    within = within_group_pairs(members, "doc_a", "doc_b").select(
-        "doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming")
-    )
+    # Members restricted to groups whose rep HAS a signature before
+    # pair generation (r10 review): every non-NULL text yields one
+    # (even '' -> the '' token), but a NULL-text dup group has no sig
+    # row — the uncollapsed plan emits nothing for it, so the
+    # expansion must not either (and must not generate-then-drop).
+    within = within_group_pairs(
+        members.join(sig.select(F.col("doc_id").alias("_rep")), "_rep"),
+        "doc_a",
+        "doc_b",
+    ).select("doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming"))
     return cross.unionByName(within)
 
 

@@ -391,8 +391,10 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs contract: cross pairs inherit the rep pair's cosine
     (content-determined), within-group pairs get the representative's
     self-cosine computed through the SAME dot/norm expression and
-    threshold as the pair path — ~1.0 for any non-zero vector, NULL
-    (filtered, matching the uncollapsed plan) for a zero vector."""
+    threshold as the pair path — ~1.0 for any non-zero vector; a NULL
+    embedding's NULL self-cosine is filtered and a zero vector's NaN
+    passes the threshold (NaN sorts greatest in BOTH engines), each
+    exactly matching what the uncollapsed plan emits."""
     from pangenomesasgraphdatabases_spark.operators.rep_collapse import (
         collapse_exact,
         expand_cross_pairs,
@@ -429,9 +431,16 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_rep", F.round("cosine", 4).alias("cosine"))
     )
     cross = expand_cross_pairs(rep_pairs, members, "vec1", "vec2")
-    within = within_group_pairs(members, "vec1", "vec2").join(
-        rep_self, "_rep"
-    ).select("vec1", "vec2", "cosine")
+    # Members restricted to groups whose rep CLEARS the threshold
+    # filter before pair generation (r10 review): a NULL-embedding dup
+    # group emits nothing (NULL self-cosine fails the filter in both
+    # engines), so its g^2/2 pairs must never be generated only to be
+    # dropped by the payload join.  (A zero-vector group's NaN
+    # self-cosine PASSES >= 0.35 in both Spark and DuckDB — NaN sorts
+    # greatest — so those pairs are genuinely emitted, identically.)
+    within = within_group_pairs(
+        members.join(rep_self.select("_rep"), "_rep"), "vec1", "vec2"
+    ).join(rep_self, "_rep").select("vec1", "vec2", "cosine")
     return cross.unionByName(within)
 
 
@@ -2376,8 +2385,9 @@ _NDR_SAMPLE_PCT = 20  # deterministic md5 sample: ~20% of vectors
     SELECT n_sampled,
            CAST(n_sampled * (n_sampled - 1) // 2 AS BIGINT) AS n_pairs,
            n_near_dup,
-           CAST(n_near_dup * 1000000
-                // (n_sampled * (n_sampled - 1) // 2) AS BIGINT)
+           CAST(CASE WHEN n_sampled < 2 THEN 0
+                ELSE n_near_dup * 1000000
+                     // (n_sampled * (n_sampled - 1) // 2) END AS BIGINT)
                AS near_dup_ppm
     FROM agg
     """,
@@ -2427,8 +2437,14 @@ def emb_near_dup_rate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_sampled * (n_sampled - 1) div 2 AS BIGINT)"),
         )
         .withColumn(
+            # n_pairs can be 0 on a tiny corpus (sample of 0/1
+            # vectors); report 0 ppm instead of a division error
+            # (r10 review) — mirrored in the oracle.
             "near_dup_ppm",
-            F.expr("CAST(n_near_dup * 1000000 div n_pairs AS BIGINT)"),
+            F.expr(
+                "CAST(CASE WHEN n_pairs = 0 THEN 0 "
+                "ELSE n_near_dup * 1000000 div n_pairs END AS BIGINT)"
+            ),
         )
         .select("n_sampled", "n_pairs", "n_near_dup", "near_dup_ppm")
     )

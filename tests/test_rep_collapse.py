@@ -258,3 +258,41 @@ def test_within_group_pairs_block_path_matches_plain(spark):
     }
     assert mixed == plain
     spark.catalog.clearCache()
+
+
+def test_null_text_dup_group_emits_nothing(spark, tmp_path):
+    """A NULL-text duplicate group has no signature in either engine
+    (split(trim(NULL)) explodes to nothing), so the collapsed plans
+    must emit NO pairs for it — and must not generate-then-drop them
+    (the r10 pre-filters).  Also oracle-compared end to end."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 1, 2, 10, 11], dtype="int64"),
+            "text": [None, None, None,
+                     " ".join(_words("a")), " ".join(_words("a"))],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": pd.Series([0, 0, 0, 200, 200], dtype="int64"),
+        }
+    )
+    d = tmp_path / "nulls"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    for name, cols in (
+        ("doc_lsh_near_dup_pairs", ("doc1", "doc2")),
+        ("doc_simhash_hamming_pairs", ("doc_a", "doc_b")),
+    ):
+        sdf = _REG[name].fn(spark, str(d))
+        rows = sdf.collect()
+        spark.catalog.clearCache()
+        ids = {getattr(r, cols[0]) for r in rows} | {
+            getattr(r, cols[1]) for r in rows
+        }
+        assert ids == {10, 11}, f"{name}: NULL-text group leaked {ids}"
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        dpdf = con.sql(_REG[name].oracle).df()
+        assert len(dpdf) == len(rows)
