@@ -535,3 +535,78 @@ def test_wav_probe_through_spark_path(spark):
     out = {r.media_id: r for r in probe_containers(df).collect()}
     assert out[0].container == "corrupt"
     assert out[1].container == "wav" and out[1].n_units == 10
+
+
+def test_wav_probe_hypothesis_chunk_layouts():
+    """Property: random spec-valid RIFF layouts — arbitrary unknown
+    chunks (odd and even sized) interleaved around fmt/data — always
+    round-trip the fmt/data facts exactly; layouts with data before
+    fmt or non-whole-frame data always raise ValueError."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pangenomesasgraphdatabases_spark.operators.containers import (
+        probe_wav,
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            ctype + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    extra = st.lists(
+        st.tuples(
+            st.sampled_from([b"LIST", b"fact", b"cue ", b"junk"]),
+            st.binary(min_size=0, max_size=9),
+        ),
+        min_size=0,
+        max_size=3,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8_000, 11_025, 44_100]),
+        ch=st.integers(1, 2),
+        bits=st.sampled_from([8, 16, 24]),
+        n=st.integers(0, 40),
+        pre=extra,
+        mid=extra,
+        data_first=st.booleans(),
+        ragged=st.booleans(),
+    )
+    def run(rate, ch, bits, n, pre, mid, data_first, ragged):
+        align = ch * bits // 8
+        fmt = chunk(
+            b"fmt ",
+            struct.pack("<HHIIHH", 1, ch, rate, rate * align, align, bits),
+        )
+        pcm = bytes((i * 13) % 251 for i in range(n * align + (1 if ragged else 0)))
+        data = chunk(b"data", pcm)
+        chunks = [chunk(t, b) for t, b in pre]
+        if data_first:
+            chunks += [data, fmt]
+        else:
+            chunks += [fmt] + [chunk(t, b) for t, b in mid] + [data]
+        body = b"WAVE" + b"".join(chunks)
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        if data_first or (ragged and align > 1):
+            try:
+                probe_wav(payload)
+            except ValueError:
+                return
+            assert False, "malformed layout accepted"
+        else:
+            p = probe_wav(payload)
+            exp_n = n if not ragged else n * align + 1  # align==1: still whole
+            if ragged and align == 1:
+                exp_n = n * align + 1
+            assert (p["channels"], p["sample_rate"], p["bits"]) == (
+                ch, rate, bits,
+            )
+            assert p["n_frames"] == exp_n
+            assert p["duration_usec"] == exp_n * 1_000_000 // rate
+
+    run()
