@@ -764,9 +764,11 @@ def probe_wav(data: bytes) -> dict:
 
     Raises ValueError on malformed input (the documented 'corrupt'
     contract shared by probe_mp4/probe_ogg): bad magic, truncated
-    chunks, a declared RIFF size beyond the payload, a block-align
-    that contradicts channels*bits/8, or a data size that is not a
-    whole number of frames."""
+    chunks, a declared RIFF size beyond the payload, a chunk crossing
+    the declared RIFF envelope (even when trailing payload bytes
+    would cover it), a duplicate 'data' chunk, a block-align that
+    contradicts channels*bits/8, or a data size that is not a whole
+    number of frames."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     (riff_size,) = struct.unpack("<I", data[4:8])
@@ -779,9 +781,11 @@ def probe_wav(data: bytes) -> dict:
     while pos + 8 <= end:
         ctype = data[pos : pos + 4]
         (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + csize]
-        if len(body) < csize:
+        # Bound by the declared RIFF envelope, not len(data): a chunk
+        # that fits trailing garbage past `end` is still malformed.
+        if pos + 8 + csize > end:
             raise ValueError(f"truncated {ctype!r} chunk")
+        body = data[pos + 8 : pos + 8 + csize]
         out["chunks"].append(ctype.decode("latin1"))
         if ctype == b"fmt ":
             if csize < 16:
@@ -805,6 +809,8 @@ def probe_wav(data: bytes) -> dict:
         elif ctype == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt")
+            if "n_frames" in out:
+                raise ValueError("duplicate data chunk")
             if csize % fmt["block_align"]:
                 raise ValueError("data size not whole frames")
             n = csize // fmt["block_align"]

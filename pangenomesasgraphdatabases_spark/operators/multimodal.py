@@ -674,9 +674,14 @@ def synthesize_wav_media(ids: DataFrame) -> DataFrame:
     so an SQL oracle recomputes every probed fact from the id alone:
 
     * sample_rate = (8000, 16000, 22050, 44100, 48000)[id % 5]
-    * channels    = 1 + id % 2
-    * bits        = (8, 16, 24, 32)[id % 4]
+    * channels    = 1 + (id // 4) % 2
+    * bits        = (8, 16, 24, 32)[(id // 4) % 4]
     * n_frames    = 50 + id % 100
+
+    bits/channels derive from id // 4 (not id) so callers feeding a
+    fixed residue class mod 4 — media_wav_probe seeds doc_id % 4 == 2
+    — still cycle the full menu instead of pinning one value (same
+    reason synthesize_container_media keys its kind on id // 4).
     * ids with id % 3 == 0 carry an odd-sized LIST/INFO chunk BEFORE
       data (the chunk-walk + RIFF pad-byte branch)
     * duration_usec = n_frames * 1e6 // sample_rate
@@ -697,8 +702,8 @@ def synthesize_wav_media(ids: DataFrame) -> DataFrame:
                 payloads.append(
                     encode_minimal_wav(
                         sample_rate=rates[mid % 5],
-                        channels=1 + mid % 2,
-                        bits=bits_menu[mid % 4],
+                        channels=1 + (mid // 4) % 2,
+                        bits=bits_menu[(mid // 4) % 4],
                         n_frames=50 + mid % 100,
                         with_list_chunk=(mid % 3 == 0),
                     )

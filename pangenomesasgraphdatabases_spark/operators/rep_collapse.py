@@ -65,6 +65,15 @@ def collapse_exact(
     rides the same exchange (the groupBy and the join-back share the
     key), so the collapse costs one narrow shuffle of (key, id) pairs
     regardless of content width.
+
+    NULL-key contract: rows whose ``key`` evaluates to NULL are
+    DROPPED from both frames — groupBy keeps a NULL-key group, but
+    the equi-joins on ``_k`` never match it.  Every current caller
+    keys on a sha2/content expression where a NULL key means the row
+    can produce no signatures (and thus no pairs) anyway, so the drop
+    is the wanted semantics; a caller whose NULL-key rows DO carry
+    output must coalesce the key to a sentinel before calling
+    (pinned by tests/test_rep_collapse.py).
     """
     keyed = df.withColumn("_k", key)
     reps = keyed.groupBy("_k").agg(F.min(id_col).alias("_rep"))

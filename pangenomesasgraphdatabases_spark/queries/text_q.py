@@ -3817,15 +3817,15 @@ MEDIA_WAV_PROBE_ORACLE = """
     )
     SELECT media_id,
            'wav' AS container,
-           'pcm' || CAST([8, 16, 24, 32][1 + media_id % 4] AS VARCHAR)
-               AS codec,
+           'pcm' || CAST([8, 16, 24, 32][1 + (media_id // 4) % 4]
+                         AS VARCHAR) AS codec,
            CAST(1 AS INTEGER) AS n_streams,
            CAST(NULL AS INTEGER) AS n_fragments,
            CAST(NULL AS INTEGER) AS width,
            CAST(NULL AS INTEGER) AS height,
            CAST([8000, 16000, 22050, 44100, 48000][1 + media_id % 5]
                 AS INTEGER) AS sample_rate,
-           CAST(1 + media_id % 2 AS INTEGER) AS channels,
+           CAST(1 + (media_id // 4) % 2 AS INTEGER) AS channels,
            CAST(50 + media_id % 100 AS INTEGER) AS n_units,
            CAST((50 + media_id % 100) * 1000000
                 // [8000, 16000, 22050, 44100, 48000][1 + media_id % 5]

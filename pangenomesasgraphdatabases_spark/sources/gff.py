@@ -244,7 +244,12 @@ def write_gff3(
             "file",
             F.concat(
                 F.lit(">"), F.col("seqid"), F.lit("\n"),
-                F.regexp_replace("seq", "(.{80})", "$1\n"),
+                # Strip the trailing "\n" a length that is an exact
+                # multiple of 80 leaves behind — it would emit a blank
+                # line inside the ##FASTA section (non-canonical FASTA).
+                F.regexp_replace(
+                    F.regexp_replace("seq", "(.{80})", "$1\n"), "\n$", ""
+                ),
             ).alias("value"),
             F.lit(3).alias("ord"),
         )

@@ -522,8 +522,8 @@ def test_wav_probe_through_spark_path(spark):
     for mid in (6, 7, 9):
         rate = (8_000, 16_000, 22_050, 44_100, 48_000)[mid % 5]
         assert rows[mid].container == "wav"
-        assert rows[mid].codec == f"pcm{(8, 16, 24, 32)[mid % 4]}"
-        assert rows[mid].channels == 1 + mid % 2
+        assert rows[mid].codec == f"pcm{(8, 16, 24, 32)[(mid // 4) % 4]}"
+        assert rows[mid].channels == 1 + (mid // 4) % 2
         assert rows[mid].n_units == 50 + mid % 100
         assert rows[mid].duration_usec == (50 + mid % 100) * 1_000_000 // rate
 

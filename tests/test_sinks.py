@@ -70,3 +70,37 @@ def test_gff3_sink_roundtrip(spark, tmp_path):
     want_s = {(r.seqid, r.seq) for r in seqs.collect()}
     got_s = {(r.seqid, r.seq) for r in sback.collect()}
     assert got_s == want_s
+
+
+def test_gff3_sink_no_blank_line_on_multiple_of_80(spark, tmp_path):
+    """A scaffold whose length is an exact multiple of 80 must not
+    leave a blank line inside the ##FASTA section (the 80-col wrap
+    would otherwise end with a trailing newline)."""
+    from pangenomesasgraphdatabases_spark.sources.gff import (
+        read_gff_scaffolds,
+        write_gff3,
+    )
+
+    feats = spark.createDataFrame(
+        [("s1", "x", "CDS", 1, 3, ".", "+", "0", "ID=f1", "f1", "fixA")],
+        "seqid string, source string, feature_type string, start int, "
+        "end int, score string, strand string, phase string, "
+        "attributes string, feature_id string, file string",
+    )
+    seqs = spark.createDataFrame(
+        [("x", "A" * 160, "fixA"), ("y", "C" * 81, "fixA")],
+        "seqid string, seq string, file string",
+    )
+    out = str(tmp_path / "gff_out")
+    write_gff3(feats, out, scaffolds=seqs)
+
+    lines = [
+        r.value
+        for r in spark.read.text(f"{out}/file=*/*.gff").collect()
+    ]
+    text = "\n".join(lines)
+    fasta_part = text.split("##FASTA", 1)[1]
+    assert "\n\n" not in fasta_part and not fasta_part.endswith("\n\n")
+    back = read_gff_scaffolds(spark, f"{out}/file=*/*.gff")
+    got = {(r.seqid, r.seq) for r in back.collect()}
+    assert got == {("x", "A" * 160), ("y", "C" * 81)}
