@@ -88,6 +88,89 @@ def collapse_exact(
     return reps_df, members
 
 
+# Probe ceiling for collapse_exact_adaptive: below this input size the
+# dup-stats aggregation is a sub-second job and may steer the plan; at
+# crawl scale the probe would itself be a corpus-wide exchange, and
+# crawls carry dup clusters anyway — always collapse, no probe.
+DUP_PROBE_MAX_ROWS = 20_000_000
+
+# within_group_pairs auto-gate: estimated bytes/row of the (id, rep)
+# members frame once Spark row overhead is counted (two longs plus
+# UnsafeRow/broadcast bookkeeping — deliberately conservative so the
+# block path engages BEFORE broadcast is truly lost).
+MEMBER_ROW_BYTES = 48
+# Block-path group-size cutoff once the auto-gate trips: a 4096-member
+# group emits ~8.4M pairs — about one comfortable task's worth — so
+# anything larger is spread over the block decomposition.
+AUTO_BIG_MIN = 4096
+
+
+def collapse_exact_adaptive(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    input_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``collapse_exact`` with a dup-lightness bypass (VERDICT r10
+    #2).  Returns ``(reps_df, members)``; ``members is None`` means
+    the probe proved the corpus dup-light and ``reps_df`` IS ``df`` —
+    the caller should skip collapse expansion entirely and run its
+    uncollapsed plan, whose output is bit-identical (the collapse is
+    a pure performance rewrite; the driver oracles pin equality on
+    both branches).
+
+    Decision procedure (all evidence cheap at the scale it applies):
+
+    * ``input_rows`` (parquet-footer count via operators/sizing — no
+      Spark job) absent or above ``DUP_PROBE_MAX_ROWS``: collapse
+      unconditionally, exactly like ``collapse_exact``.  No probe.
+    * otherwise run ONE bounded stats job — the same groupBy the
+      collapse itself needs, cached — and bypass iff the dup excess
+      ``n - distinct`` is at most max(8, 1% of rows) AND the largest
+      group has <= 32 members.  Under that gate the uncollapsed
+      bucket join pays at most ~2 * 32 * 1% = well under 5% extra
+      band rows, while the collapsed plan's fixed overhead (content
+      hash exchange + expansion joins) costs more than it saves.
+    * when collapsing, the probe's aggregation is REUSED as the
+      ``reps`` frame (it is cached), so a collapse decision wastes
+      none of the probe's work.
+
+    The probe is the one place in the engine where building a query's
+    DataFrame may run a Spark job; tests/test_plans.py's zero-jobs
+    assertion carries exactly that documented allowlist, and the
+    footer gate bounds the probe's cost by construction.
+    """
+    if input_rows is None or input_rows > DUP_PROBE_MAX_ROWS:
+        return collapse_exact(df, id_col, key)
+    keyed = df.withColumn("_k", key)
+    grp = (
+        keyed.groupBy("_k")
+        .agg(F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n"))
+        .cache()
+    )
+    st = grp.agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("u"),
+        F.max("_n").alias("gmax"),
+    ).collect()[0]
+    n = int(st["n"] or 0)
+    u = int(st["u"] or 0)
+    gmax = int(st["gmax"] or 0)
+    if n - u <= max(8, n // 100) and gmax <= 32:
+        grp.unpersist()
+        return df, None
+    reps = grp.select("_k", "_rep")
+    members = (
+        keyed.select("_k", id_col)
+        .join(reps, "_k")
+        .select(F.col(id_col).alias("_id"), "_rep")
+    )
+    reps_df = keyed.join(
+        reps.select("_k", F.col("_rep").alias(id_col)), ["_k", id_col]
+    ).drop("_k")
+    return reps_df, members
+
+
 def expand_cross_pairs(
     rep_pairs: DataFrame, members: DataFrame, c1: str, c2: str
 ) -> DataFrame:
@@ -115,6 +198,7 @@ def within_group_pairs(
     c2: str,
     big_min: int | None = None,
     blocks: int = 16,
+    members_rows: int | None = None,
 ) -> DataFrame:
     """All ordered member pairs (c1 < c2) inside each exact group,
     with the ``_rep`` key kept so callers can join per-group payload
@@ -139,7 +223,27 @@ def within_group_pairs(
     (_rep, bucket), and the equi-join emits every unordered pair
     exactly once — cross-bucket pairs from the lower bucket's row,
     same-bucket pairs via the id-order filter — spread over
-    ``blocks`` join-key values instead of one."""
+    ``blocks`` join-key values instead of one.
+
+    ``members_rows`` (an upper bound on the member frame's row count,
+    typically the parquet-footer count from operators/sizing — no
+    Spark job) AUTO-gates the block path (VERDICT r10 #1): when the
+    estimated members size ``members_rows * MEMBER_ROW_BYTES``
+    exceeds the session's autoBroadcastJoinThreshold, the self-join
+    below has lost broadcast and would land a giant group's g^2/2
+    pairs on ONE sort-merge task — so ``big_min`` defaults to
+    ``AUTO_BIG_MIN`` there, engaging the block decomposition exactly
+    when the regime flips instead of relying on a caller opt-in.  An
+    explicit ``big_min`` always wins; no estimate keeps the plain
+    path (measured 4-5x cheaper while broadcast holds)."""
+    if big_min is None and members_rows is not None:
+        from pangenomesasgraphdatabases_spark.operators.sizing import (
+            broadcast_threshold_bytes,
+        )
+
+        thr = broadcast_threshold_bytes(members.sparkSession)
+        if members_rows * MEMBER_ROW_BYTES > thr:
+            big_min = AUTO_BIG_MIN
     if big_min is None:
         a = members.select("_rep", F.col("_id").alias(c1))
         b = members.select("_rep", F.col("_id").alias(c2))

@@ -55,3 +55,77 @@ def session_shuffle_floor(spark) -> int:
         return int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         return 200  # Spark's own default
+
+
+def parquet_rows(sf_dir: str, table: str) -> int | None:
+    """Exact row count of ``{sf_dir}/{table}.parquet`` read from the
+    parquet FOOTER (pyarrow metadata; file metadata pages only — no
+    data read, no Spark job).  This is the plan-time input statistic
+    the scale guards key on: Catalyst itself sizes scans from file
+    statistics, and a footer read keeps "the engine reading the
+    input" jobless, so building a query's DataFrame stays free of
+    Spark jobs (tests/test_plans.py pins that contract).
+
+    Returns None when the path is not a single parquet file (e.g. a
+    partitioned directory) or the footer is unreadable — callers must
+    treat None as "no evidence" and keep their conservative default.
+    """
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            parts = glob.glob(os.path.join(path, "*.parquet")) or glob.glob(
+                os.path.join(path, "part-*")
+            )
+            if not parts:
+                return None
+            for p in parts:
+                total += pq.ParquetFile(p).metadata.num_rows
+            return total
+        return None
+    except Exception:
+        return None
+
+
+_SIZE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 2**10,
+    "kb": 2**10,
+    "m": 2**20,
+    "mb": 2**20,
+    "g": 2**30,
+    "gb": 2**30,
+    "t": 2**40,
+    "tb": 2**40,
+}
+
+
+def broadcast_threshold_bytes(spark) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in
+    bytes (0 when broadcasting is disabled with -1).  Spark reports
+    the value in whatever unit it was set ("10485760b", "10MB",
+    "-1"); unknown shapes fall back to Spark's 10 MiB default."""
+    import re
+
+    default = 10 * 2**20
+    try:
+        v = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        ).strip().lower()
+    except Exception:
+        return default
+    m = re.match(r"^(-?\d+)\s*([a-z]*)$", v)
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        return default
+    n = int(m.group(1))
+    if n < 0:
+        return 0
+    return n * _SIZE_SUFFIX[m.group(2)]

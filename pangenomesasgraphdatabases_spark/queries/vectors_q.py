@@ -394,15 +394,26 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold as the pair path — ~1.0 for any non-zero vector; a NULL
     embedding's NULL self-cosine is filtered and a zero vector's NaN
     passes the threshold (NaN sorts greatest in BOTH engines), each
-    exactly matching what the uncollapsed plan emits."""
+    exactly matching what the uncollapsed plan emits.
+
+    Dup-light bypass (VERDICT r10 #2, same contract as
+    doc_lsh_near_dup_pairs): the footer-gated stats probe skips the
+    collapse/expand machinery when the corpus is dup-light; the
+    within expansion auto-gates its block path via ``members_rows``."""
     from pangenomesasgraphdatabases_spark.operators.rep_collapse import (
-        collapse_exact,
+        collapse_exact_adaptive,
         expand_cross_pairs,
         within_group_pairs,
     )
+    from pangenomesasgraphdatabases_spark.operators.sizing import (
+        parquet_rows,
+    )
 
     e0 = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e, members = collapse_exact(e0, "vec_id", F.col("embedding"))
+    n_vecs = parquet_rows(sf_dir, "embeddings")
+    e, members = collapse_exact_adaptive(
+        e0, "vec_id", F.col("embedding"), input_rows=n_vecs
+    )
     sig = _sig_frame(e)
     a = sig.select(F.col("vec_id").alias("vec1"), "tbl", "bucket")
     b = sig.select(F.col("vec_id").alias("vec2"), "tbl", "bucket")
@@ -422,6 +433,8 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("vec1", "vec2", F.round("cosine", 4).alias("cosine"))
     )
+    if members is None:  # dup-light bypass: vectors ARE the reps
+        return rep_pairs
     self_cos = _dot(F.col("embedding"), F.col("embedding")) / (
         _norm(F.col("embedding")) * _norm(F.col("embedding"))
     )
@@ -439,7 +452,10 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-cosine PASSES >= 0.35 in both Spark and DuckDB — NaN sorts
     # greatest — so those pairs are genuinely emitted, identically.)
     within = within_group_pairs(
-        members.join(rep_self.select("_rep"), "_rep"), "vec1", "vec2"
+        members.join(rep_self.select("_rep"), "_rep"),
+        "vec1",
+        "vec2",
+        members_rows=n_vecs,
     ).join(rep_self, "_rep").select("vec1", "vec2", "cosine")
     return cross.unionByName(within)
 
