@@ -1687,7 +1687,15 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
+    # Corpus N from the parquet footer — exact and jobless (VERDICT
+    # r10 #6: plan construction must not run eager Spark actions).
+    from pangenomesasgraphdatabases_spark.operators.sizing import (
+        parquet_rows,
+    )
+
+    n_docs = parquet_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = d.count()  # non-parquet layout: fall back to a job
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
@@ -1974,10 +1982,14 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()
-    lp = freq.select(
+    # Corpus token total as a scalar subquery (broadcast one-row
+    # cross join) instead of an eager count at construction (VERDICT
+    # r10 #6): cnt/T is a long/long division -> double in both
+    # engines, bit-identical to the former lit(float(total)).
+    total_df = freq.agg(F.sum("cnt").alias("_T"))
+    lp = freq.crossJoin(F.broadcast(total_df)).select(
         "tok",
-        F.round(F.log(F.col("cnt") / F.lit(float(total))) * 10000)
+        F.round(F.log(F.col("cnt") / F.col("_T")) * 10000)
         .cast("bigint")
         .alias("lp_fx"),
     )
@@ -2818,22 +2830,26 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to doc_ngram_jaccard_dedup's inverted
     index (docfreq-pruned, never all-pairs); the direction expansion
     is a map-side 2x of the intersecting-pairs frame only.  The
-    posting self-join is SIZED from the posting count (r9, VERDICT r8
+    posting self-join is SIZED from the input volume (r9, VERDICT r8
     #4): the fixed session shuffle width capped this query's 10->30x
-    slope at 3.7x per x3 data, so when the docfreq stats say the
+    slope at 3.7x per x3 data, so when the input stats say the
     posting frame outgrows ~1M rows/partition, ``inv`` is explicitly
     hash-repartitioned on the join key — both join inputs then
     already satisfy the join's distribution (no further exchange) and
     the width scales with the data instead of the config.
 
-    NOTE (ADVICE r9): the width sizing runs an EAGER posting-count
-    job (one shingle+docfreq aggregation) at plan-construction time
-    and leaves the shingle frame cached for the main job — building
-    this DataFrame is not free, and callers that enumerate plans
-    without executing them should expect one small Spark job here.
-    The caches are session-scoped; the test/bench harnesses reclaim
-    them via ``spark.catalog.clearCache()`` between queries."""
+    The estimate is JOBLESS (VERDICT r10 #6; replaces the r9 eager
+    posting-count aggregation ADVICE r9 flagged): the parquet footer
+    gives the text column's uncompressed byte volume, and postings
+    are bounded by shingles ~ tokens ~ bytes/6 (measured 302 B/doc ->
+    ~50 tokens/doc on the driver corpus, within 5% of the exact
+    count).  Overestimating postings (df-capped postings are a subset
+    of shingles) errs toward MORE partitions — smaller, safer tasks —
+    and the [floor, cap] clamp bounds both directions.  Building this
+    DataFrame now runs zero Spark jobs (tests/test_plans.py pins the
+    registry-wide contract)."""
     from pangenomesasgraphdatabases_spark.operators.sizing import (
+        parquet_column_bytes,
         session_shuffle_floor,
         sized_shuffle_width,
     )
@@ -2851,15 +2867,12 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
-    # Cheap scalar over the (cached-shingle) docfreq agg: the posting
-    # count the pruned inverted index will have.
-    n_post_row = (
-        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP))
-        .agg(F.sum("df").alias("n"))
-        .collect()[0]
-    )
+    # Jobless posting-count bound from the footer's text byte volume
+    # (~6 bytes/token; shingles = tokens - 2 per doc >= postings).
+    text_bytes = parquet_column_bytes(sf_dir, "documents", "text")
+    est_postings = None if text_bytes is None else text_bytes // 6
     floor = session_shuffle_floor(spark)
-    width = sized_shuffle_width(n_post_row["n"], floor)
+    width = sized_shuffle_width(est_postings, floor)
     inv = sh.join(
         dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
         "shingle",

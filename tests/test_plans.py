@@ -568,3 +568,80 @@ def test_pair_query_guards_stay_bucket_shaped(spark):
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
     spark.catalog.clearCache()
+
+
+# Queries whose CONSTRUCTION may run eager Spark actions, each for a
+# documented reason (everything else must build action-free — VERDICT
+# r10 #6):
+#   * bounded stats probes steering an adaptive plan (the footer-gated
+#     dup-lightness probe of operators/rep_collapse, emb_decontaminate's
+#     benchmark-tier count);
+#   * driver-boundary collects of provably tiny frames (the 64x64
+#     covariance for power iteration);
+#   * genuinely iterative algorithms (connected components, k-core,
+#     SSSP, and their consumers) that localCheckpoint per round.
+EAGER_BUILD_ALLOWED = {
+    "doc_lsh_near_dup_pairs",
+    "doc_simhash_hamming_pairs",
+    "emb_cosine_near_dup",
+    "emb_decontaminate",
+    "emb_power_iteration_pc1",
+    "emb_power_iteration_pc2",
+    "graph_components",
+    "graph_sssp_hops",
+    "graph_kcore",
+    "doc_curation_verdicts",
+    "doc_ngram_jaccard_dedup",
+    "stream_windowed_topk",
+}
+
+
+def test_plan_construction_runs_no_eager_actions(spark):
+    """Building a registered query's DataFrame must not execute eager
+    Spark actions (collect/count/toPandas/localCheckpoint/...) —
+    enumerating plans is free (VERDICT r10 #6; the r9
+    doc_jaccard_containment width probe and the tfidf/unigram corpus
+    counts are now footer stats or in-plan scalar subqueries).
+    Exceptions are the documented EAGER_BUILD_ALLOWED set above."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from pangenomesasgraphdatabases_spark.queries.registry import (
+        all_queries,
+    )
+
+    actions = (
+        "collect",
+        "count",
+        "toPandas",
+        "take",
+        "first",
+        "head",
+        "localCheckpoint",
+        "checkpoint",
+    )
+    recorded: list[str] = []
+    originals = {m: getattr(CDF, m) for m in actions if hasattr(CDF, m)}
+
+    def make(mn, of):
+        def wrapper(self, *a, **k):
+            recorded.append(mn)
+            return of(self, *a, **k)
+
+        return wrapper
+
+    for m, of in originals.items():
+        setattr(CDF, m, make(m, of))
+    offenders: dict[str, list[str]] = {}
+    try:
+        for name, q in all_queries().items():
+            if name in EAGER_BUILD_ALLOWED:
+                continue
+            recorded.clear()
+            q.fn(spark, SF)
+            if recorded:
+                offenders[name] = sorted(set(recorded))
+            spark.catalog.clearCache()
+    finally:
+        for m, of in originals.items():
+            setattr(CDF, m, of)
+    assert not offenders, offenders
