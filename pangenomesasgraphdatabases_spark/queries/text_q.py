@@ -342,8 +342,8 @@ def band_frame(sig: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, max_bucket: int | None = None
-) -> DataFrame:
+    sig: DataFrame, max_bucket: int | None = None, with_audit: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs agreeing on at least one band.
 
     The band frame is cached before the self-join: both join sides
@@ -364,38 +364,60 @@ def lsh_candidate_pairs(
     The oracled ``doc_lsh_near_dup_pairs`` runs capless — its guard is
     exact-dup collapse, which keeps results bit-identical.
 
+    ``with_audit`` (requires ``max_bucket``) returns ``(pairs,
+    audit)`` instead: ``audit`` is a LAZY one-row frame
+    ``(n_hot_buckets, rows_dropped)`` for callers that hash-pin the
+    drop report in their own output (``doc_lsh_capped_pairs``), and
+    the eager log-collect is skipped so plan construction stays
+    action-free (VERDICT r10 #6).
+
     Lifecycle (module policy above): the returned plan's lineage reads
     the cached frame, so it cannot be unpersisted here; across a
     multi-query run the per-query frames are dropped by the caller's
     clearCache between queries (bench.py, tools/check_oracle.py) and
     otherwise bounded by LRU eviction."""
     bands = band_frame(sig).cache()
+    audit = None
     if max_bucket is not None:
         occ = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
         hot = occ.filter(F.col("_n") > max_bucket).cache()
-        stats = hot.agg(
-            F.count(F.lit(1)).alias("n_buckets"), F.sum("_n").alias("n_rows")
-        ).collect()[0]
-        if stats["n_buckets"]:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "lsh_candidate_pairs: dropping %d band bucket(s) over "
-                "max_bucket=%d (%d band rows skipped); pairs confined "
-                "to those buckets will not be candidates",
-                stats["n_buckets"],
-                max_bucket,
-                stats["n_rows"],
+        if with_audit:
+            audit = hot.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_hot_buckets"),
+                F.coalesce(F.sum("_n"), F.lit(0))
+                .cast("bigint")
+                .alias("rows_dropped"),
             )
+        else:
+            stats = hot.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("_n").alias("n_rows"),
+            ).collect()[0]
+            if stats["n_buckets"]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: dropping %d band bucket(s) over "
+                    "max_bucket=%d (%d band rows skipped); pairs confined "
+                    "to those buckets will not be candidates",
+                    stats["n_buckets"],
+                    max_bucket,
+                    stats["n_rows"],
+                )
         bands = bands.join(hot.select("band", "bh"), ["band", "bh"], "left_anti")
     a = bands.select(F.col("doc_id").alias("doc1"), "band", "bh")
     b = bands.select(F.col("doc_id").alias("doc2"), "band", "bh")
-    return (
+    pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()
     )
+    if with_audit:
+        if audit is None:
+            raise ValueError("with_audit requires max_bucket")
+        return pairs, audit
+    return pairs
 
 
 @register(
@@ -3913,3 +3935,183 @@ def media_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return probe_containers(synthesize_wav_media(ids))
+
+
+# --- Capped-LSH consumer (VERDICT r10 #3) -----------------------------------
+# Deterministic boilerplate cohorts synthesized FROM the documents ids
+# so the occupancy cap demonstrably TRIPS on the oracled path:
+#   * hot cohort (ids % 8 == 3, plus every id >= 500) -> one shared
+#     40-word template + a unique tail word: ~90% of the cohort lands
+#     in one bucket PER BAND (a doc only leaves when its unique
+#     shingle minhashes below all 38 shared ones, p = 1-(38/39)^4),
+#     far above the cap -> dropped;
+#   * survivor cohort (ids % 8 == 7 AND id < 500 — the id range every
+#     SF contains, so group sizes are SF-INVARIANT) -> five disjoint
+#     group templates (id % 5) + unique tail: ~12-member groups stay
+#     UNDER the cap -> their near-dup pairs survive and are verified,
+#     proving recall degrades gracefully, never silently.
+_CAP_MAX_BUCKET = 16
+_CAP_HOT_TMPL = " ".join(f"hotw{j}" for j in range(40))
+_CAP_GRP_TMPL = {g: " ".join(f"g{g}w{j}" for j in range(40)) for g in range(5)}
+
+_CAP_SYNTH_SQL = f"""
+    synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 = 3 OR doc_id >= 500
+                    THEN '{_CAP_HOT_TMPL} u' || CAST(doc_id AS VARCHAR)
+                    ELSE CASE CAST(doc_id % 5 AS INTEGER)
+                         WHEN 0 THEN '{_CAP_GRP_TMPL[0]}'
+                         WHEN 1 THEN '{_CAP_GRP_TMPL[1]}'
+                         WHEN 2 THEN '{_CAP_GRP_TMPL[2]}'
+                         WHEN 3 THEN '{_CAP_GRP_TMPL[3]}'
+                         ELSE '{_CAP_GRP_TMPL[4]}' END
+                         || ' v' || CAST(doc_id AS VARCHAR)
+               END AS text
+        FROM documents WHERE doc_id % 4 = 3
+    )
+"""
+
+_CAP_SHINGLES_SQL = """
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM synth
+        ), generate_series(1, 64) t(i)
+        WHERE i + 2 <= len(toks)
+    )
+"""
+
+
+@register(
+    "doc_lsh_capped_pairs",
+    oracle=f"""
+    WITH {_CAP_SYNTH_SQL},
+    {_CAP_SHINGLES_SQL},
+    {_HASHED_SQL},
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    occ AS (
+        SELECT band, bh, count(*) AS n FROM bands GROUP BY band, bh
+    ),
+    hot AS (SELECT band, bh, n FROM occ WHERE n > {_CAP_MAX_BUCKET}),
+    audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS rows_dropped
+        FROM hot
+    ),
+    surv AS (
+        SELECT b.doc_id, b.band, b.bh FROM bands b
+        LEFT JOIN hot h ON b.band = h.band AND b.bh = h.bh
+        WHERE h.bh IS NULL
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM surv a JOIN surv b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN shingles s1 ON c.doc1 = s1.doc_id
+        JOIN shingles s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+        GROUP BY c.doc1, c.doc2
+    )
+    SELECT i.doc1, i.doc2, i.n_common,
+           round(CAST(i.n_common AS DOUBLE) / (z1.sz + z2.sz - i.n_common), 4)
+               AS jaccard,
+           a.n_hot_buckets, a.rows_dropped
+    FROM inter i
+    JOIN sizes z1 ON i.doc1 = z1.doc_id
+    JOIN sizes z2 ON i.doc2 = z2.doc_id
+    CROSS JOIN audit a
+    """,
+    tags=("ext-text", "dedup", "lsh", "guardrail"),
+)
+def doc_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairing UNDER the hot-bucket occupancy cap
+    (VERDICT r10 #3 — the composed, oracled consumer of
+    ``lsh_candidate_pairs(max_bucket=...)``): band buckets holding
+    more than {cap} docs are dropped from candidate generation, and
+    the drop is REPORTED IN THE OUTPUT — every surviving pair row
+    carries the corpus-wide ``(n_hot_buckets, rows_dropped)`` audit —
+    so degraded recall is hash-pinned, never silent.
+
+    The fixture is synthesized deterministically from the documents
+    ids (see _CAP_SYNTH_SQL): a boilerplate cohort (which grows with
+    the corpus) whose near-identical texts concentrate ~90% of its
+    docs into ONE bucket in every band — far past the cap, so the cap
+    verifiably TRIPS (n_hot_buckets > 0 in the hashed output) — plus
+    five ~12-doc template groups (SF-invariant, drawn from the id
+    range every SF contains) that stay under the cap, whose verified
+    pairs survive.  Contrast ``doc_lsh_near_dup_pairs`` (capless, guarded
+    by exact-dup collapse — bit-identical results) and
+    ``doc_lsh_band_occupancy`` (the monitoring audit that prices the
+    uncapped join): this query is the production GUARDED pipeline
+    where latency is bounded first and recall loss is accounted.
+
+    Scale shape: identical to the capless query minus the dropped
+    buckets — candidates shuffle on (band, bh), the audit is a
+    broadcast one-row cross join, and the hot-bucket anti-join reads
+    the occupancy agg the audit already computed (cached band frame,
+    shared exchange).  Plan construction runs zero eager actions
+    (``with_audit=True`` defers the drop report into the plan)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    grp_tmpl = F.element_at(
+        F.array(*[F.lit(_CAP_GRP_TMPL[g]) for g in range(5)]),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    synth = d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 8 == 3) | (F.col("doc_id") >= 500),
+            F.concat(F.lit(_CAP_HOT_TMPL + " u"), F.col("doc_id")),
+        )
+        .otherwise(F.concat(grp_tmpl, F.lit(" v"), F.col("doc_id")))
+        .alias("text"),
+    )
+    sh = shingles_of(synth).cache()
+    cand, audit = lsh_candidate_pairs(
+        minhash_sig_of(sh), max_bucket=_CAP_MAX_BUCKET, with_audit=True
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    return (
+        inter.join(z1, "doc1")
+        .join(z2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n_common",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )
+
+
+doc_lsh_capped_pairs.__doc__ = doc_lsh_capped_pairs.__doc__.replace(
+    "{cap}", str(_CAP_MAX_BUCKET)
+)
