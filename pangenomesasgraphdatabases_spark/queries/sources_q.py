@@ -88,10 +88,12 @@ def etl_neighbour_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbour_edges(read_coords(spark, f"{RAW}/co-ords/*.tsv"))
 
 
-@register(
-    "etl_genbank_scan",
-    oracle=rf"""
-    WITH raw AS (
+# Shared oracle prefix: re-parse the .gbk fixture tree in SQL down to
+# one row per feature block (file, rec, blk, key, loc, locus_tag,
+# product, pseudo) — used by both etl_genbank_scan and
+# etl_genbank_gene_models.
+_GBK_BLOCKS_SQL = rf"""
+    raw AS (
         SELECT regexp_extract(filename, '([^/]+?)\.[^/]*$', 1) AS file,
                string_split(content, chr(10)) AS ls
         FROM read_text('{GBK}/*.gbk')
@@ -139,6 +141,13 @@ def etl_neighbour_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE blk > 0
         GROUP BY file, rec, blk
     )
+"""
+
+
+@register(
+    "etl_genbank_scan",
+    oracle=rf"""
+    WITH {_GBK_BLOCKS_SQL}
     SELECT b.file, r.seqid,
            CASE WHEN b.key = 'gene' AND b.pseudo THEN 'pseudogene'
                 ELSE b.key END AS feature_type,
@@ -171,6 +180,113 @@ def etl_genbank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strand",
         "feature_id",
         "product",
+    )
+
+
+@register(
+    "etl_genbank_gene_models",
+    oracle=rf"""
+    WITH {_GBK_BLOCKS_SQL},
+    gm AS (
+        SELECT file, rec, blk, key, locus_tag, pseudo,
+               count(*) FILTER (WHERE key = 'gene')
+                   OVER (PARTITION BY file, rec ORDER BY blk) AS gseq
+        FROM blocks
+    ),
+    gene_of AS (
+        SELECT file, rec, gseq, locus_tag AS gene_id
+        FROM gm WHERE key = 'gene'
+    ),
+    linked AS (
+        SELECT g.file, g.rec, g.blk, g.key, g.locus_tag, g.pseudo, g.gseq,
+               coalesce(go.gene_id, '') AS gene_id,
+               (coalesce(go.gene_id, '') <> ''
+                AND (g.locus_tag = '' OR g.locus_tag = go.gene_id))
+                   AS is_linked
+        FROM gm g LEFT JOIN gene_of go USING (file, rec, gseq)
+    ),
+    mrna AS (
+        SELECT file, rec, gseq, blk,
+               row_number() OVER (PARTITION BY file, rec, gseq
+                                  ORDER BY blk) AS tnum
+        FROM linked WHERE key = 'mRNA' AND is_linked
+    ),
+    ncrna AS (
+        SELECT file, rec, gseq, blk,
+               row_number() OVER (PARTITION BY file, rec, gseq
+                                  ORDER BY blk) AS rnum
+        FROM linked
+        WHERE key <> 'mRNA' AND is_linked
+          AND (key LIKE '%RNA%' OR key LIKE '%transcript%')
+    ),
+    cds_rna AS (
+        SELECT c.file, c.rec, c.blk, max(m.tnum) AS tnum
+        FROM linked c JOIN mrna m
+          ON m.file = c.file AND m.rec = c.rec AND m.gseq = c.gseq
+         AND m.blk < c.blk
+        WHERE c.key IN ('CDS', 'protein', 'polypeptide') AND c.is_linked
+        GROUP BY c.file, c.rec, c.blk
+    )
+    SELECT l.file, r.seqid,
+           CASE WHEN l.key = 'gene' AND l.pseudo THEN 'pseudogene'
+                ELSE l.key END AS feature_type,
+           l.locus_tag AS feature_id,
+           CASE
+             WHEN l.key = 'gene' THEN l.gene_id
+             WHEN l.key = 'mRNA' AND m.tnum IS NOT NULL
+                  THEN l.gene_id || '.t0' || CAST(m.tnum AS VARCHAR)
+             WHEN l.key <> 'mRNA'
+                  AND (l.key LIKE '%RNA%' OR l.key LIKE '%transcript%')
+                  AND n.rnum IS NOT NULL
+                  THEN l.gene_id || '.r0' || CAST(n.rnum AS VARCHAR)
+             WHEN l.key IN ('CDS', 'protein', 'polypeptide')
+                  AND c.tnum IS NOT NULL
+                  THEN l.gene_id || '.p0' || CAST(c.tnum AS VARCHAR)
+             ELSE l.locus_tag
+           END AS gb_id,
+           CASE
+             WHEN l.key = 'mRNA' AND m.tnum IS NOT NULL THEN l.gene_id
+             WHEN l.key <> 'mRNA' AND l.key <> 'gene'
+                  AND (l.key LIKE '%RNA%' OR l.key LIKE '%transcript%')
+                  AND n.rnum IS NOT NULL THEN l.gene_id
+             WHEN l.key IN ('CDS', 'protein', 'polypeptide')
+                  AND c.tnum IS NOT NULL
+                  THEN l.gene_id || '.t0' || CAST(c.tnum AS VARCHAR)
+             WHEN l.key NOT IN ('gene', 'mRNA', 'CDS', 'protein',
+                                'polypeptide', 'exon')
+                  AND NOT (l.key LIKE '%RNA%' OR l.key LIKE '%transcript%')
+                  AND l.gene_id <> '' AND l.locus_tag = l.gene_id
+                  THEN l.gene_id
+             ELSE ''
+           END AS gb_parent
+    FROM linked l
+    JOIN recs r USING (file, rec)
+    LEFT JOIN mrna m ON m.file = l.file AND m.rec = l.rec AND m.blk = l.blk
+    LEFT JOIN ncrna n ON n.file = l.file AND n.rec = l.rec AND n.blk = l.blk
+    LEFT JOIN cds_rna c ON c.file = l.file AND c.rec = l.rec
+                        AND c.blk = l.blk
+    """,
+    tags=("S8", "parser", "gene-model"),
+)
+def etl_genbank_gene_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 gene-model subset (VERDICT r10 #4): the ID/Parent
+    association BioPerl's unflattener assigns (bp_genbank2gff3.pl:835
+    ``gene_features``) over the multi-record fixture tree — mRNAs get
+    ``<gene>.t0<n>`` under their gene, each CDS derives
+    ``<gene>.p0<n>`` from (and parents to) the CURRENT mRNA, non-mRNA
+    RNAs get ``<gene>.r0<n>``, and a feature whose own gene link
+    names a different gene stays top-level (GM_NOT_PART), as does a
+    CDS with no mRNA.  The oracle replays the same sequential state
+    machine with window functions (gene ordinal -> per-model
+    row_number -> last-mRNA-before-CDS max), so every id and parent
+    is hash-pinned against an independent implementation."""
+    return read_genbank_features(spark, f"{GBK}/*.gbk").select(
+        "file",
+        "seqid",
+        "feature_type",
+        "feature_id",
+        "gb_id",
+        "gb_parent",
     )
 
 

@@ -43,6 +43,8 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("product", T.StringType()),
         T.StructField("pseudo", T.BooleanType()),
         T.StructField("partial", T.BooleanType()),
+        T.StructField("gb_id", T.StringType()),
+        T.StructField("gb_parent", T.StringType()),
     ]
 )
 
@@ -137,6 +139,21 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
         elif blocks and line.strip():
             blocks[-1][1].append(line)
 
+    # Gene-model association (bp_genbank2gff3.pl:835-945
+    # gene_features — the unflattener's ID/Parent assignment, the
+    # subset a downstream pipeline consumes): features arrive in file
+    # order, a gene opens a model, the mRNAs under it get
+    # "<gene>.t0<n>" ids with Parent=gene, each CDS derives
+    # "<gene>.p0<n>" from the CURRENT mRNA (CDSkeep default: Parent =
+    # the mRNA), non-mRNA RNAs get "<gene>.r0<n>".  A feature whose
+    # own gene link (locus_tag, else /gene — gene_name() at :1086)
+    # names a DIFFERENT gene is NOT part of the model (GM_NOT_PART)
+    # and stays top-level, as does a CDS with no mRNA under the
+    # current gene.  Full exon unflattening (multi-parent exons,
+    # :879-898) stays out of scope: exons parent to the active
+    # (nc)RNA, duplicates are not deduplicated.
+    gene_id = rna_id = ncrna_id = ""
+    tnum = rnum = 0
     for key, lines in blocks:
         # Location = the key-line remainder plus continuation lines up
         # to the first qualifier; qualifiers may also span lines
@@ -169,6 +186,36 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
             continue
         start, end, strand, partial = parsed
         qd = {name: _unquote(val) for name, val in quals}
+        own = qd.get("locus_tag") or qd.get("gene") or ""
+        linked = bool(gene_id) and (not own or own == gene_id)
+        gb_id, gb_parent = own, ""
+        if key == "gene":
+            gene_id = own
+            rna_id = ncrna_id = ""
+            tnum = rnum = 0
+            gb_id = gene_id
+        elif key == "mRNA":
+            if linked:
+                tnum += 1
+                rna_id = f"{gene_id}.t0{tnum}"
+                gb_id, gb_parent = rna_id, gene_id
+        elif "RNA" in key or "transcript" in key:
+            if linked:
+                rnum += 1
+                ncrna_id = f"{gene_id}.r0{rnum}"
+                gb_id, gb_parent = ncrna_id, gene_id
+            else:
+                # acts as its own top level (bp_genbank2gff3.pl:866-875)
+                ncrna_id = own
+        elif key in ("CDS", "protein", "polypeptide"):
+            if linked and rna_id:
+                gb_id = rna_id.replace(".t", ".p")
+                gb_parent = rna_id
+        elif key == "exon":
+            gb_id, gb_parent = "", rna_id or ncrna_id
+        else:
+            if gene_id and own == gene_id:
+                gb_parent = gene_id
         ftype = key
         if key == "gene" and "pseudo" in qd:
             # The reference pipeline's GFF3 carries these as
@@ -185,6 +232,8 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
             "product": qd.get("product", ""),
             "pseudo": "pseudo" in qd,
             "partial": partial,
+            "gb_id": gb_id,
+            "gb_parent": gb_parent,
         }
 
 
@@ -299,6 +348,12 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
         F.concat(
             F.lit("ID="),
             F.col("feature_id"),
+            # Gene-model parentage, as the unflattener's GFF3 carries
+            # it (bp_genbank2gff3.pl gene_features Parent tags).
+            F.when(
+                F.length("gb_parent") > 0,
+                F.concat(F.lit(";Parent="), F.col("gb_parent")),
+            ).otherwise(F.lit("")),
             F.when(
                 F.length(product) > 0, F.concat(F.lit(";product="), product)
             ).otherwise(F.lit("")),

@@ -470,3 +470,100 @@ def test_genbank_hypothesis_roundtrip():
         assert sorted(got) == sorted(want)
 
     run()
+
+
+def test_genbank_gene_model_fixture(spark):
+    """The committed strainC fixture: gene->mRNA->CDS association per
+    bp_genbank2gff3.pl gene_features (VERDICT r10 #4) — two gene
+    models on one record (second with two mRNA isoforms, CDS bound to
+    the CURRENT mRNA), a tRNA under a gene on the next record, and an
+    orphan CDS (different locus_tag -> GM_NOT_PART, top-level)."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        read_genbank_features,
+    )
+
+    rows = {
+        (r.seqid, r.feature_type, r.feature_id): (r.gb_id, r.gb_parent)
+        for r in read_genbank_features(
+            spark, "/root/repo/fixtures_data/genbank/strainC.gbk"
+        ).collect()
+    }
+    assert rows[("seqC1", "gene", "C_0001")] == ("C_0001", "")
+    assert rows[("seqC1", "mRNA", "C_0001")] == ("C_0001.t01", "C_0001")
+    assert rows[("seqC1", "CDS", "C_0001")] == ("C_0001.p01", "C_0001.t01")
+    assert rows[("seqC1", "CDS", "C_0002")] == ("C_0002.p02", "C_0002.t02")
+    assert rows[("seqC2", "tRNA", "C_0101")] == ("C_0101.r01", "C_0101")
+    assert rows[("seqC2", "CDS", "C_0102")] == ("C_0102", "")
+
+
+def test_genbank_gene_model_hypothesis():
+    """Hypothesis property: random gene-model layouts (genes with
+    shuffled mRNA/CDS/tRNA/orphan children) -> rendered .gbk ->
+    parse recovers the exact BioPerl-parity id/parent assignment,
+    with expectations computed BY CONSTRUCTION while generating."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        _iter_record_features,
+        _split_records,
+    )
+
+    child = st.sampled_from(["mRNA", "CDS", "tRNA", "orphan_cds", "misc"])
+    model = st.lists(child, min_size=0, max_size=6)
+    rec = st.lists(model, min_size=1, max_size=4)
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rec)
+    def run(models):
+        rendered, want = [], []
+        pos = 1
+        for g_i, children in enumerate(models):
+            gtag = f"G_{g_i:03d}"
+            rendered.append({"key": "gene", "loc": f"{pos}..{pos + 9}",
+                             "extra_lines": [
+                                 f'                     /locus_tag="{gtag}"']})
+            want.append(("gene", gtag, gtag, ""))
+            tnum = rnum = 0
+            rna_id = ""
+            for c_i, kind in enumerate(children):
+                loc = f"{pos + c_i}..{pos + c_i + 5}"
+                if kind == "mRNA":
+                    tnum += 1
+                    rna_id = f"{gtag}.t0{tnum}"
+                    tag, gbid, par = gtag, rna_id, gtag
+                    key = "mRNA"
+                elif kind == "CDS":
+                    key, tag = "CDS", gtag
+                    if rna_id:
+                        gbid, par = rna_id.replace(".t", ".p"), rna_id
+                    else:
+                        gbid, par = gtag, ""
+                elif kind == "tRNA":
+                    rnum += 1
+                    key, tag = "tRNA", gtag
+                    gbid, par = f"{gtag}.r0{rnum}", gtag
+                elif kind == "orphan_cds":
+                    key, tag = "CDS", f"X_{g_i:03d}_{c_i}"
+                    gbid, par = tag, ""
+                else:
+                    key, tag = "misc_feature", gtag
+                    gbid, par = gtag, gtag
+                rendered.append({"key": key, "loc": loc, "extra_lines": [
+                    f'                     /locus_tag="{tag}"']})
+                want.append((key, tag, gbid, par))
+            pos += 20
+        text = _render_record("gm0", 500, rendered)
+        got = [
+            (f["feature_type"], f["feature_id"], f["gb_id"], f["gb_parent"])
+            for rec_s in _split_records(text)
+            for f in _iter_record_features(rec_s)
+            if f["feature_type"] != "source"
+        ]
+        assert got == want
+
+    run()
