@@ -125,10 +125,12 @@ def test_scalable_linkage_exact_path(spark):
 
 
 def test_scalable_linkage_approx_past_gate(spark):
-    """Past the gates the fallback must NOT raise: it returns the
-    single-linkage components at the threshold, flagged approx, with
-    isolated items as singletons, and each exact complete-linkage
-    cluster contained in one approx component (coarsen-never-split)."""
+    """Gates of 0 make every non-singleton component pathological: the
+    per-component fallback returns the single-linkage components at
+    the threshold, flagged approx; ISOLATED items are exact singletons
+    (approx=False — a singleton needs no approximation); each exact
+    complete-linkage cluster is contained in one approx component
+    (coarsen-never-split)."""
     rng = random.Random(11)
     n = 30
     items = [f"y{i}" for i in range(n)]
@@ -145,7 +147,9 @@ def test_scalable_linkage_approx_past_gate(spark):
     t = 0.35
     out = {r.item: (r.cluster, r.approx) for r in
            linkage_clusters_scalable(df, t, exact_max_pairs=0).collect()}
-    assert all(v[1] for v in out.values())
+    connected = {x for a, b, d in pairs if d <= t for x in (a, b)}
+    assert all(v[1] for k, v in out.items() if k in connected)
+    assert all(not v[1] for k, v in out.items() if k not in connected)
     want = _partition(_single_linkage_cut(pairs, t))
     got = _partition({k: v[0] for k, v in out.items()})
     assert got == want
@@ -216,8 +220,10 @@ def test_exact_rows_recheck_gates():
 def test_scalable_linkage_falls_back_when_recheck_fails(spark, monkeypatch):
     """If the true post-collect size exceeds the gates (the >5-sigma
     approx-undercount scenario), the exact path must fall through to
-    the distributed single-linkage cut, not raise.  The impossible
-    undercount is simulated by forcing the re-check to fail."""
+    the distributed path, not raise.  Since r11 the distributed path
+    is per-component EXACT: complete linkage on the a-b-c component
+    merges only a-b (d({a,b},c) = max(0.2, inf) = inf > t), and every
+    flag stays approx=False."""
     from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
 
     pairs = [("a", "b", 0.1), ("b", "c", 0.2), ("x", "y", 0.9)]
@@ -225,8 +231,9 @@ def test_scalable_linkage_falls_back_when_recheck_fails(spark, monkeypatch):
     monkeypatch.setattr(ra, "_exact_rows_within_gates", lambda *a: False)
     out = {r.item: (r.cluster, r.approx) for r in
            ra.linkage_clusters_scalable(df, 0.5).collect()}
-    assert all(approx for _, approx in out.values())  # distributed path
-    assert out["a"][0] == out["b"][0] == out["c"][0] == "a"
+    assert all(not approx for _, approx in out.values())
+    want = complete_linkage_clusters(pairs, 0.5)
+    assert _partition({k: v[0] for k, v in out.items()}) == _partition(want)
     # 0.9 > threshold: edge dropped, x and y are singleton clusters
     assert out["x"][0] == "x" and out["y"][0] == "y"
 
@@ -391,9 +398,71 @@ def test_distributed_fallback_matches_single_linkage_cut(spark):
     grouping (labels are representation-free via co-pair sets)."""
     pairs = _geometric_pairs(0.1)
     df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
-    out = linkage_clusters_scalable(df, 0.05, exact_max_pairs=1)
+    out = linkage_clusters_scalable(df, 0.05, exact_max_pairs=0)
     rows = out.collect()
-    assert all(r.approx for r in rows)
+    connected = {x for a, b, d in pairs if d <= 0.05 for x in (a, b)}
+    assert all(r.approx for r in rows if r.item in connected)
     got = _copairs({r.item: r.cluster for r in rows})
     want = _copairs(_single_linkage_cut(pairs, 0.05))
     assert got == want
+
+
+def test_distributed_exact_per_component_straddles_gate(spark):
+    """VERDICT r10 #5: inputs past the DRIVER gate but with components
+    inside the per-component gates get the EXACT complete-linkage cut
+    (approx=False) from the distributed per-component path — five
+    4-item blobs plus cross-blob >threshold pairs, driver gate forced
+    down to 10 pairs (total is 40+), each component 6 pairs."""
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    rng = random.Random(5)
+    pairs = []
+    items = []
+    for b in range(5):
+        blob = [f"b{b}x{i}" for i in range(4)]
+        items += blob
+        for i in range(4):
+            for j in range(i + 1, 4):
+                # within-blob distances straddle the threshold so the
+                # exact cut differs from "whole component = cluster"
+                pairs.append(
+                    (blob[i], blob[j], round(0.05 + 0.5 * rng.random(), 3))
+                )
+    for k in range(12):  # cross-blob pairs, all above threshold
+        a, c = rng.sample(items, 2)
+        pairs.append((a, c, round(0.6 + 0.4 * rng.random(), 3)))
+
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    t = 0.3
+    out = linkage_clusters_scalable(df, t, exact_max_pairs=10).collect()
+    assert all(not r.approx for r in out)
+    got = _copairs({r.item: r.cluster for r in out})
+    want = _copairs(complete_linkage_clusters(pairs, t))
+    assert got == want
+
+
+def test_distributed_mixed_pathological_and_exact_components(spark):
+    """A percolating chain component past the per-component gates gets
+    the single-linkage coarsening (approx=True) while small components
+    in the SAME run stay exact (approx=False) — the flag is
+    per-component, not per-run."""
+    from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
+
+    chain = [(f"c{i}", f"c{i + 1}", 0.2) for i in range(30)]  # 30 pairs
+    blob = [("p1", "p2", 0.1), ("p1", "p3", 0.5), ("p2", "p3", 0.15)]
+    pairs = chain + blob
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    # driver gate: 33 pairs > 20 -> distributed; per-component gate 20:
+    # the chain (30 pairs) is pathological, the blob (3 pairs) exact.
+    out = {r.item: (r.cluster, r.approx) for r in
+           ra.linkage_clusters_scalable(df, 0.3, exact_max_pairs=20).collect()}
+    assert all(out[f"c{i}"] == ("c0", True) for i in range(31))
+    exact_blob = complete_linkage_clusters(blob, 0.3)
+    # p1-p2 merge at 0.1; p3 stays out (max(0.5, 0.15) > 0.3)
+    assert out["p1"] == ("p1", False) and out["p2"] == ("p1", False)
+    assert out["p3"] == ("p3", False)
+    assert _partition({k: v for k, v in exact_blob.items()}) == {
+        frozenset({"p1", "p2"}), frozenset({"p3"}),
+    }
