@@ -933,3 +933,122 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("assortativity_micro"),
     )
+
+
+# --- Distributed exact complete-linkage (F17, VERDICT r10 #5) ---------------
+# SF-invariant fixture from document ids (every SF contains ids
+# 0..479): 30 eight-item CLIQUE blobs (ids < 240, blob = id // 8, all
+# 28 within-blob pairs <= t) whose complete-linkage cut merges the
+# whole blob, plus 80 CHAIN TRIPLES (ids 240..479, triple = (id-240)
+# // 3) with d(p0,p1)=0.1, d(p1,p2)=0.2, d(p0,p2)=0.9: single linkage
+# would fuse all three at t=0.3, complete linkage merges ONLY {p0,p1}
+# (d({p0,p1},{p2}) = max(0.2, 0.9) > t) — so the oracle distinguishes
+# the linkage, not just the components.  exact_max_items=100 forces
+# the input (480 items) past the DRIVER gate onto the distributed
+# per-component path; every component (<= 8 items) is exact, so
+# approx=false for every row.
+_LINK_T = 0.3
+
+
+@register(
+    "linkage_distributed_cut",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS i FROM documents WHERE doc_id < 480
+    )
+    SELECT 'i' || lpad(CAST(i AS VARCHAR), 3, '0') AS item,
+           CASE
+             WHEN i < 240
+                  THEN 'i' || lpad(CAST(8 * (i // 8) AS VARCHAR), 3, '0')
+             WHEN (i - 240) % 3 < 2
+                  THEN 'i' || lpad(CAST(240 + 3 * ((i - 240) // 3)
+                                        AS VARCHAR), 3, '0')
+             ELSE 'i' || lpad(CAST(i AS VARCHAR), 3, '0')
+           END AS cluster,
+           false AS approx
+    FROM ids
+    """,
+    tags=("F17", "clustering", "distributed-exact"),
+)
+def linkage_distributed_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 on the DISTRIBUTED EXACT path (VERDICT r10 #5): the
+    fcluster-style complete-linkage cut at t=0.3, computed past the
+    driver gate by per-component NN-chain over the <=t-graph
+    components (graph/rgp_analysis.linkage_clusters_scalable).  The
+    id-derived fixture (see module comment) makes every expected
+    cluster label pure id arithmetic — the oracle recomputes the cut
+    independently, and the chain triples pin COMPLETE-linkage
+    semantics (p2 must stay out of {p0, p1}; single linkage would
+    merge it), so a silent fallback to the single-linkage coarsening
+    fails the hash, as does any approx=true flag."""
+    from pangenomesasgraphdatabases_spark.data import table
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
+    tag = F.format_string("i%03d", F.col("doc_id").cast("int"))
+    ids = d.select(F.col("doc_id").alias("i"), tag.alias("item"))
+
+    blob = ids.filter(F.col("i") < 240)
+    b2 = blob.select(
+        F.col("i").alias("j"),
+        F.col("item").alias("item2"),
+        F.floor(F.col("i") / 8).alias("g2"),
+    )
+    blob_pairs = (
+        blob.select("i", "item", F.floor(F.col("i") / 8).alias("g"))
+        .join(b2, (F.col("g") == F.col("g2")) & (F.col("i") < F.col("j")))
+        .select(
+            F.col("item").alias("item1"),
+            "item2",
+            (
+                F.lit(0.1)
+                + F.lit(0.001) * ((F.col("i") + F.col("j")) % 7).cast("double")
+            ).alias("dist"),
+        )
+    )
+    chain = ids.filter(F.col("i") >= 240).select(
+        "i",
+        "item",
+        (F.lit(240) + F.lit(3) * F.floor((F.col("i") - 240) / 3)).alias(
+            "base"
+        ),
+        ((F.col("i") - 240) % 3).alias("pos"),
+    )
+    c_by_pos = {
+        p: chain.filter(F.col("pos") == p).select(
+            F.col("base").alias(f"b{p}"), F.col("item").alias(f"it{p}")
+        )
+        for p in (0, 1, 2)
+    }
+    chain_pairs = (
+        c_by_pos[0]
+        .join(c_by_pos[1], F.col("b0") == F.col("b1"))
+        .join(c_by_pos[2], F.col("b0") == F.col("b2"))
+        .select(
+            F.col("it0").alias("item1"),
+            F.col("it1").alias("item2"),
+            F.lit(0.1).alias("dist"),
+        )
+        .unionByName(
+            c_by_pos[1]
+            .join(c_by_pos[2], F.col("b1") == F.col("b2"))
+            .select(
+                F.col("it1").alias("item1"),
+                F.col("it2").alias("item2"),
+                F.lit(0.2).alias("dist"),
+            )
+        )
+        .unionByName(
+            c_by_pos[0]
+            .join(c_by_pos[2], F.col("b0") == F.col("b2"))
+            .select(
+                F.col("it0").alias("item1"),
+                F.col("it2").alias("item2"),
+                F.lit(0.9).alias("dist"),
+            )
+        )
+    )
+    pairs = blob_pairs.unionByName(chain_pairs)
+    return linkage_clusters_scalable(pairs, _LINK_T, exact_max_items=100)

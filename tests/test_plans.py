@@ -593,6 +593,9 @@ EAGER_BUILD_ALLOWED = {
     "doc_curation_verdicts",
     "doc_ngram_jaccard_dedup",
     "stream_windowed_topk",
+    # gate agg + iterative connected-components at construction (the
+    # distributed exact linkage path, VERDICT r10 #5)
+    "linkage_distributed_cut",
 }
 
 
