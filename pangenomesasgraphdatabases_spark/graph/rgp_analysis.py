@@ -443,41 +443,70 @@ def linkage_clusters_scalable(
         "item1",
     ).select("component", "item1", "item2", "dist")
 
+    # Per-component gates are enforced IN THE PLAN, before any pandas
+    # materialization: a pathological (percolating) component's pair
+    # rows must never be loaded into one in-memory group just to
+    # discover it is oversized — that is exactly the input the
+    # fallback exists for.  One narrow agg per component, then the
+    # big set routes to the fully distributed single-linkage labeling
+    # (the component IS the cluster: groupBy min) and only gate-sized
+    # components reach applyInPandas.
     max_items, max_pairs = exact_max_items, exact_max_pairs
+    comp_stats = (
+        membership.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+        .join(
+            cpairs.groupBy("component").agg(F.count(F.lit(1)).alias("_np")),
+            "component",
+            "left",
+        )
+        .select(
+            "component",
+            (
+                (F.col("_ni") > F.lit(max_items))
+                | (F.coalesce("_np", F.lit(0)) > F.lit(max_pairs))
+            ).alias("_big"),
+        )
+    )
+    big = comp_stats.filter(F.col("_big")).select("component")
 
     def cluster_component(pdf):
         import pandas as pd  # noqa: PLC0415 (executor-side import)
 
-        items = sorted(set(pdf["item1"]) | set(pdf["item2"]))
-        if len(items) <= max_items and len(pdf) <= max_pairs:
-            rows = list(
-                zip(pdf["item1"], pdf["item2"], (float(d) for d in pdf["dist"]))
-            )
-            labels = complete_linkage_clusters(rows, threshold)
-            rep: dict[int, str] = {}
-            for it, lab in labels.items():
-                rep[lab] = min(rep.get(lab, it), it)
-            return pd.DataFrame(
-                {
-                    "item": list(labels),
-                    "cluster": [rep[labels[it]] for it in labels],
-                    "approx": [False] * len(labels),
-                }
-            )
-        # Pathological component (the <=threshold graph percolates
-        # here): single-linkage coarsening — the component is one
-        # cluster — flagged approx (divergence table above).
+        rows = list(
+            zip(pdf["item1"], pdf["item2"], (float(d) for d in pdf["dist"]))
+        )
+        labels = complete_linkage_clusters(rows, threshold)
+        rep: dict[int, str] = {}
+        for it, lab in labels.items():
+            rep[lab] = min(rep.get(lab, it), it)
         return pd.DataFrame(
             {
-                "item": items,
-                "cluster": [min(items)] * len(items),
-                "approx": [True] * len(items),
+                "item": list(labels),
+                "cluster": [rep[labels[it]] for it in labels],
+                "approx": [False] * len(labels),
             }
         )
 
-    clustered = cpairs.groupBy("component").applyInPandas(
-        cluster_component, "item string, cluster string, approx boolean"
+    exact_part = (
+        cpairs.join(big, "component", "left_anti")
+        .groupBy("component")
+        .applyInPandas(
+            cluster_component, "item string, cluster string, approx boolean"
+        )
     )
+    # Pathological components: single-linkage coarsening — the whole
+    # component is one cluster (min-item label), flagged approx — as
+    # distributed joins/aggs, never a driver or single-task pandas
+    # materialization (divergence table above).
+    big_members = membership.join(big, "component")
+    big_rep = big_members.groupBy("component").agg(
+        F.min("item").alias("cluster")
+    )
+    approx_part = big_members.join(big_rep, "component").select(
+        "item", "cluster", F.lit(True).alias("approx")
+    )
+    clustered = exact_part.unionByName(approx_part)
     # Isolated items (no pair within threshold) are their own singleton
     # cluster — exact under complete linkage, not an approximation.
     close_items = (

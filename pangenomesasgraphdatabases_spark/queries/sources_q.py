@@ -134,6 +134,8 @@ _GBK_BLOCKS_SQL = rf"""
                    FILTER (WHERE regexp_matches(line, '^ {{5}}\S')) AS loc,
                coalesce(max(regexp_extract(line, '/locus_tag="([^"]+)"', 1)),
                         '') AS locus_tag,
+               coalesce(max(regexp_extract(line, '/gene="([^"]+)"', 1)),
+                        '') AS gene_tag,
                coalesce(max(regexp_extract(line, '/product="([^"]+)"', 1)),
                         '') AS product,
                bool_or(regexp_matches(line, '^\s+/pseudo\s*$')) AS pseudo
@@ -189,19 +191,23 @@ def etl_genbank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_GBK_BLOCKS_SQL},
     gm AS (
         SELECT file, rec, blk, key, locus_tag, pseudo,
+               CASE WHEN locus_tag <> '' THEN locus_tag
+                    WHEN gene_tag <> '' THEN gene_tag
+                    ELSE '' END AS own,
                count(*) FILTER (WHERE key = 'gene')
                    OVER (PARTITION BY file, rec ORDER BY blk) AS gseq
         FROM blocks
     ),
     gene_of AS (
-        SELECT file, rec, gseq, locus_tag AS gene_id
+        SELECT file, rec, gseq, own AS gene_id
         FROM gm WHERE key = 'gene'
     ),
     linked AS (
-        SELECT g.file, g.rec, g.blk, g.key, g.locus_tag, g.pseudo, g.gseq,
+        SELECT g.file, g.rec, g.blk, g.key, g.locus_tag, g.own, g.pseudo,
+               g.gseq,
                coalesce(go.gene_id, '') AS gene_id,
                (coalesce(go.gene_id, '') <> ''
-                AND (g.locus_tag = '' OR g.locus_tag = go.gene_id))
+                AND (g.own = '' OR g.own = go.gene_id))
                    AS is_linked
         FROM gm g LEFT JOIN gene_of go USING (file, rec, gseq)
     ),
@@ -226,6 +232,24 @@ def etl_genbank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND m.blk < c.blk
         WHERE c.key IN ('CDS', 'protein', 'polypeptide') AND c.is_linked
         GROUP BY c.file, c.rec, c.blk
+    ),
+    exon_rna AS (
+        SELECT x.file, x.rec, x.blk,
+               max(m.tnum) AS tnum
+        FROM linked x JOIN mrna m
+          ON m.file = x.file AND m.rec = x.rec AND m.gseq = x.gseq
+         AND m.blk < x.blk
+        WHERE x.key = 'exon' AND x.is_linked
+        GROUP BY x.file, x.rec, x.blk
+    ),
+    exon_ncr AS (
+        SELECT x.file, x.rec, x.blk,
+               max(n2.rnum) AS rnum
+        FROM linked x JOIN ncrna n2
+          ON n2.file = x.file AND n2.rec = x.rec AND n2.gseq = x.gseq
+         AND n2.blk < x.blk
+        WHERE x.key = 'exon' AND x.is_linked
+        GROUP BY x.file, x.rec, x.blk
     )
     SELECT l.file, r.seqid,
            CASE WHEN l.key = 'gene' AND l.pseudo THEN 'pseudogene'
@@ -241,8 +265,13 @@ def etl_genbank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN l.gene_id || '.r0' || CAST(n.rnum AS VARCHAR)
              WHEN l.key IN ('CDS', 'protein', 'polypeptide')
                   AND c.tnum IS NOT NULL
-                  THEN l.gene_id || '.p0' || CAST(c.tnum AS VARCHAR)
-             ELSE l.locus_tag
+                  THEN regexp_replace(
+                       l.gene_id || '.t0' || CAST(c.tnum AS VARCHAR),
+                       '\.t', '.p')
+             WHEN l.key = 'exon'
+                  AND (xm.tnum IS NOT NULL OR xn.rnum IS NOT NULL)
+                  THEN ''
+             ELSE l.own
            END AS gb_id,
            CASE
              WHEN l.key = 'mRNA' AND m.tnum IS NOT NULL THEN l.gene_id
@@ -252,10 +281,14 @@ def etl_genbank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN l.key IN ('CDS', 'protein', 'polypeptide')
                   AND c.tnum IS NOT NULL
                   THEN l.gene_id || '.t0' || CAST(c.tnum AS VARCHAR)
+             WHEN l.key = 'exon' AND xm.tnum IS NOT NULL
+                  THEN l.gene_id || '.t0' || CAST(xm.tnum AS VARCHAR)
+             WHEN l.key = 'exon' AND xn.rnum IS NOT NULL
+                  THEN l.gene_id || '.r0' || CAST(xn.rnum AS VARCHAR)
              WHEN l.key NOT IN ('gene', 'mRNA', 'CDS', 'protein',
                                 'polypeptide', 'exon')
                   AND NOT (l.key LIKE '%RNA%' OR l.key LIKE '%transcript%')
-                  AND l.gene_id <> '' AND l.locus_tag = l.gene_id
+                  AND l.gene_id <> '' AND l.own = l.gene_id
                   THEN l.gene_id
              ELSE ''
            END AS gb_parent
@@ -265,6 +298,10 @@ def etl_genbank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN ncrna n ON n.file = l.file AND n.rec = l.rec AND n.blk = l.blk
     LEFT JOIN cds_rna c ON c.file = l.file AND c.rec = l.rec
                         AND c.blk = l.blk
+    LEFT JOIN exon_rna xm ON xm.file = l.file AND xm.rec = l.rec
+                          AND xm.blk = l.blk
+    LEFT JOIN exon_ncr xn ON xn.file = l.file AND xn.rec = l.rec
+                          AND xn.blk = l.blk
     """,
     tags=("S8", "parser", "gene-model"),
 )
@@ -278,8 +315,14 @@ def etl_genbank_gene_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     names a different gene stays top-level (GM_NOT_PART), as does a
     CDS with no mRNA.  The oracle replays the same sequential state
     machine with window functions (gene ordinal -> per-model
-    row_number -> last-mRNA-before-CDS max), so every id and parent
-    is hash-pinned against an independent implementation."""
+    row_number -> last-mRNA-before-CDS/exon max), so every id and
+    parent is hash-pinned against an independent implementation.
+    Gene links resolve through locus_tag, falling back to the /gene
+    qualifier, on BOTH sides; the CDS '.t'->'.p' substitution is
+    first-occurrence on both sides (BioPerl's single s///).  Oracle
+    scope: gene-scoped models (the fixture shape) — an exon under a
+    TOP-LEVEL RNA (no enclosing gene) is parser-defined but outside
+    the committed fixtures and this SQL replay."""
     return read_genbank_features(spark, f"{GBK}/*.gbk").select(
         "file",
         "seqid",

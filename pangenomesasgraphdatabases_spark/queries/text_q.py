@@ -376,6 +376,8 @@ def lsh_candidate_pairs(
     multi-query run the per-query frames are dropped by the caller's
     clearCache between queries (bench.py, tools/check_oracle.py) and
     otherwise bounded by LRU eviction."""
+    if with_audit and max_bucket is None:
+        raise ValueError("with_audit requires max_bucket")
     bands = band_frame(sig).cache()
     audit = None
     if max_bucket is not None:
@@ -414,8 +416,6 @@ def lsh_candidate_pairs(
         .distinct()
     )
     if with_audit:
-        if audit is None:
-            raise ValueError("with_audit requires max_bucket")
         return pairs, audit
     return pairs
 

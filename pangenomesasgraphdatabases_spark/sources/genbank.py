@@ -209,10 +209,14 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
                 ncrna_id = own
         elif key in ("CDS", "protein", "polypeptide"):
             if linked and rna_id:
-                gb_id = rna_id.replace(".t", ".p")
+                # First occurrence only — BioPerl's s/\.t/\.p/ is a
+                # single substitution, so a gene locus_tag containing
+                # '.t' keeps its tag intact (quirk kept for parity).
+                gb_id = rna_id.replace(".t", ".p", 1)
                 gb_parent = rna_id
         elif key == "exon":
-            gb_id, gb_parent = "", rna_id or ncrna_id
+            if (rna_id or ncrna_id) and (not own or own == gene_id):
+                gb_id, gb_parent = "", rna_id or ncrna_id
         else:
             if gene_id and own == gene_id:
                 gb_parent = gene_id
@@ -335,6 +339,15 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
     (convert_refseq_to_prokka_gff.py:24)."""
     feats = read_genbank_features(spark, path)
     product = F.regexp_replace("product", ",", "")
+    # The GFF ID must live in the same namespace Parent references —
+    # the unflattener's gb_id (mRNA '.t0n', CDS '.p0n') — or every
+    # Parent= is dangling (bp_genbank2gff3.pl emits ID=<gb_id> for
+    # exactly this reason).  The exported feature_id column follows
+    # the ID attribute so a write/parse round-trip is the identity;
+    # the raw locus_tag stays available as a locus_tag= attribute.
+    gff_id = F.when(
+        F.length("gb_id") > 0, F.col("gb_id")
+    ).otherwise(F.col("feature_id"))
     return feats.filter(F.col("feature_type") != "source").select(
         "file",
         "seqid",
@@ -347,7 +360,7 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
         F.lit(".").alias("phase"),
         F.concat(
             F.lit("ID="),
-            F.col("feature_id"),
+            gff_id,
             # Gene-model parentage, as the unflattener's GFF3 carries
             # it (bp_genbank2gff3.pl gene_features Parent tags).
             F.when(
@@ -355,8 +368,12 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
                 F.concat(F.lit(";Parent="), F.col("gb_parent")),
             ).otherwise(F.lit("")),
             F.when(
+                (F.length("feature_id") > 0) & (gff_id != F.col("feature_id")),
+                F.concat(F.lit(";locus_tag="), F.col("feature_id")),
+            ).otherwise(F.lit("")),
+            F.when(
                 F.length(product) > 0, F.concat(F.lit(";product="), product)
             ).otherwise(F.lit("")),
         ).alias("attributes"),
-        "feature_id",
+        gff_id.alias("feature_id"),
     )

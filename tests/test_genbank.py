@@ -492,6 +492,10 @@ def test_genbank_gene_model_fixture(spark):
     assert rows[("seqC1", "mRNA", "C_0001")] == ("C_0001.t01", "C_0001")
     assert rows[("seqC1", "CDS", "C_0001")] == ("C_0001.p01", "C_0001.t01")
     assert rows[("seqC1", "CDS", "C_0002")] == ("C_0002.p02", "C_0002.t02")
+    # exon parents to the CURRENT mRNA (the second isoform)
+    assert rows[("seqC1", "exon", "C_0002")] == ("", "C_0002.t02")
+    # mRNA linked through its /gene qualifier (no locus_tag)
+    assert rows[("seqC2", "mRNA", "")] == ("C_0101.t01", "C_0101")
     assert rows[("seqC2", "tRNA", "C_0101")] == ("C_0101.r01", "C_0101")
     assert rows[("seqC2", "CDS", "C_0102")] == ("C_0102", "")
 
@@ -509,7 +513,9 @@ def test_genbank_gene_model_hypothesis():
         _split_records,
     )
 
-    child = st.sampled_from(["mRNA", "CDS", "tRNA", "orphan_cds", "misc"])
+    child = st.sampled_from(
+        ["mRNA", "CDS", "tRNA", "orphan_cds", "misc", "exon"]
+    )
     model = st.lists(child, min_size=0, max_size=6)
     rec = st.lists(model, min_size=1, max_size=4)
 
@@ -529,7 +535,7 @@ def test_genbank_gene_model_hypothesis():
                                  f'                     /locus_tag="{gtag}"']})
             want.append(("gene", gtag, gtag, ""))
             tnum = rnum = 0
-            rna_id = ""
+            rna_id = ncrna_id = ""
             for c_i, kind in enumerate(children):
                 loc = f"{pos + c_i}..{pos + c_i + 5}"
                 if kind == "mRNA":
@@ -540,13 +546,20 @@ def test_genbank_gene_model_hypothesis():
                 elif kind == "CDS":
                     key, tag = "CDS", gtag
                     if rna_id:
-                        gbid, par = rna_id.replace(".t", ".p"), rna_id
+                        gbid, par = rna_id.replace(".t", ".p", 1), rna_id
                     else:
                         gbid, par = gtag, ""
                 elif kind == "tRNA":
                     rnum += 1
+                    ncrna_id = f"{gtag}.r0{rnum}"
                     key, tag = "tRNA", gtag
-                    gbid, par = f"{gtag}.r0{rnum}", gtag
+                    gbid, par = ncrna_id, gtag
+                elif kind == "exon":
+                    key, tag = "exon", gtag
+                    if rna_id or ncrna_id:
+                        gbid, par = "", rna_id or ncrna_id
+                    else:
+                        gbid, par = gtag, ""
                 elif kind == "orphan_cds":
                     key, tag = "CDS", f"X_{g_i:03d}_{c_i}"
                     gbid, par = tag, ""
