@@ -648,3 +648,19 @@ def test_plan_construction_runs_no_eager_actions(spark):
         for m, of in originals.items():
             setattr(CDF, m, of)
     assert not offenders, offenders
+
+
+def test_capped_lsh_plan_shape(spark):
+    """doc_lsh_capped_pairs stays bucket-shaped: no cartesian product,
+    and exactly ONE BroadcastNestedLoopJoin — the intended one-row
+    audit cross join (crossJoin(broadcast(<1-row agg>)) is physically
+    a BNLJ and is the cheapest way to ride two scalar columns onto
+    every output row)."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_lsh_capped_pairs,
+    )
+
+    plan = _plan(doc_lsh_capped_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    spark.catalog.clearCache()
