@@ -377,3 +377,52 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
         ).alias("attributes"),
         gff_id.alias("feature_id"),
     )
+
+
+# GenBank feature-table key -> Sequence Ontology term, the subset of
+# BioPerl's Bio::SeqFeature::Tools::TypeMapper::FT_SO_map the
+# unflattener applies when no .obo file is given
+# (bp_genbank2gff3.pl:315-368 falls back to the hard-coded table;
+# :484 maps 'source' to the region source_type; :534-536 note the
+# pseudo/misc_RNA rewrites).  Identity mappings (gene, mRNA, CDS,
+# exon, tRNA, rRNA, ...) are omitted — unmapped keys pass through.
+FT_SO_SUBSET: dict[str, str] = {
+    "-10_signal": "minus_10_signal",
+    "-35_signal": "minus_35_signal",
+    "3'UTR": "three_prime_UTR",
+    "5'UTR": "five_prime_UTR",
+    "D-loop": "D_loop",
+    "LTR": "long_terminal_repeat",
+    "misc_RNA": "processed_transcript",
+    "misc_binding": "binding_site",
+    "misc_difference": "sequence_difference",
+    "misc_feature": "region",
+    "misc_signal": "regulatory_region",
+    "misc_structure": "sequence_secondary_structure",
+    "mobile_element": "mobile_genetic_element",
+    "polyA_signal": "polyA_signal_sequence",
+    "polyA_site": "polyA_site",
+    "primer_bind": "primer_binding_site",
+    "protein_bind": "protein_binding_site",
+    "pseudomRNA": "pseudogenic_transcript",
+    "pseudotranscript": "pseudogenic_transcript",
+    "rep_origin": "origin_of_replication",
+    "satellite": "satellite_DNA",
+    "sig_peptide": "signal_peptide",
+    "source": "region",
+    "variation": "sequence_variant",
+}
+
+
+def with_so_type(df: DataFrame, src_col: str = "feature_type") -> DataFrame:
+    """Add an ``so_type`` column: the Sequence Ontology term for the
+    GenBank feature key per ``FT_SO_SUBSET`` (bp_genbank2gff3.pl
+    map_types, :1180, in its no-ontology-file configuration), keys
+    without a mapping passing through unchanged.  Pure expression
+    (chained when/otherwise over a 24-entry literal map) — no UDF, no
+    shuffle; safe to call on any frame carrying the feature-key
+    column."""
+    expr = F.col(src_col)
+    for k, v in sorted(FT_SO_SUBSET.items()):
+        expr = F.when(F.col(src_col) == k, F.lit(v)).otherwise(expr)
+    return df.withColumn("so_type", expr)

@@ -580,3 +580,35 @@ def test_genbank_gene_model_hypothesis():
         assert got == want
 
     run()
+
+
+def test_so_type_mapping(spark):
+    """FT->SO mapping subset (bp_genbank2gff3.pl map_types in its
+    no-obo configuration): mapped keys rewrite, identity keys pass
+    through, and the helper is a pure projection (no Exchange)."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        read_genbank_features,
+        with_so_type,
+    )
+
+    df = with_so_type(
+        read_genbank_features(
+            spark, "/root/repo/fixtures_data/genbank/strainA.gbk"
+        )
+    )
+    got = {(r.feature_type, r.so_type) for r in df.collect()}
+    assert ("source", "region") in got
+    assert ("CDS", "CDS") in got          # identity passthrough
+    assert ("tRNA", "tRNA") in got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    toy = spark.createDataFrame(
+        [("misc_RNA",), ("3'UTR",), ("novel_key",)], "feature_type string"
+    )
+    out = {r.feature_type: r.so_type for r in with_so_type(toy).collect()}
+    assert out == {
+        "misc_RNA": "processed_transcript",
+        "3'UTR": "three_prime_UTR",
+        "novel_key": "novel_key",
+    }
