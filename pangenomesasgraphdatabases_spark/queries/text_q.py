@@ -4115,3 +4115,312 @@ def doc_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_lsh_capped_pairs.__doc__ = doc_lsh_capped_pairs.__doc__.replace(
     "{cap}", str(_CAP_MAX_BUCKET)
 )
+
+
+# Exact-substring (duplicate-span) dedup, the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+# operator re-expressed relationally: every sliding window of
+# _SPAN_L consecutive words that occurs MORE THAN ONCE corpus-wide is a
+# duplicated window; all occurrences except the globally-first one (by
+# (doc_id, position) row order, the same first-owner idiom as
+# doc_segment_dedup) mark their covered word range, and overlapping
+# ranges merge into maximal duplicated spans per document.  Unlike
+# doc_segment_dedup's fixed non-overlapping 20-word blocks, this
+# catches duplicated passages at ARBITRARY offsets — the suffix-array
+# use case — without building a suffix array: the sliding-gram group
+# is the relational equivalent at window resolution.
+_SPAN_L = 8
+
+
+@register(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - {_SPAN_L} + 1, 0))) AS p
+        FROM words
+    ),
+    grams AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p,
+               substr(md5(array_to_string(
+                   list_slice(ws, p + 1, p + {_SPAN_L}), ' ')), 1, 16) AS gk
+        FROM pos
+    ),
+    own AS (
+        SELECT gk, count(*) AS c, min(ROW(doc_id, p)) AS first_key
+        FROM grams GROUP BY gk
+    ),
+    dup AS (
+        SELECT g.doc_id, g.p
+        FROM grams g JOIN own o USING (gk)
+        WHERE o.c > 1 AND ROW(g.doc_id, g.p) <> o.first_key
+    ),
+    iv AS (
+        SELECT doc_id, p AS s, p + {_SPAN_L} AS e,
+               max(p + {_SPAN_L}) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_e
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM iv
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               min(s) AS span_start, max(e) AS span_end
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_end - span_start) AS BIGINT) AS dup_words,
+           md5(array_to_string(
+               list(span_start || ':' || span_end ORDER BY span_start),
+               ',')) AS spans_md5
+    FROM spans
+    GROUP BY doc_id
+    """,
+    tags=("ext-text", "dedup", "substring"),
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide maximal duplicated spans (extension — ExactSubstr
+    dedup, Lee et al. 2022, at {L}-word window resolution): a sliding
+    {L}-word gram that occurs >1 time anywhere in the corpus flags
+    every occurrence EXCEPT the globally-first (min (doc_id, pos)
+    struct); flagged [p, p+{L}) word intervals merge per document into
+    maximal spans via the classic sorted-islands window (running max
+    of prior ends -> new-island flag -> cumulative island id).
+
+    Output: one row per document that contains at least one duplicated
+    span — span count, duplicated-word total, and an md5 over the
+    sorted "start:end" span list so the driver compare stays
+    row-sized.
+
+    Scale shape: the only corpus-wide shuffle groups on a 64-bit md5
+    prefix of the gram (16 hex chars — deterministic on both engines,
+    collision odds ~n^2/2^64 and IDENTICAL on both sides, so the
+    oracle compare is exact even in the astronomically-unlikely
+    collision case); gram rows are linear in corpus words.  The span
+    merge is a per-doc window — one shuffle on doc_id, no all-pairs
+    stage anywhere.  At 100 TB the gram group is the same plan with
+    more partitions; a production variant would drop the gram STRING
+    before the exchange (project gk only), which this plan already
+    does — the slice/md5 happen map-side and only (doc_id, p, gk)
+    shuffles."""
+    words, spans = _duplicate_spans(spark, sf_dir)
+    span_strs = F.transform(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_end"))),
+        lambda st: F.concat(
+            st["span_start"].cast("string"),
+            F.lit(":"),
+            st["span_end"].cast("string"),
+        ),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_words"),
+        F.md5(F.array_join(span_strs, ",")).alias("spans_md5"),
+    )
+
+
+def _duplicate_spans(spark: SparkSession, sf_dir: str):
+    """Shared plan fragment for the ExactSubstr family: returns
+    (words, spans) where words is (doc_id, ws array) and spans is the
+    merged maximal duplicated-span frame (doc_id, island, span_start,
+    span_end).  See doc_duplicate_spans for semantics and scale
+    shape."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    grams = (
+        words.filter(F.size("ws") >= _SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ws") - _SPAN_L)
+            ).alias("p"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            F.substring(
+                F.md5(F.array_join(F.slice("ws", F.col("p") + 1, _SPAN_L), " ")),
+                1,
+                16,
+            ).alias("gk"),
+        )
+    )
+    key = F.struct(F.col("doc_id").alias("d"), F.col("p").alias("i"))
+    own = grams.groupBy("gk").agg(
+        F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key")
+    )
+    dup = (
+        grams.join(own, "gk")
+        .filter((F.col("c") > 1) & (key != F.col("first_key")))
+        .select("doc_id", "p")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = dup.select(
+        "doc_id",
+        F.col("p").alias("s"),
+        (F.col("p") + _SPAN_L).alias("e"),
+        F.max(F.col("p") + _SPAN_L).over(w_prev).alias("prev_e"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = iv.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+            ).otherwise(0)
+        )
+        .over(w_run)
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+    return words, spans
+
+
+doc_duplicate_spans.__doc__ = doc_duplicate_spans.__doc__.replace(
+    "{L}", str(_SPAN_L)
+)
+
+
+_SPAN_CLEAN_CTE = f"""
+    words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - {_SPAN_L} + 1, 0))) AS p
+        FROM words
+    ),
+    grams AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p,
+               substr(md5(array_to_string(
+                   list_slice(ws, p + 1, p + {_SPAN_L}), ' ')), 1, 16) AS gk
+        FROM pos
+    ),
+    own AS (
+        SELECT gk, count(*) AS c, min(ROW(doc_id, p)) AS first_key
+        FROM grams GROUP BY gk
+    ),
+    dup AS (
+        SELECT g.doc_id, g.p
+        FROM grams g JOIN own o USING (gk)
+        WHERE o.c > 1 AND ROW(g.doc_id, g.p) <> o.first_key
+    ),
+    iv AS (
+        SELECT doc_id, p AS s, p + {_SPAN_L} AS e,
+               max(p + {_SPAN_L}) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_e
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM iv
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               min(s) AS span_start, max(e) AS span_end
+        FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "doc_duplicate_span_clean",
+    oracle=f"""
+    WITH {_SPAN_CLEAN_CTE},
+    allpos AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws))) AS p
+        FROM words
+    ),
+    kept AS (
+        SELECT a.doc_id, CAST(a.p AS BIGINT) AS p,
+               ws[a.p + 1] AS w
+        FROM allpos a
+        LEFT JOIN spans s
+          ON a.doc_id = s.doc_id
+         AND a.p >= s.span_start AND a.p < s.span_end
+        WHERE s.doc_id IS NULL
+    )
+    SELECT w2.doc_id,
+           CAST(len(w2.ws) AS BIGINT) AS n_words,
+           CAST(count(k.p) AS BIGINT) AS n_kept,
+           md5(coalesce(
+               array_to_string(list(k.w ORDER BY k.p), ' '), ''))
+               AS clean_md5
+    FROM words w2 LEFT JOIN kept k USING (doc_id)
+    GROUP BY w2.doc_id, w2.ws
+    """,
+    tags=("ext-text", "dedup", "substring"),
+)
+def doc_duplicate_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr dedup TRANSFORM (extension — companion to
+    doc_duplicate_spans): every document reassembled with its
+    duplicated spans excised (the globally-first occurrence of each
+    duplicated window survives, everything else is cut).  One row per
+    document — affected or not — so the output is the cleaned corpus
+    fingerprint, not just a report.
+
+    Scale shape: the span frame from the shared fragment is tiny
+    relative to the corpus (only duplicated intervals), so the
+    coverage check runs as array HOFs AFTER collecting each doc's few
+    spans into one array — no positional re-explode of the corpus and
+    no range join: one left join on doc_id, then map-side
+    filter-by-index.  The DuckDB oracle does the same job with a
+    positional anti-join (no indexed lambda there)."""
+    words, spans = _duplicate_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    joined = words.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce("sp", F.array()).alias("sp"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("sp"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(
+        F.zip_with(
+            "ws",
+            F.sequence(F.lit(0), F.size("ws") - 1),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        ),
+        lambda st: ~covered(st["i"].cast("long")),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda st: st["w"]), " ")
+        ).alias("clean_md5"),
+    )

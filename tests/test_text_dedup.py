@@ -672,3 +672,83 @@ def test_lsh_recall_truth_superset_and_planted_dups_found(spark):
     assert all(r.found_by_lsh for r in near)
     for r in rows:
         assert r.jaccard >= 0.5
+
+
+def _span_fixture(spark, tmp_path):
+    """Doc 1 and doc 2 share a 12-word passage at DIFFERENT offsets
+    (10 vs 5) — the case doc_segment_dedup's fixed 20-word blocks
+    cannot catch; doc 3 is unrelated."""
+    passage = [f"dup{i}" for i in range(12)]
+    rows = [
+        (1, " ".join([f"a{i}" for i in range(10)] + passage
+                     + [f"b{i}" for i in range(10)])),
+        (2, " ".join([f"c{i}" for i in range(5)] + passage
+                     + [f"d{i}" for i in range(15)])),
+        (3, " ".join(f"u{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir, rows
+
+
+def test_duplicate_spans_planted_offset_passage(spark, tmp_path):
+    """The globally-first occurrence (doc 1, lower (doc_id, pos))
+    survives; doc 2's five 8-word windows over the shared passage merge
+    into ONE maximal span of exactly the 12 passage words."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_duplicate_spans,
+    )
+
+    sf_dir, _ = _span_fixture(spark, tmp_path)
+    out = doc_duplicate_spans(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.n_spans, r.dup_words) == (2, 1, 12)
+
+
+def test_duplicate_span_clean_excises_exact_words(spark, tmp_path):
+    """The clean transform cuts exactly the passage from doc 2 and
+    leaves docs 1 and 3 untouched; clean_md5 is the md5 of the
+    reassembled text."""
+    import hashlib
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_duplicate_span_clean,
+    )
+
+    sf_dir, rows = _span_fixture(spark, tmp_path)
+    out = {r.doc_id: r for r in doc_duplicate_span_clean(spark, sf_dir).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_words, out[1].n_kept) == (32, 32)
+    assert (out[3].n_words, out[3].n_kept) == (30, 30)
+    assert (out[2].n_words, out[2].n_kept) == (32, 20)
+    expected = " ".join(
+        [f"c{i}" for i in range(5)] + [f"d{i}" for i in range(15)]
+    )
+    assert out[2].clean_md5 == hashlib.md5(expected.encode()).hexdigest()
+    assert out[1].clean_md5 == hashlib.md5(rows[0][1].encode()).hexdigest()
+
+
+def test_duplicate_span_report_and_clean_agree(spark):
+    """Cross-query consistency on real testdata: for every doc the
+    report claims dup_words about, the clean transform must cut
+    exactly that many words (n_words - n_kept == dup_words)."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        doc_duplicate_span_clean,
+        doc_duplicate_spans,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    spans = {r.doc_id: r.dup_words
+             for r in doc_duplicate_spans(spark, sf_dir).collect()}
+    clean = {r.doc_id: r.n_words - r.n_kept
+             for r in doc_duplicate_span_clean(spark, sf_dir).collect()}
+    for doc_id, cut in clean.items():
+        assert cut == spans.get(doc_id, 0)
