@@ -4424,3 +4424,132 @@ def doc_duplicate_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(kept, lambda st: st["w"]), " ")
         ).alias("clean_md5"),
     )
+
+
+# BM25 ranked retrieval (Robertson/Sparck-Jones with the Lucene
+# +1-inside-the-log idf) — the retrieval scorer data-curation
+# pipelines use for quality-targeted selection (e.g. "rank the corpus
+# against a topic query, keep the head").  Fixed deterministic query
+# terms; k1/b at the universal defaults.
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT avg(CAST(dl AS DOUBLE)) AS avgdl,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM dl
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    qt AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE tok IN {str(tuple(_BM25_TERMS))}
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY tok
+    ),
+    scored AS (
+        SELECT q.doc_id,
+               sum(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * q.tf * ({_BM25_K1} + 1.0)
+                   / (q.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B}
+                         + {_BM25_B} * l.dl / s.avgdl))
+               ) AS score,
+               CAST(count(*) AS BIGINT) AS matched_terms
+        FROM qt q
+        JOIN df d USING (tok)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score_bm25, matched_terms,
+           CAST(row_number() OVER (
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS INTEGER)
+               AS rnk
+    FROM scored
+    ORDER BY rnk
+    LIMIT {_BM25_TOPK}
+    """,
+    tags=("ext-text", "retrieval", "bm25"),
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{K} retrieval for a fixed {T}-term query (extension —
+    the curation-pipeline "rank corpus against topic, keep the head"
+    scorer).  idf is the Lucene ln(1 + (N - df + .5)/(df + .5))
+    variant, k1={K1}, b={B}; ties break on doc_id so the ranking is
+    total.
+
+    Scale shape: the term filter lands BEFORE the first shuffle (only
+    query-term tokens survive the explode), df is a {T}-row broadcast,
+    avgdl/N ride one broadcast scalar frame, and the global top-k is
+    orderBy+limit — Spark's TakeOrdered (per-partition heads merged on
+    the driver), NOT a single-partition window; the rnk column is
+    minted afterwards on the {K}-row result."""
+    d = table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    qt = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = qt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        qt.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("score"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+        .select(
+            "doc_id",
+            F.round("score", 4).alias("score_bm25"),
+            "matched_terms",
+        )
+    )
+    top = scored.orderBy(F.desc("score_bm25"), F.asc("doc_id")).limit(
+        _BM25_TOPK
+    )
+    w = Window.orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+doc_bm25_topk.__doc__ = (
+    doc_bm25_topk.__doc__.replace("{K1}", str(_BM25_K1))
+    .replace("{B}", str(_BM25_B))
+    .replace("{K}", str(_BM25_TOPK))
+    .replace("{T}", str(len(_BM25_TERMS)))
+)

@@ -752,3 +752,32 @@ def test_duplicate_span_report_and_clean_agree(spark):
              for r in doc_duplicate_span_clean(spark, sf_dir).collect()}
     for doc_id, cut in clean.items():
         assert cut == spans.get(doc_id, 0)
+
+
+def test_bm25_length_normalization_beats_raw_tf(spark, tmp_path):
+    """BM25's dl/avgdl normalization must flip a raw-tf ordering: a
+    short doc with tf=1 outranks a long doc with tf=2 (hand-computed
+    scores: 0.6557 vs 0.4725 at k1=1.2, b=0.75); docs with no query
+    term emit no row."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import doc_bm25_topk
+
+    rows = [
+        (1, " ".join(["hash"] * 2 + [f"f{i}" for i in range(58)])),
+        (2, " ".join(["hash"] + [f"g{i}" for i in range(7)])),
+        (3, " ".join(f"h{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = [
+        (r.doc_id, r.score_bm25, r.matched_terms, r.rnk)
+        for r in doc_bm25_topk(spark, sf_dir).orderBy("rnk").collect()
+    ]
+    assert out == [(2, 0.6557, 1, 1), (1, 0.4725, 1, 2)]
