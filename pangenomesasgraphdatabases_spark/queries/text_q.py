@@ -4257,12 +4257,23 @@ def _duplicate_spans(spark: SparkSession, sf_dir: str):
             ).alias("gk"),
         )
     )
+    # Duplicate detection as ONE unordered window over gk (count +
+    # min-struct with unbounded frames), not groupBy + self-join-back:
+    # both shapes hash-partition the gram frame on gk exactly once,
+    # but the join shape pays a second (partial-agg) exchange plus the
+    # sort-merge, and it re-executes the explode+md5 lineage twice.
+    # Measured at the 10x scale point (50k docs, 4 reps, steal <= 4):
+    # window 3.82 s min vs join 13.29 s min (and the join's rep spread
+    # was 13-39 s — AQE re-planning jitter the window shape doesn't
+    # have).  Hot-gram caveat at crawl scale: a gram duplicated g
+    # times lands its g rows in ONE window buffer (spillable
+    # WindowExec buffer) — same single-reducer hot key the join shape
+    # has, minus a shuffle.
     key = F.struct(F.col("doc_id").alias("d"), F.col("p").alias("i"))
-    own = grams.groupBy("gk").agg(
-        F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key")
-    )
+    wk = Window.partitionBy("gk")
     dup = (
-        grams.join(own, "gk")
+        grams.withColumn("c", F.count(F.lit(1)).over(wk))
+        .withColumn("first_key", F.min(key).over(wk))
         .filter((F.col("c") > 1) & (key != F.col("first_key")))
         .select("doc_id", "p")
     )
