@@ -765,3 +765,155 @@ def sample_frames(
             )
 
     return media.mapInPandas(proc, FRAME_SCHEMA)
+
+
+# --- Perceptual-hash image near-dup (pHash-style grid hash) ------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("phash64", T.StringType(), True),
+    ]
+)
+
+# Sparse-perturbation stride for the odd member of each synthesized
+# image pair: every 53rd interleaved byte shifts by 1..3 — enough to
+# change the encoded payload everywhere downstream of it (PNG filter
+# deltas, row checksums) while leaving almost every 8x8 grid sample
+# untouched.
+_PERTURB_STRIDE = 53
+
+
+def synthesize_image_pair_media(ids: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate IMAGE PAIRS from an integer id
+    frame (column ``media_id``): ids come in (even, odd) pairs sharing
+    ``bd = media_id // 2``; the even member is the base image
+    (``w = 16 + bd % 17``, ``h = 16 + bd % 13``, interleaved byte
+    ``v[k] = (bd*31 + 7k) % 256``), the odd member perturbs every
+    {S}rd byte by ``1 + (k*5) % 3`` (mod 256) — a visually-identical
+    twin.  The two members encode through DIFFERENT lossless codecs
+    (``kind = (bd + media_id % 2) % 3`` -> BMP / P6 PPM / PNG with
+    filter ``bd % 5``), so a matching pair is a CROSS-FORMAT match:
+    byte-level dedup can never catch it, only decode-then-hash.
+    Pure integer arithmetic, so an SQL oracle recomputes every pixel
+    from the id alone.  Executor-side mapInPandas; payloads never
+    reach the driver."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        for pdf in batches:
+            mids, mts, payloads, mws, mhs = [], [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bd, odd = mid // 2, mid % 2
+                w, h = 16 + bd % 17, 16 + bd % 13
+                k = np.arange(3 * w * h, dtype=np.int64)
+                v = (bd * 31 + 7 * k) % 256
+                if odd:
+                    hit = k % _PERTURB_STRIDE == 0
+                    v = np.where(hit, (v + 1 + (k * 5) % 3) % 256, v)
+                arr = v.astype(np.uint8).reshape(h, w, 3)
+                kind = (bd + odd) % 3
+                if kind == 0:
+                    mt, payload = "image/bmp", encode_bmp(arr)
+                elif kind == 1:
+                    mt, payload = "image/x-portable-pixmap", encode_ppm(arr)
+                else:
+                    mt = "image/png"
+                    payload = encode_png(arr, filter_type=bd % 5)
+                mids.append(mid)
+                mts.append(mt)
+                payloads.append(payload)
+                mws.append(w)
+                mhs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta_width": pd.Series(mws, dtype="int32"),
+                    "meta_height": pd.Series(mhs, dtype="int32"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+synthesize_image_pair_media.__doc__ = (
+    synthesize_image_pair_media.__doc__.replace("{S}", str(_PERTURB_STRIDE))
+)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual grid hash over REAL-decoded pixels (the
+    integer-exact cousin of pHash: 8x8 grid-point luminance sampled at
+    ``(r*h//8, c*w//8)``, bit b set iff ``64*lum[b] > sum(lum)`` — an
+    exact integer comparison, no float mean, no DCT).  Emitted as a
+    16-hex-char string in the same 4x16-bit block layout as
+    ``simhash64``, so the block-pigeonhole Hamming join idiom applies
+    unchanged.  Decode failures yield a NULL hash (diagnosable rows,
+    the probe_error contract).
+
+    The whole decode+hash runs executor-side in one mapInPandas pass —
+    at 100 TB payloads stream through Arrow batches and only (id,
+    16-char hash) rows ever shuffle."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+            decode_bmp,
+            decode_png,
+            decode_ppm,
+        )
+
+        decoders = {
+            "image/bmp": decode_bmp,
+            "image/x-portable-pixmap": decode_ppm,
+            "image/png": decode_png,
+        }
+        for pdf in batches:
+            mids, mts, hashes = [], [], []
+            for mid, mt, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                mids.append(int(mid))
+                mts.append(mt)
+                dec = decoders.get(mt)
+                if dec is None or payload is None:
+                    hashes.append(None)
+                    continue
+                try:
+                    arr = dec(bytes(payload))
+                except Exception:
+                    hashes.append(None)
+                    continue
+                h, w = arr.shape[0], arr.shape[1]
+                r = np.arange(8, dtype=np.int64)
+                ys, xs = (r * h) // 8, (r * w) // 8
+                samples = arr[np.ix_(ys, xs)].astype(np.int64)
+                lum = samples.sum(axis=2).reshape(64)  # R+G+B per point
+                bits = (64 * lum > lum.sum()).astype(np.int64)
+                # big-endian within each 16-bit group
+                gs = [
+                    int(sum(int(bits[16 * g + j]) << (15 - j) for j in range(16)))
+                    for g in range(4)
+                ]
+                hashes.append("".join(f"{gv:04x}" for gv in gs))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "phash64": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(proc, PHASH_SCHEMA)

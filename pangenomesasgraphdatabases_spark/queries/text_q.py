@@ -4564,3 +4564,184 @@ doc_bm25_topk.__doc__ = (
     .replace("{K}", str(_BM25_TOPK))
     .replace("{T}", str(len(_BM25_TERMS)))
 )
+
+
+# Perceptual-hash image near-dup: decode-then-hash catches what
+# byte-level dedup can't — the synthesized pairs deliberately encode
+# the two near-identical members through DIFFERENT lossless codecs.
+_PH_MAXD = 3  # block-pigeonhole over 4 x 16-bit blocks stays exact
+
+_PH_V = "(bd * 31 + 7 * kk) % 256"
+_PH_LUM_SQL = f"""
+    sum(CASE WHEN odd = 1 AND kk % {53} = 0
+             THEN ({_PH_V} + 1 + (kk * 5) % 3) % 256
+             ELSE {_PH_V} END)
+"""
+
+
+@register(
+    "media_phash_pairs",
+    oracle=f"""
+    WITH ids AS (
+        SELECT unnest([doc_id * 2, doc_id * 2 + 1]) AS media_id
+        FROM documents WHERE doc_id % 4 = 3
+    ),
+    par AS (
+        SELECT media_id, media_id // 2 AS bd, media_id % 2 AS odd,
+               16 + (media_id // 2) % 17 AS w,
+               16 + (media_id // 2) % 13 AS h,
+               ((media_id // 2) + media_id % 2) % 3 AS kind
+        FROM ids
+    ),
+    samp AS (
+        SELECT media_id, bd, odd, b,
+               3 * ((((b // 8) * h) // 8) * w + ((b % 8) * w) // 8) + ch
+                   AS kk
+        FROM par,
+             generate_series(0, 63) t(b),
+             generate_series(0, 2) c(ch)
+    ),
+    lum AS (
+        SELECT media_id, b, {_PH_LUM_SQL} AS lum
+        FROM samp GROUP BY media_id, b
+    ),
+    tot AS (
+        SELECT media_id, sum(lum) AS total FROM lum GROUP BY media_id
+    ),
+    bits AS (
+        SELECT l.media_id, l.b,
+               CASE WHEN 64 * l.lum > t.total THEN 1 ELSE 0 END AS bit
+        FROM lum l JOIN tot t USING (media_id)
+    ),
+    grp AS (
+        SELECT media_id, b // 16 AS g,
+               sum(bit << (15 - (b % 16))) AS gval
+        FROM bits GROUP BY media_id, b // 16
+    ),
+    sig AS (
+        SELECT g.media_id,
+               string_agg(printf('%04x', CAST(g.gval AS INTEGER)), ''
+                          ORDER BY g.g) AS phash64,
+               any_value(p.kind) AS kind
+        FROM grp g JOIN par p USING (media_id)
+        GROUP BY g.media_id
+    ),
+    blocks AS (
+        SELECT media_id, g, substr(phash64, 4 * g + 1, 4) AS blk
+        FROM sig, generate_series(0, 3) t(g)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM blocks a JOIN blocks b
+          ON a.g = b.g AND a.blk = b.blk AND a.media_id < b.media_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST({" + ".join(
+               f'''bit_count(xor(
+                   CAST(('0x' || substr(sa.phash64, {4 * g + 1}, 4)) AS BIGINT),
+                   CAST(('0x' || substr(sb.phash64, {4 * g + 1}, 4)) AS BIGINT)))'''
+               for g in range(4)
+           )} AS BIGINT) AS hamming,
+           CAST(sa.kind <> sb.kind AS INTEGER) AS cross_format
+    FROM cand c
+    JOIN sig sa ON c.id_a = sa.media_id
+    JOIN sig sb ON c.id_b = sb.media_id
+    WHERE {" + ".join(
+        f'''bit_count(xor(
+            CAST(('0x' || substr(sa.phash64, {4 * g + 1}, 4)) AS BIGINT),
+            CAST(('0x' || substr(sb.phash64, {4 * g + 1}, 4)) AS BIGINT)))'''
+        for g in range(4)
+    )} <= {_PH_MAXD}
+    """,
+    tags=("ext-media", "dedup", "phash"),
+)
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash over REAL-decoded
+    pixels (extension — the multimodal sibling of
+    doc_simhash_hamming_pairs): every fourth doc_id seeds a
+    synthesized (base, perturbed-twin) image pair whose two members
+    encode through DIFFERENT lossless codecs (BMP / PPM / PNG —
+    operators/multimodal.synthesize_image_pair_media), so matching
+    them is impossible at the byte level; the executor-side
+    decode+grid-hash (operators/multimodal.perceptual_hash) reduces
+    each payload to a 64-bit hash, and pairing is the exact
+    block-pigeonhole: Hamming <= 3 forces one of the 4 sixteen-bit
+    blocks to match, so candidates are an equi-join on (block idx,
+    block value) with zero recall loss, verified by XOR+bit_count.
+    Planted pairs measure Hamming 0-1, unrelated images >= 4 under
+    this fixture arithmetic — the oracle recomputes every pixel, bit
+    and block from the id alone, so any decoder bug (row padding, BGR
+    order, PNG filter reconstruction) flips a sampled luminance and
+    fails the driver hash.
+
+    Scale shape: payloads never shuffle — decode+hash is one
+    mapInPandas pass, and only (id, 16-char hash) rows enter the
+    4-emission block join.  Hot-block caveat shared with SimHash: a
+    degenerate corpus (all-flat images -> equal hashes) makes one
+    block key hot; the rep-collapse + salting guards from the text
+    family apply unchanged if that regime ever matters."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        perceptual_hash,
+        synthesize_image_pair_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 4 == 3).select(
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 2).cast("long"),
+                (F.col("doc_id") * 2 + 1).cast("long"),
+            )
+        ).alias("media_id")
+    )
+    sig = (
+        perceptual_hash(synthesize_image_pair_media(ids))
+        .filter(F.col("phash64").isNotNull())
+        .select(
+            "media_id",
+            "phash64",
+            F.when(F.col("media_type") == "image/bmp", 0)
+            .when(F.col("media_type") == "image/x-portable-pixmap", 1)
+            .otherwise(2)
+            .alias("kind"),
+        )
+        .cache()
+    )
+    blocks = None
+    for g in range(4):
+        part = sig.select(
+            "media_id",
+            F.lit(g).alias("g"),
+            F.substring("phash64", 4 * g + 1, 4).alias("blk"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.select(F.col("media_id").alias("id_a"), "g", "blk")
+    b = blocks.select(F.col("media_id").alias("id_b"), "g", "blk")
+    cand = (
+        a.join(b, ["g", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash64").alias("pa"),
+        F.col("kind").alias("ka"),
+    )
+    sb = sig.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash64").alias("pb"),
+        F.col("kind").alias("kb"),
+    )
+    ham = simhash_hamming(F.col("pa"), F.col("pb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ham <= _PH_MAXD)
+        .select(
+            "id_a",
+            "id_b",
+            ham.cast("bigint").alias("hamming"),
+            (F.col("ka") != F.col("kb")).cast("int").alias("cross_format"),
+        )
+    )

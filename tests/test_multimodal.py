@@ -730,3 +730,52 @@ def test_container_probe_corrupt_payloads(spark):
         assert rows[mid].container == "mp4"
         assert (rows[mid].width, rows[mid].height) == (32, 16)
         assert rows[mid].n_units == 12
+
+
+def test_phash_pairs_planted_cross_format(spark, tmp_path):
+    """Every synthesized (base, perturbed-twin) image pair must match
+    at Hamming <= 1 DESPITE the two members being encoded through
+    different lossless codecs; unrelated images sit >= 4 bits apart
+    under the fixture arithmetic."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        media_phash_pairs,
+    )
+
+    rows = [(d, f"text {d}") for d in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = media_phash_pairs(spark, sf_dir).collect()
+    planted = {(d * 2, d * 2 + 1) for d in (3, 7, 11, 15, 19)}
+    got = {(r.id_a, r.id_b): r for r in out}
+    assert planted <= set(got), f"missing planted pairs: {planted - set(got)}"
+    for p in planted:
+        assert got[p].hamming <= 1
+        assert got[p].cross_format == 1
+    assert all(r.hamming <= 3 for r in out)
+
+
+def test_perceptual_hash_null_on_corrupt_payload(spark):
+    """Decode failures must yield a NULL hash row (diagnosable), not
+    an exception."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        perceptual_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(b"NOTABMP")), (2, "video/mp4", bytearray(b"x"))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = {r.media_id: r.phash64 for r in perceptual_hash(df).collect()}
+    assert out == {1: None, 2: None}
+    assert len(PHASH_SCHEMA.fields) == 3
