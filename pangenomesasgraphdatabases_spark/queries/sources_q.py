@@ -92,11 +92,16 @@ def etl_neighbour_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one row per feature block (file, rec, blk, key, loc, locus_tag,
 # product, pseudo) — used by both etl_genbank_scan and
 # etl_genbank_gene_models.
-_GBK_BLOCKS_SQL = rf"""
+def _gbk_blocks_sql(gbk_dir: str) -> str:
+    """The record/feature-block CTE chain over a .gbk glob — shared by
+    every GenBank oracle; parameterized so fixture trees with
+    different purposes (gene models vs type mapping) don't share a
+    glob (a new file in one must not move the other's driver hash)."""
+    return rf"""
     raw AS (
         SELECT regexp_extract(filename, '([^/]+?)\.[^/]*$', 1) AS file,
                string_split(content, chr(10)) AS ls
-        FROM read_text('{GBK}/*.gbk')
+        FROM read_text('{gbk_dir}/*.gbk')
     ),
     lines AS (
         SELECT file, unnest(ls) AS line, generate_subscripts(ls, 1) AS rn
@@ -144,6 +149,11 @@ _GBK_BLOCKS_SQL = rf"""
         GROUP BY file, rec, blk
     )
 """
+
+
+# The historical constant: the gene-model fixture tree's blocks CTE
+# (etl_genbank_scan / etl_genbank_gene_models build on it verbatim).
+_GBK_BLOCKS_SQL = _gbk_blocks_sql(GBK)
 
 
 @register(
@@ -578,3 +588,65 @@ def etl_pirate_to_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("edge_fp"),
     )
     return fn.crossJoin(cl).crossJoin(ed)
+
+
+# FT->SO type mapping (bp_genbank2gff3.pl map_types, :1180, no-obo
+# configuration): its own fixture tree so the gene-model queries'
+# driver hashes never move when this fixture grows.
+GBT = "/root/repo/fixtures_data/genbank_types"
+
+
+def _so_case_sql(col: str) -> str:
+    """CASE expression applying FT_SO_SUBSET in SQL — generated from
+    the SAME literal table the Spark helper chains (single source of
+    truth; a map edit moves both sides together)."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        FT_SO_SUBSET,
+    )
+
+    whens = "\n               ".join(
+        f"WHEN '{k.replace(chr(39), chr(39) * 2)}' "
+        f"THEN '{v}'"
+        for k, v in sorted(FT_SO_SUBSET.items())
+    )
+    return f"CASE {col}\n               {whens}\n               ELSE {col} END"
+
+
+@register(
+    "etl_genbank_so_types",
+    oracle=rf"""
+    WITH {_gbk_blocks_sql(GBT)},
+    feats AS (
+        SELECT CASE WHEN key = 'gene' AND pseudo THEN 'pseudogene'
+                    ELSE key END AS feature_type
+        FROM blocks
+    )
+    SELECT feature_type,
+           {_so_case_sql("feature_type")} AS so_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM feats
+    GROUP BY 1, 2
+    """,
+    tags=("S8", "parser", "type-map"),
+)
+def etl_genbank_so_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 FT->SO type mapping (bp_genbank2gff3.pl ``map_types``, :1180,
+    in its no-ontology-file configuration — the hard-coded
+    Bio::SeqFeature::Tools::TypeMapper::FT_SO_map subset): every
+    feature key of the type-mapping fixture tree mapped to its
+    Sequence Ontology term via sources/genbank.with_so_type (a pure
+    chained-when expression, no UDF), unmapped keys passing through.
+    The fixture exercises 20 of the 24 mapped keys plus identity
+    passthroughs and the pseudo-gene rewrite; the oracle re-parses the
+    same files and applies a CASE generated from the SAME literal map,
+    so a drifted entry on either side fails the hash."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        with_so_type,
+    )
+
+    feats = read_genbank_features(spark, f"{GBT}/*.gbk")
+    return (
+        with_so_type(feats)
+        .groupBy("feature_type", "so_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -612,3 +612,28 @@ def test_so_type_mapping(spark):
         "3'UTR": "three_prime_UTR",
         "novel_key": "novel_key",
     }
+
+
+def test_so_types_fixture_exercises_map(spark):
+    """The type-mapping fixture tree must exercise the FT->SO subset
+    broadly (>= 18 mapped keys), keep identity passthrough for
+    unmapped keys, and apply the pseudo-gene rewrite BEFORE mapping."""
+    from pangenomesasgraphdatabases_spark.queries.sources_q import (
+        etl_genbank_so_types,
+    )
+    from pangenomesasgraphdatabases_spark.sources.genbank import FT_SO_SUBSET
+
+    rows = {
+        (r.feature_type, r.so_type): r.n
+        for r in etl_genbank_so_types(spark, "/root/testdata/sf0.001").collect()
+    }
+    mapped = {ft for (ft, so) in rows if ft in FT_SO_SUBSET}
+    assert len(mapped) >= 18, f"only {len(mapped)} mapped keys exercised"
+    for ft, so in rows:
+        if ft in FT_SO_SUBSET:
+            assert so == FT_SO_SUBSET[ft]
+        else:
+            assert so == ft  # identity passthrough
+    assert ("pseudogene", "pseudogene") in rows  # rewrite-then-map
+    assert ("misc_RNA", "processed_transcript") in rows
+    assert rows[("source", "region")] == 2
