@@ -4745,3 +4745,110 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ka") != F.col("kb")).cast("int").alias("cross_format"),
         )
     )
+
+
+# Feature-hashing linear quality classifier (the fastText-style
+# quality-filter INFERENCE shape: hashing-trick features -> linear
+# model -> sigmoid -> keep/drop).  The weight table is a deterministic
+# function of the bucket (Knuth multiplicative hash onto [-1, 1]) so
+# both engines share the "pretrained model" without a weights file —
+# the plumbing (hash, sparse dot product, calibrated threshold) is the
+# production shape; swapping real learned weights in is a broadcast
+# join against a (bucket, weight) frame.
+_QC_BUCKETS = 1024
+_QC_KNUTH = 2654435761
+
+
+@register(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT)
+                   % {_QC_BUCKETS} AS bucket
+        FROM toks
+    ),
+    weighted AS (
+        SELECT doc_id,
+               (bucket * {_QC_KNUTH}) % 2001 - 1000 AS w_milli
+        FROM feat
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w_milli) AS BIGINT) AS sum_w
+        FROM weighted GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST((sum_w + 1000 * n_tokens) * 10 // n_tokens - 10000
+               AS BIGINT) AS logit_fx,
+           round(1.0 / (1.0 + exp(-(sum_w / (n_tokens * 1000.0)))), 4)
+               AS p_keep,
+           CAST(sum_w >= 0 AS INTEGER) AS keep
+    FROM scored
+    """,
+    tags=("ext-text", "quality", "classifier"),
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (extension — the INFERENCE half of
+    a fastText-style quality classifier): every token hashes into one
+    of {B} buckets (md5-prefix, the engine-shared idiom), each bucket
+    carries a deterministic weight in [-1, 1] (Knuth multiplicative
+    hash — stand-in for learned weights; integer arithmetic, so both
+    engines agree bit-exactly pre-sigmoid), the document logit is the
+    mean token weight, and keep/drop thresholds the calibrated
+    sigmoid at 0.5.  The keep flag derives from the ROUNDED
+    probability so the driver compare can't straddle an ulp.
+
+    Scale shape: pure map-side until one groupBy(doc_id) — the
+    classic "classifier inference is embarrassingly parallel" shape;
+    a real learned model swaps the weight EXPRESSION for a broadcast
+    (bucket, weight) join with no other plan change.  No UDFs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long")
+        % _QC_BUCKETS
+    )
+    w_milli = (bucket * _QC_KNUTH) % 2001 - 1000
+    scored = (
+        toks.select("doc_id", w_milli.alias("w_milli"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").cast("bigint").alias("sum_w"),
+        )
+    )
+    # Fixed-point logit (1e-4 units): the mean weight is a RATIONAL
+    # whose decimal often lands exactly on a round-half boundary
+    # (sum*10/n), where Spark's HALF_UP and DuckDB's float rounding
+    # disagree — so discretize with integer floor division instead
+    # (offset by +1000*n to keep the numerator nonnegative; '//' vs
+    # 'div' truncation semantics only differ below zero).  The sigmoid
+    # stays float + round(4): a transcendental almost never sits on a
+    # boundary, and keep derives from the integer SIGN, not the float.
+    logit_fx = (
+        F.expr("((sum_w + 1000 * n_tokens) * 10) div n_tokens").cast(
+            "bigint"
+        )
+        - 10000
+    )
+    p = 1.0 / (1.0 + F.exp(-(F.col("sum_w") / (F.col("n_tokens") * 1000.0))))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        logit_fx.alias("logit_fx"),
+        F.round(p, 4).alias("p_keep"),
+        (F.col("sum_w") >= 0).cast("int").alias("keep"),
+    )
+
+
+doc_quality_classifier.__doc__ = doc_quality_classifier.__doc__.replace(
+    "{B}", str(_QC_BUCKETS)
+)

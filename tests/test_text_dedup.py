@@ -781,3 +781,45 @@ def test_bm25_length_normalization_beats_raw_tf(spark, tmp_path):
         for r in doc_bm25_topk(spark, sf_dir).orderBy("rnk").collect()
     ]
     assert out == [(2, 0.6557, 1, 1), (1, 0.4725, 1, 2)]
+
+
+def test_quality_classifier_sign_and_fixedpoint(spark, tmp_path):
+    """keep must equal the integer SIGN of the weight sum (never a
+    float comparison), and logit_fx is the exact floor of the mean
+    weight in 1e-4 units — verified against a pure-python replica of
+    the hash + weight arithmetic."""
+    import hashlib
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _QC_BUCKETS,
+        _QC_KNUTH,
+        doc_quality_classifier,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta"),
+        (3, "eta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % _QC_BUCKETS
+        return (b * _QC_KNUTH) % 2001 - 1000
+
+    out = {r.doc_id: r for r in doc_quality_classifier(spark, sf_dir).collect()}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        sw = sum(w(t) for t in toks)
+        n = len(toks)
+        assert out[doc_id].n_tokens == n
+        assert out[doc_id].logit_fx == ((sw + 1000 * n) * 10) // n - 10000
+        assert out[doc_id].keep == (1 if sw >= 0 else 0)
