@@ -85,6 +85,11 @@ HEADLINE = [
     # (operators/sizing); headline-tracked so a future sizing
     # regression is visible round-over-round.
     "doc_jaccard_containment",
+    # r11 session 2: the ExactSubstr family, tracked from birth — the
+    # gram-key window is the plan a regression would silently revert
+    # to groupBy+join-back (3.5x slower at the 10x point, SCALE.md).
+    "doc_duplicate_spans",
+    "doc_duplicate_span_clean",
 ]
 
 # Bench hygiene (VERDICT r9 #8): HEADLINE grows as heavy queries are
