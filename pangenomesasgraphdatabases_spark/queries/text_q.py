@@ -4852,3 +4852,173 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_quality_classifier.__doc__ = doc_quality_classifier.__doc__.replace(
     "{B}", str(_QC_BUCKETS)
 )
+
+
+# Distributed BPE vocabulary learning (Sennrich et al. 2016), K merge
+# steps: per step, adjacent-symbol pairs weighted by word frequency ->
+# global argmax (ties: lexicographically smallest pair) -> merge
+# applied corpus-wide.  The argmax stays IN-PLAN (a 1-row broadcast
+# frame, no collect), so construction is jobless; merge application is
+# string replace over a '|'-delimited segmentation, run three times
+# per step because leftmost non-overlapping replace alternates through
+# same-pair runs (each pass halves a run: 3 passes are exact for runs
+# up to 8 symbols — no fixture/testdata word is that repetitive, and
+# the property test pins equality with a true left-to-right replica).
+_BPE_MERGES = 6
+
+
+def _bpe_stage_sql(k: int) -> str:
+    prev = f"seg{k - 1}"
+    return f"""
+    sym{k} AS MATERIALIZED (
+        SELECT word, freq, string_split(trim(seg, '|'), '|') AS sym
+        FROM {prev}
+    ),
+    pairs{k} AS MATERIALIZED (
+        SELECT word, freq, sym,
+               unnest(range(1, len(sym))) AS i
+        FROM sym{k}
+    ),
+    rule{k} AS MATERIALIZED (
+        SELECT pair,
+               '|' || replace(pair, ' ', '|') || '|' AS pat,
+               '|' || replace(pair, ' ', '') || '|' AS rep,
+               cnt
+        FROM (SELECT sym[i] || ' ' || sym[i+1] AS pair, sum(freq) AS cnt
+              FROM pairs{k} GROUP BY 1
+              ORDER BY cnt DESC, pair ASC LIMIT 1)
+    ),
+    seg{k} AS MATERIALIZED (
+        SELECT word, freq,
+               replace(replace(replace(seg,
+                   (SELECT pat FROM rule{k}), (SELECT rep FROM rule{k})),
+                   (SELECT pat FROM rule{k}), (SELECT rep FROM rule{k})),
+                   (SELECT pat FROM rule{k}), (SELECT rep FROM rule{k})) AS seg
+        FROM {prev}
+    )"""
+
+
+@register(
+    "doc_bpe_learn",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks
+        WHERE word <> '' GROUP BY word
+    ),
+    seg0 AS MATERIALIZED (
+        SELECT word, freq,
+               '|' || array_to_string(string_split(word, ''), '|') || '|'
+                   AS seg
+        FROM words
+    ),"""
+    + ",".join(_bpe_stage_sql(k) for k in range(1, _BPE_MERGES + 1))
+    + f"""
+    SELECT * FROM (
+    {" UNION ALL ".join(
+        f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(cnt AS BIGINT) AS support FROM rule{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )}
+    ) ORDER BY step
+    """,
+    tags=("ext-text", "tokenizer", "bpe-learn"),
+)
+def doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary LEARNING (extension — the training
+    half of the tokenizer family; doc_token_count_bpe is inference):
+    {K} merge steps over the corpus word-frequency table, each step =
+    one adjacent-pair aggregation + a global argmax that stays
+    IN-PLAN as a 1-row broadcast frame (jobless construction — no
+    driver collect anywhere), then a corpus-wide merge via triple
+    leftmost-replace over a '|'-delimited segmentation (exact
+    left-to-right BPE semantics for same-pair runs up to 8 symbols;
+    property-pinned against a pure-python replica).  Ties break on
+    the lexicographically smallest pair on both engines.  Output: the
+    learned merge table (step, pair, merged, support).
+
+    Scale shape: the word table is the DISTINCT-word frame (zipf-
+    bounded — orders of magnitude smaller than the corpus), each step
+    is one narrow groupBy(pair) + a broadcast of ONE row; K steps = K
+    chained narrow aggregations, the same shape Sennrich's learner
+    has, minus the python dict.  Each stage caches its segmentation so
+    step k+1 reads a materialized k (the K-deep lineage would
+    otherwise replay combinatorially)."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    seg = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.split("word", ""), "|"),
+            F.lit("|"),
+        ).alias("seg"),
+    ).cache()
+    rules = []
+    for k in range(1, _BPE_MERGES + 1):
+        sym = seg.select(
+            "freq", F.split(F.expr("trim(BOTH '|' FROM seg)"), "\\|").alias("sym")
+        )
+        pair = F.concat(
+            F.element_at("sym", F.col("i")),
+            F.lit(" "),
+            F.element_at("sym", F.col("i") + 1),
+        )
+        rule = (
+            sym.filter(F.size("sym") >= 2)  # sequence(1,0) DESCENDS in Spark
+            .select(
+                "freq",
+                F.explode(F.sequence(F.lit(1), F.size("sym") - 1)).alias("i"),
+                "sym",
+            )
+            .select("freq", pair.alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(k).alias("step"),
+                "pair",
+                F.concat(F.lit("|"), F.regexp_replace("pair", " ", "|"), F.lit("|")).alias("pat"),
+                F.concat(F.lit("|"), F.regexp_replace("pair", " ", ""), F.lit("|")).alias("rep"),
+                F.col("cnt").cast("bigint").alias("support"),
+            )
+            .cache()
+        )
+        rules.append(rule)
+        seg = (
+            seg.crossJoin(F.broadcast(rule.select("pat", "rep")))
+            .select(
+                "word",
+                "freq",
+                F.expr(
+                    "replace(replace(replace(seg, pat, rep), pat, rep),"
+                    " pat, rep)"
+                ).alias("seg"),
+            )
+            .cache()
+        )
+    out = None
+    for rule in rules:
+        part = rule.select(
+            "step",
+            "pair",
+            F.regexp_replace("pair", " ", "").alias("merged"),
+            "support",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+doc_bpe_learn.__doc__ = doc_bpe_learn.__doc__.replace(
+    "{K}", str(_BPE_MERGES)
+)

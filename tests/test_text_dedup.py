@@ -823,3 +823,61 @@ def test_quality_classifier_sign_and_fixedpoint(spark, tmp_path):
         assert out[doc_id].n_tokens == n
         assert out[doc_id].logit_fx == ((sw + 1000 * n) * 10) // n - 10000
         assert out[doc_id].keep == (1 if sw >= 0 else 0)
+
+
+def test_bpe_learn_matches_pure_python_replica(spark, tmp_path):
+    """The K learned merges must equal a true left-to-right BPE
+    learner (Sennrich-style) run on the same word-frequency table —
+    pinning the argmax tie-break AND the triple-replace merge
+    semantics."""
+    from collections import Counter
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _BPE_MERGES,
+        doc_bpe_learn,
+    )
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low new wide lower newer",
+    ]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # pure-python replica: true left-to-right merge application
+    freqs = Counter(w for t in corpus for w in t.split(" ") if w)
+    segs = {w: list(w) for w in freqs}
+    expected = []
+    for step in range(1, _BPE_MERGES + 1):
+        pc = Counter()
+        for w, sym in segs.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += freqs[w]
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, f"{a} {b}", a + b, cnt))
+        for w, sym in segs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            segs[w] = out
+
+    got = [
+        (r.step, r.pair, r.merged, r.support)
+        for r in doc_bpe_learn(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == expected
