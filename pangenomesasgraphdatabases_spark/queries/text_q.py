@@ -4947,6 +4947,23 @@ def doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     has, minus the python dict.  Each stage caches its segmentation so
     step k+1 reads a materialized k (the K-deep lineage would
     otherwise replay combinatorially)."""
+    rules = _bpe_rules(spark, sf_dir)
+    out = None
+    for rule in rules:
+        part = rule.select(
+            "step",
+            "pair",
+            F.regexp_replace("pair", " ", "").alias("merged"),
+            "support",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
+    """The K learned merge rules as 1-row frames (step, pair, pat,
+    rep, support) — shared by the learner (doc_bpe_learn) and the
+    segmenter (doc_bpe_segment).  See doc_bpe_learn for semantics."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
@@ -5007,18 +5024,135 @@ def doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cache()
         )
-    out = None
-    for rule in rules:
-        part = rule.select(
-            "step",
-            "pair",
-            F.regexp_replace("pair", " ", "").alias("merged"),
-            "support",
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return rules
 
 
 doc_bpe_learn.__doc__ = doc_bpe_learn.__doc__.replace(
     "{K}", str(_BPE_MERGES)
 )
+
+
+_BPE_APPLY_SQL = "seg"
+for _k in range(1, _BPE_MERGES + 1):
+    for _ in range(3):
+        _BPE_APPLY_SQL = (
+            f"replace({_BPE_APPLY_SQL}, (SELECT pat FROM rule{_k}),"
+            f" (SELECT rep FROM rule{_k}))"
+        )
+
+
+@register(
+    "doc_bpe_segment",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks
+        WHERE word <> '' GROUP BY word
+    ),
+    seg0 AS MATERIALIZED (
+        SELECT word, freq,
+               '|' || array_to_string(string_split(word, ''), '|') || '|'
+                   AS seg
+        FROM words
+    ),"""
+    + ",".join(_bpe_stage_sql(k) for k in range(1, _BPE_MERGES + 1))
+    + f""",
+    docseg AS (
+        SELECT doc_id,
+               '|' || array_to_string(
+                   list_transform(string_split(trim(text), ' '),
+                                  w -> array_to_string(
+                                      string_split(w, ''), '|')),
+                   '| |') || '|' AS seg,
+               CAST(length(replace(trim(text), ' ', '')) AS BIGINT)
+                   AS n_chars_nospace
+        FROM documents
+    ),
+    applied AS (
+        SELECT doc_id, n_chars_nospace,
+               {_BPE_APPLY_SQL} AS seg
+        FROM docseg
+    )
+    SELECT doc_id, n_chars_nospace,
+           CAST(len(list_filter(string_split(trim(seg, '|'), '|'),
+                                s -> s <> ' ')) AS BIGINT)
+               AS n_tokens_bpe,
+           CAST((n_chars_nospace * 10000) //
+                len(list_filter(string_split(trim(seg, '|'), '|'),
+                                s -> s <> ' ')) AS BIGINT)
+               AS chars_per_token_fx
+    FROM applied
+    """,
+    tags=("ext-text", "tokenizer", "bpe-learn"),
+)
+def doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation with the LEARNED merges (extension — the
+    inference half of doc_bpe_learn, closing the train->apply loop):
+    each document is symbol-delimited per word (the ' ' separator
+    symbol can never match a learned pair, so merges stay
+    word-internal exactly like training), the K merge rules apply in
+    learned order via the same triple-leftmost-replace, and the
+    output counts post-merge tokens per document.  chars_per_token is
+    integer fixed-point (1e-4 units, floor division) — the mean of a
+    rational must not ride a round-half boundary across engines.
+
+    Scale shape: the learner subtree is vocab-bounded (see
+    doc_bpe_learn); application is K broadcast crossJoins + one
+    map-side replace chain over the corpus — no additional shuffle at
+    any size."""
+    rules = _bpe_rules(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    docseg = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.transform(
+                    F.split(F.trim("text"), " "),
+                    lambda w: F.array_join(F.split(w, ""), "|"),
+                ),
+                "| |",
+            ),
+            F.lit("|"),
+        ).alias("seg"),
+        F.length(F.regexp_replace(F.trim("text"), " ", ""))
+        .cast("bigint")
+        .alias("n_chars_nospace"),
+    )
+    out = docseg
+    for k, rule in enumerate(rules, start=1):
+        out = out.crossJoin(
+            F.broadcast(
+                rule.select(
+                    F.col("pat").alias(f"pat{k}"), F.col("rep").alias(f"rep{k}")
+                )
+            )
+        ).select(
+            "doc_id",
+            "n_chars_nospace",
+            F.expr(
+                f"replace(replace(replace(seg, pat{k}, rep{k}),"
+                f" pat{k}, rep{k}), pat{k}, rep{k})"
+            ).alias("seg"),
+        )
+    toks = F.size(
+        F.filter(
+            F.split(F.expr("trim(BOTH '|' FROM seg)"), "\\|"),
+            lambda t: t != " ",
+        )
+    ).cast("bigint")
+    return out.select(
+        "doc_id",
+        "n_chars_nospace",
+        toks.alias("n_tokens_bpe"),
+        F.expr(
+            "(n_chars_nospace * 10000) div "
+            "size(filter(split(trim(BOTH '|' FROM seg), '\\\\|'),"
+            " t -> t != ' '))"
+        )
+        .cast("bigint")
+        .alias("chars_per_token_fx"),
+    )

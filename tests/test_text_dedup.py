@@ -881,3 +881,70 @@ def test_bpe_learn_matches_pure_python_replica(spark, tmp_path):
         for r in doc_bpe_learn(spark, sf_dir).orderBy("step").collect()
     ]
     assert got == expected
+
+
+def test_bpe_segment_token_counts_match_replica(spark, tmp_path):
+    """Per-doc post-merge token counts must equal applying the
+    replica's learned merges left-to-right to every word."""
+    from collections import Counter
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _BPE_MERGES,
+        doc_bpe_segment,
+    )
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low new wide lower newer",
+    ]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    freqs = Counter(w for t in corpus for w in t.split(" ") if w)
+    segs = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(_BPE_MERGES):
+        pc = Counter()
+        for w, sym in segs.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += freqs[w]
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w, sym in segs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            segs[w] = out
+
+    def seg_word(w):
+        sym = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            sym = out
+        return sym
+
+    got = {r.doc_id: r for r in doc_bpe_segment(spark, sf_dir).collect()}
+    for doc_id, text in rows:
+        n_expected = sum(len(seg_word(w)) for w in text.split(" ") if w)
+        assert got[doc_id].n_tokens_bpe == n_expected
+        chars = len(text.replace(" ", ""))
+        assert got[doc_id].n_chars_nospace == chars
+        assert got[doc_id].chars_per_token_fx == chars * 10000 // n_expected
