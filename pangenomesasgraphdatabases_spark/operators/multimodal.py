@@ -917,3 +917,120 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(proc, PHASH_SCHEMA)
+
+
+# --- Audio fingerprint near-dup (sample-grid hash over decoded PCM) ---------
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("afp64", T.StringType(), True),
+    ]
+)
+
+_AUDIO_KNUTH = 2654435761
+
+
+def synthesize_audio_pair_media(ids: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate WAV pairs (the audio sibling of
+    synthesize_image_pair_media): ids pair on ``bd = media_id // 2``;
+    ``ns = 256 + bd % 101`` mono 8 kHz samples with
+    ``s[k] = ((bd*13 + k*{K}) % 65536) - 32768`` (Knuth multiplicative
+    per-sample hash — a LINEAR ramp collapses every fingerprint to the
+    same bit pattern, measured before shipping); the odd member
+    perturbs every 53rd sample by 1..3 LSBs.  Pure integer arithmetic,
+    SQL-recomputable from the id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            mids, mts, payloads, mws, mhs = [], [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bd, odd = mid // 2, mid % 2
+                ns = 256 + bd % 101
+                k = np.arange(ns, dtype=np.int64)
+                v = (bd * 13 + k * _AUDIO_KNUTH) % 65536
+                if odd:
+                    hit = k % 53 == 0
+                    v = np.where(hit, (v + 1 + (k * 5) % 3) % 65536, v)
+                s = (v - 32768).astype(np.int16)
+                mids.append(mid)
+                mts.append("audio/wav")
+                payloads.append(encode_wav(s, 8000))
+                mws.append(ns)
+                mhs.append(1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta_width": pd.Series(mws, dtype="int32"),
+                    "meta_height": pd.Series(mhs, dtype="int32"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+synthesize_audio_pair_media.__doc__ = (
+    synthesize_audio_pair_media.__doc__.replace("{K}", str(_AUDIO_KNUTH))
+)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit sample-grid audio fingerprint over REAL-decoded PCM
+    (integer-exact: 64 grid samples at ``(f*n)//64``, offset to
+    unsigned, bit f set iff ``64*v[f] > sum(v)``), emitted in the
+    simhash64 hex block layout.  Decode failures yield NULL.  One
+    mapInPandas pass; payloads never shuffle."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            mids, nss, fps = [], [], []
+            for mid, mt, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                mids.append(int(mid))
+                if mt != "audio/wav" or payload is None:
+                    nss.append(None)
+                    fps.append(None)
+                    continue
+                try:
+                    s, _rate = decode_wav(bytes(payload))
+                except Exception:
+                    nss.append(None)
+                    fps.append(None)
+                    continue
+                mono = s[:, 0].astype(np.int64) + 32768
+                n = len(mono)
+                f = np.arange(64, dtype=np.int64)
+                vals = mono[(f * n) // 64]
+                bits = (64 * vals > vals.sum()).astype(np.int64)
+                gs = [
+                    int(sum(int(bits[16 * g + j]) << (15 - j) for j in range(16)))
+                    for g in range(4)
+                ]
+                nss.append(n)
+                fps.append("".join(f"{gv:04x}" for gv in gs))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "n_samples": pd.Series(nss, dtype="Int32"),
+                    "afp64": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(proc, AUDIO_FP_SCHEMA)

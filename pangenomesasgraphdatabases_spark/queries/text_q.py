@@ -5156,3 +5156,145 @@ def doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_per_token_fx"),
     )
+
+
+# Audio near-dup: the WAV sibling of media_phash_pairs — same block-
+# pigeonhole over a sample-grid fingerprint of REAL-decoded PCM.
+_AFP_MAXD = 3
+_AFP_KNUTH = 2654435761
+
+_AFP_V = f"(bd * 13 + kk * {_AFP_KNUTH}) % 65536"
+
+
+@register(
+    "media_audio_fp_pairs",
+    oracle=f"""
+    WITH ids AS (
+        SELECT unnest([doc_id * 2, doc_id * 2 + 1]) AS media_id
+        FROM documents WHERE doc_id % 4 = 2
+    ),
+    par AS (
+        SELECT media_id, media_id // 2 AS bd, media_id % 2 AS odd,
+               256 + (media_id // 2) % 101 AS ns
+        FROM ids
+    ),
+    samp AS (
+        SELECT media_id, bd, odd, f, (f * ns) // 64 AS kk
+        FROM par, generate_series(0, 63) t(f)
+    ),
+    vals AS (
+        SELECT media_id, f,
+               CASE WHEN odd = 1 AND kk % 53 = 0
+                    THEN ({_AFP_V} + 1 + (kk * 5) % 3) % 65536
+                    ELSE {_AFP_V} END AS v
+        FROM samp
+    ),
+    tot AS (
+        SELECT media_id, sum(v) AS total FROM vals GROUP BY media_id
+    ),
+    bits AS (
+        SELECT l.media_id, l.f,
+               CASE WHEN 64 * l.v > t.total THEN 1 ELSE 0 END AS bit
+        FROM vals l JOIN tot t USING (media_id)
+    ),
+    grp AS (
+        SELECT media_id, f // 16 AS g,
+               sum(bit << (15 - (f % 16))) AS gval
+        FROM bits GROUP BY media_id, f // 16
+    ),
+    sig AS (
+        SELECT media_id,
+               string_agg(printf('%04x', CAST(gval AS INTEGER)), ''
+                          ORDER BY g) AS afp64
+        FROM grp GROUP BY media_id
+    ),
+    blocks AS (
+        SELECT media_id, g, substr(afp64, 4 * g + 1, 4) AS blk
+        FROM sig, generate_series(0, 3) t(g)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM blocks a JOIN blocks b
+          ON a.g = b.g AND a.blk = b.blk AND a.media_id < b.media_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST({" + ".join(
+               f'''bit_count(xor(
+                   CAST(('0x' || substr(sa.afp64, {4 * g + 1}, 4)) AS BIGINT),
+                   CAST(('0x' || substr(sb.afp64, {4 * g + 1}, 4)) AS BIGINT)))'''
+               for g in range(4)
+           )} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON c.id_a = sa.media_id
+    JOIN sig sb ON c.id_b = sb.media_id
+    WHERE {" + ".join(
+        f'''bit_count(xor(
+            CAST(('0x' || substr(sa.afp64, {4 * g + 1}, 4)) AS BIGINT),
+            CAST(('0x' || substr(sb.afp64, {4 * g + 1}, 4)) AS BIGINT)))'''
+        for g in range(4)
+    )} <= {_AFP_MAXD}
+    """,
+    tags=("ext-media", "dedup", "audio"),
+)
+def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by sample-grid fingerprint over
+    REAL-decoded PCM (extension — the WAV sibling of
+    media_phash_pairs): synthesized (base, perturbed-twin) WAV pairs
+    (operators/multimodal.synthesize_audio_pair_media) decode
+    executor-side, reduce to a 64-bit grid fingerprint
+    (operators/multimodal.audio_fingerprint — integer-exact threshold
+    vs the 64-sample sum), and pair by the exact block-pigeonhole
+    Hamming <= 3 join.  A design lesson is baked into the fixture: the
+    original LINEAR sample ramp collapsed every fingerprint to the
+    same bit pattern (unrelated min-Hamming 0 — measured, not
+    guessed); the Knuth multiplicative recurrence restores ~32-bit
+    unrelated separation with planted pairs at Hamming 0.
+
+    Scale shape: identical to the image path — decode+hash in one
+    mapInPandas pass, 4 block emissions per clip, verify on
+    collisions only."""
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_audio_pair_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 4 == 2).select(
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 2).cast("long"),
+                (F.col("doc_id") * 2 + 1).cast("long"),
+            )
+        ).alias("media_id")
+    )
+    sig = (
+        audio_fingerprint(synthesize_audio_pair_media(ids))
+        .filter(F.col("afp64").isNotNull())
+        .select("media_id", "afp64")
+        .cache()
+    )
+    blocks = None
+    for g in range(4):
+        part = sig.select(
+            "media_id",
+            F.lit(g).alias("g"),
+            F.substring("afp64", 4 * g + 1, 4).alias("blk"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.select(F.col("media_id").alias("id_a"), "g", "blk")
+    b = blocks.select(F.col("media_id").alias("id_b"), "g", "blk")
+    cand = (
+        a.join(b, ["g", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("media_id").alias("id_a"), F.col("afp64").alias("pa"))
+    sb = sig.select(F.col("media_id").alias("id_b"), F.col("afp64").alias("pb"))
+    ham = simhash_hamming(F.col("pa"), F.col("pb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ham <= _AFP_MAXD)
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+    )

@@ -779,3 +779,45 @@ def test_perceptual_hash_null_on_corrupt_payload(spark):
     out = {r.media_id: r.phash64 for r in perceptual_hash(df).collect()}
     assert out == {1: None, 2: None}
     assert len(PHASH_SCHEMA.fields) == 3
+
+
+def test_audio_fp_pairs_planted(spark, tmp_path):
+    """Every synthesized (base, perturbed) WAV pair must match at
+    Hamming <= 1 through the REAL encode->decode->fingerprint path;
+    all emitted pairs respect the threshold."""
+    from pyspark.sql import functions as F
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        media_audio_fp_pairs,
+    )
+
+    rows = [(d, f"text {d}") for d in range(24)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = media_audio_fp_pairs(spark, sf_dir).collect()
+    planted = {(d * 2, d * 2 + 1) for d in (2, 6, 10, 14, 18, 22)}
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert planted <= set(got), f"missing planted: {planted - set(got)}"
+    assert all(got[p] <= 1 for p in planted)
+    assert all(h <= 3 for h in got.values())
+
+
+def test_audio_fingerprint_null_on_corrupt(spark):
+    from pangenomesasgraphdatabases_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(b"NOTAWAV!")), (2, "video/mp4", bytearray(b"x"))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = {r.media_id: (r.n_samples, r.afp64) for r in audio_fingerprint(df).collect()}
+    assert out == {1: (None, None), 2: (None, None)}
