@@ -892,22 +892,31 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                     hashes.append(None)
                     continue
                 try:
+                    # Hash INSIDE the try: a structurally valid but
+                    # degenerate payload (0x0 BMP) decodes fine and
+                    # then faults the grid indexing — that must yield
+                    # the NULL row too, never kill the task.
                     arr = dec(bytes(payload))
+                    h, w = arr.shape[0], arr.shape[1]
+                    r = np.arange(8, dtype=np.int64)
+                    ys, xs = (r * h) // 8, (r * w) // 8
+                    samples = arr[np.ix_(ys, xs)].astype(np.int64)
+                    lum = samples.sum(axis=2).reshape(64)  # R+G+B / point
+                    bits = (64 * lum > lum.sum()).astype(np.int64)
+                    # big-endian within each 16-bit group
+                    gs = [
+                        int(
+                            sum(
+                                int(bits[16 * g + j]) << (15 - j)
+                                for j in range(16)
+                            )
+                        )
+                        for g in range(4)
+                    ]
+                    hashes.append("".join(f"{gv:04x}" for gv in gs))
                 except Exception:
                     hashes.append(None)
                     continue
-                h, w = arr.shape[0], arr.shape[1]
-                r = np.arange(8, dtype=np.int64)
-                ys, xs = (r * h) // 8, (r * w) // 8
-                samples = arr[np.ix_(ys, xs)].astype(np.int64)
-                lum = samples.sum(axis=2).reshape(64)  # R+G+B per point
-                bits = (64 * lum > lum.sum()).astype(np.int64)
-                # big-endian within each 16-bit group
-                gs = [
-                    int(sum(int(bits[16 * g + j]) << (15 - j) for j in range(16)))
-                    for g in range(4)
-                ]
-                hashes.append("".join(f"{gv:04x}" for gv in gs))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(mids, dtype="int64"),
@@ -1009,22 +1018,30 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                     fps.append(None)
                     continue
                 try:
+                    # Hash inside the try (see perceptual_hash): an
+                    # empty-data-chunk WAV decodes to a (0, ch) array
+                    # and must yield NULL, not an IndexError task kill.
                     s, _rate = decode_wav(bytes(payload))
+                    mono = s[:, 0].astype(np.int64) + 32768
+                    n = len(mono)
+                    f = np.arange(64, dtype=np.int64)
+                    vals = mono[(f * n) // 64]
+                    bits = (64 * vals > vals.sum()).astype(np.int64)
+                    gs = [
+                        int(
+                            sum(
+                                int(bits[16 * g + j]) << (15 - j)
+                                for j in range(16)
+                            )
+                        )
+                        for g in range(4)
+                    ]
+                    nss.append(n)
+                    fps.append("".join(f"{gv:04x}" for gv in gs))
                 except Exception:
                     nss.append(None)
                     fps.append(None)
                     continue
-                mono = s[:, 0].astype(np.int64) + 32768
-                n = len(mono)
-                f = np.arange(64, dtype=np.int64)
-                vals = mono[(f * n) // 64]
-                bits = (64 * vals > vals.sum()).astype(np.int64)
-                gs = [
-                    int(sum(int(bits[16 * g + j]) << (15 - j) for j in range(16)))
-                    for g in range(4)
-                ]
-                nss.append(n)
-                fps.append("".join(f"{gv:04x}" for gv in gs))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(mids, dtype="int64"),

@@ -631,6 +631,53 @@ def simhash_of(d: DataFrame) -> DataFrame:
     return votes.select("doc_id", F.concat(*hexes).alias("simhash64"))
 
 
+def blocked_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_d: int,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """The exact block-pigeonhole Hamming join, shared by the SimHash /
+    perceptual-hash / audio-fingerprint pair queries: a 64-bit hex
+    signature splits into 4 sixteen-bit blocks; Hamming <= max_d <= 3
+    forces at least one block to match exactly, so candidates are an
+    equi-join on (block idx, block value) with zero recall loss and
+    the XOR+bit_count verify runs only on collisions.  Returns
+    (out_a, out_b, hamming) with out_a < out_b.
+
+    Scale shape: 4 block emissions per row shuffle on block value —
+    never the pair space; a degenerate corpus collapsing many hashes
+    to one block value makes that key hot (the rep-collapse + salting
+    guards from the LSH family apply if that regime matters)."""
+    blocks = None
+    for g in range(4):
+        part = sig.select(
+            F.col(id_col).alias("_id"),
+            F.lit(g).alias("g"),
+            F.substring(hash_col, 4 * g + 1, 4).alias("blk"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.select(F.col("_id").alias(out_a), "g", "blk")
+    b = blocks.select(F.col("_id").alias(out_b), "g", "blk")
+    cand = (
+        a.join(b, ["g", "blk"])
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b)
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias(out_a), F.col(hash_col).alias("_ha"))
+    sb = sig.select(F.col(id_col).alias(out_b), F.col(hash_col).alias("_hb"))
+    ham = simhash_hamming(F.col("_ha"), F.col("_hb"))
+    return (
+        cand.join(sa, out_a)
+        .join(sb, out_b)
+        .filter(ham <= max_d)
+        .select(out_a, out_b, ham.cast("bigint").alias("hamming"))
+    )
+
+
 def simhash_hamming(a, b):
     """Hamming distance between two simhash64 hex-string columns —
     XOR per 16-bit group, popcount via bit_count, summed.  JVM-side."""
@@ -2382,34 +2429,8 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", F.sha2("text", 256), input_rows=n_docs
     )
     sig = simhash_of(rep_docs).cache()
-    blocks = None
-    for g in range(_SIMHASH_GROUPS):
-        part = sig.select(
-            "doc_id",
-            F.lit(g).alias("g"),
-            F.substring("simhash64", 4 * g + 1, 4).alias("blk"),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
-    a = blocks.select(
-        F.col("doc_id").alias("a_id"), "g", F.col("blk").alias("blk")
-    )
-    b = blocks.select(
-        F.col("doc_id").alias("b_id"), "g", F.col("blk").alias("blk")
-    )
-    cand = (
-        a.join(b, ["g", "blk"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sa"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sb"))
-    ham = simhash_hamming(F.col("sa"), F.col("sb"))
-    rep_pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(ham <= _SH_MAXD)
-        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+    rep_pairs = blocked_hamming_pairs(
+        sig, "doc_id", "simhash64", _SH_MAXD, "doc_a", "doc_b"
     )
     if members is None:  # dup-light bypass: docs ARE the reps
         return rep_pairs
@@ -4132,10 +4153,8 @@ doc_lsh_capped_pairs.__doc__ = doc_lsh_capped_pairs.__doc__.replace(
 _SPAN_L = 8
 
 
-@register(
-    "doc_duplicate_spans",
-    oracle=f"""
-    WITH words AS (
+_SPAN_CLEAN_CTE = f"""
+    words AS (
         SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
     ),
     pos AS (
@@ -4178,6 +4197,13 @@ _SPAN_L = 8
                min(s) AS span_start, max(e) AS span_end
         FROM isl GROUP BY doc_id, island
     )
+"""
+
+
+@register(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH {_SPAN_CLEAN_CTE}
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(span_end - span_start) AS BIGINT) AS dup_words,
@@ -4315,52 +4341,6 @@ doc_duplicate_spans.__doc__ = doc_duplicate_spans.__doc__.replace(
     "{L}", str(_SPAN_L)
 )
 
-
-_SPAN_CLEAN_CTE = f"""
-    words AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
-    ),
-    pos AS (
-        SELECT doc_id, ws,
-               unnest(range(0, greatest(len(ws) - {_SPAN_L} + 1, 0))) AS p
-        FROM words
-    ),
-    grams AS (
-        SELECT doc_id, CAST(p AS BIGINT) AS p,
-               substr(md5(array_to_string(
-                   list_slice(ws, p + 1, p + {_SPAN_L}), ' ')), 1, 16) AS gk
-        FROM pos
-    ),
-    own AS (
-        SELECT gk, count(*) AS c, min(ROW(doc_id, p)) AS first_key
-        FROM grams GROUP BY gk
-    ),
-    dup AS (
-        SELECT g.doc_id, g.p
-        FROM grams g JOIN own o USING (gk)
-        WHERE o.c > 1 AND ROW(g.doc_id, g.p) <> o.first_key
-    ),
-    iv AS (
-        SELECT doc_id, p AS s, p + {_SPAN_L} AS e,
-               max(p + {_SPAN_L}) OVER (PARTITION BY doc_id ORDER BY p
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS prev_e
-        FROM dup
-    ),
-    isl AS (
-        SELECT doc_id, s, e,
-               sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY doc_id ORDER BY s
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS island
-        FROM iv
-    ),
-    spans AS (
-        SELECT doc_id, island,
-               min(s) AS span_start, max(e) AS span_end
-        FROM isl GROUP BY doc_id, island
-    )
-"""
 
 
 @register(
@@ -4707,41 +4687,16 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    blocks = None
-    for g in range(4):
-        part = sig.select(
-            "media_id",
-            F.lit(g).alias("g"),
-            F.substring("phash64", 4 * g + 1, 4).alias("blk"),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
-    a = blocks.select(F.col("media_id").alias("id_a"), "g", "blk")
-    b = blocks.select(F.col("media_id").alias("id_b"), "g", "blk")
-    cand = (
-        a.join(b, ["g", "blk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sig.select(
-        F.col("media_id").alias("id_a"),
-        F.col("phash64").alias("pa"),
-        F.col("kind").alias("ka"),
-    )
-    sb = sig.select(
-        F.col("media_id").alias("id_b"),
-        F.col("phash64").alias("pb"),
-        F.col("kind").alias("kb"),
-    )
-    ham = simhash_hamming(F.col("pa"), F.col("pb"))
+    pairs = blocked_hamming_pairs(sig, "media_id", "phash64", _PH_MAXD)
+    ka = sig.select(F.col("media_id").alias("id_a"), F.col("kind").alias("ka"))
+    kb = sig.select(F.col("media_id").alias("id_b"), F.col("kind").alias("kb"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(ham <= _PH_MAXD)
+        pairs.join(ka, "id_a")
+        .join(kb, "id_b")
         .select(
             "id_a",
             "id_b",
-            ham.cast("bigint").alias("hamming"),
+            "hamming",
             (F.col("ka") != F.col("kb")).cast("int").alias("cross_format"),
         )
     )
@@ -4898,9 +4853,7 @@ def _bpe_stage_sql(k: int) -> str:
     )"""
 
 
-@register(
-    "doc_bpe_learn",
-    oracle="""
+_BPE_PREFIX_SQL = """
     WITH toks AS (
         SELECT unnest(string_split(trim(text), ' ')) AS word
         FROM documents
@@ -4915,6 +4868,11 @@ def _bpe_stage_sql(k: int) -> str:
                    AS seg
         FROM words
     ),"""
+
+
+@register(
+    "doc_bpe_learn",
+    oracle=_BPE_PREFIX_SQL
     + ",".join(_bpe_stage_sql(k) for k in range(1, _BPE_MERGES + 1))
     + f"""
     SELECT * FROM (
@@ -5043,21 +5001,7 @@ for _k in range(1, _BPE_MERGES + 1):
 
 @register(
     "doc_bpe_segment",
-    oracle="""
-    WITH toks AS (
-        SELECT unnest(string_split(trim(text), ' ')) AS word
-        FROM documents
-    ),
-    words AS MATERIALIZED (
-        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks
-        WHERE word <> '' GROUP BY word
-    ),
-    seg0 AS MATERIALIZED (
-        SELECT word, freq,
-               '|' || array_to_string(string_split(word, ''), '|') || '|'
-                   AS seg
-        FROM words
-    ),"""
+    oracle=_BPE_PREFIX_SQL
     + ",".join(_bpe_stage_sql(k) for k in range(1, _BPE_MERGES + 1))
     + f""",
     docseg AS (
@@ -5273,28 +5217,4 @@ def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "afp64")
         .cache()
     )
-    blocks = None
-    for g in range(4):
-        part = sig.select(
-            "media_id",
-            F.lit(g).alias("g"),
-            F.substring("afp64", 4 * g + 1, 4).alias("blk"),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
-    a = blocks.select(F.col("media_id").alias("id_a"), "g", "blk")
-    b = blocks.select(F.col("media_id").alias("id_b"), "g", "blk")
-    cand = (
-        a.join(b, ["g", "blk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("media_id").alias("id_a"), F.col("afp64").alias("pa"))
-    sb = sig.select(F.col("media_id").alias("id_b"), F.col("afp64").alias("pb"))
-    ham = simhash_hamming(F.col("pa"), F.col("pb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(ham <= _AFP_MAXD)
-        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
-    )
+    return blocked_hamming_pairs(sig, "media_id", "afp64", _AFP_MAXD)

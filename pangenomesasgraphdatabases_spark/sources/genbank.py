@@ -204,9 +204,17 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
                 rnum += 1
                 ncrna_id = f"{gene_id}.r0{rnum}"
                 gb_id, gb_parent = ncrna_id, gene_id
-            else:
-                # acts as its own top level (bp_genbank2gff3.pl:866-875)
+            elif not gene_id:
+                # No enclosing gene: the RNA acts as its own top level
+                # and may own subsequent exons
+                # (bp_genbank2gff3.pl:866-875).
                 ncrna_id = own
+            # else: inside a gene model but naming a DIFFERENT gene —
+            # GM_NOT_PART returns before any assignment in BioPerl
+            # (:861-862), so the previously-active linked ncRNA (if
+            # any) stays the exon parent and a foreign RNA never
+            # captures the model's later exons (review finding; the
+            # gene-models oracle joins linked RNAs only).
         elif key in ("CDS", "protein", "polypeptide"):
             if linked and rna_id:
                 # First occurrence only — BioPerl's s/\.t/\.p/ is a
@@ -345,9 +353,46 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
     # exactly this reason).  The exported feature_id column follows
     # the ID attribute so a write/parse round-trip is the identity;
     # the raw locus_tag stays available as a locus_tag= attribute.
+    # A LINKED leaf (gb_id deliberately empty, gb_parent set — the
+    # unflattener's exons) must NOT fall back to the raw locus_tag:
+    # that duplicates its gene's ID on a second feature, which GFF3
+    # forbids (review finding — strainC's exon carried ID=C_0002 next
+    # to gene ID=C_0002).  BioPerl emits such leaves with Parent= only;
+    # the locus_tag survives as an attribute and feature_id is ''.
+    is_leaf = (F.length("gb_id") == 0) & (F.length("gb_parent") > 0)
+    # Generic features (not gene/pseudogene, not RNA-like) whose gb_id
+    # is just their raw locus_tag take BioPerl's add_generic_id
+    # "method:name" form (bp_genbank2gff3.pl:955-975) — a bacterial
+    # gene+CDS pair shares one locus_tag, and a bare CDS ID would
+    # collide with the gene's.  Model members (.t0n/.p0n/.r0n ids) and
+    # top-level RNAs (:866-875 keep the genelink id verbatim) stay
+    # bare.
+    is_generic = (
+        (F.col("gb_id") == F.col("feature_id"))
+        & (F.length("gb_id") > 0)
+        & ~F.col("feature_type").isin("gene", "pseudogene")
+        & ~F.col("feature_type").rlike("RNA|transcript")
+    )
     gff_id = F.when(
-        F.length("gb_id") > 0, F.col("gb_id")
-    ).otherwise(F.col("feature_id"))
+        is_generic,
+        F.concat(F.col("feature_type"), F.lit(":"), F.col("gb_id")),
+    ).otherwise(
+        F.when(F.length("gb_id") > 0, F.col("gb_id")).otherwise(
+            F.when(is_leaf, F.lit("")).otherwise(F.col("feature_id"))
+        )
+    )
+    id_attr = F.when(is_leaf, F.lit("")).otherwise(
+        F.concat(F.lit("ID="), gff_id)
+    )
+    parent_attr = F.when(
+        F.length("gb_parent") > 0,
+        # Gene-model parentage, as the unflattener's GFF3 carries
+        # it (bp_genbank2gff3.pl gene_features Parent tags).
+        F.concat(
+            F.when(is_leaf, F.lit("Parent=")).otherwise(F.lit(";Parent=")),
+            F.col("gb_parent"),
+        ),
+    ).otherwise(F.lit(""))
     return feats.filter(F.col("feature_type") != "source").select(
         "file",
         "seqid",
@@ -359,14 +404,8 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
         "strand",
         F.lit(".").alias("phase"),
         F.concat(
-            F.lit("ID="),
-            gff_id,
-            # Gene-model parentage, as the unflattener's GFF3 carries
-            # it (bp_genbank2gff3.pl gene_features Parent tags).
-            F.when(
-                F.length("gb_parent") > 0,
-                F.concat(F.lit(";Parent="), F.col("gb_parent")),
-            ).otherwise(F.lit("")),
+            id_attr,
+            parent_attr,
             F.when(
                 (F.length("feature_id") > 0) & (gff_id != F.col("feature_id")),
                 F.concat(F.lit(";locus_tag="), F.col("feature_id")),

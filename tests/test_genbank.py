@@ -59,10 +59,17 @@ def test_genbank_to_gff_parity_columns(spark):
     assert df.columns == GFF_COLS
     rows = {r.feature_id: r for r in df.collect()}
     assert "source" not in {r.feature_type for r in rows.values()}
-    assert rows["A_0001"].attributes == "ID=A_0001;product=thr operon leader peptide"
+    # a bacterial gene+CDS pair shares one locus_tag: the gene keeps
+    # the bare ID, the CDS takes BioPerl's add_generic_id method:name
+    # form so IDs stay unique (bp_genbank2gff3.pl:955-975)
+    assert rows["A_0001"].feature_type == "gene"
+    assert rows["A_0001"].attributes == "ID=A_0001"
+    assert rows["CDS:A_0001"].attributes == (
+        "ID=CDS:A_0001;locus_tag=A_0001;product=thr operon leader peptide"
+    )
     # pseudogene rows carry no product -> bare ID attribute
     assert rows["A_0003"].attributes == "ID=A_0003"
-    assert rows["A_0001"].score == "." and rows["A_0001"].phase == "."
+    assert rows["CDS:A_0001"].score == "." and rows["CDS:A_0001"].phase == "."
 
 
 def test_genbank_continuation_lines(spark, tmp_path):
@@ -637,3 +644,61 @@ def test_so_types_fixture_exercises_map(spark):
     assert ("pseudogene", "pseudogene") in rows  # rewrite-then-map
     assert ("misc_RNA", "processed_transcript") in rows
     assert rows[("source", "region")] == 2
+
+
+def test_gff_ids_unique_and_leaf_exons_parent_only(spark):
+    """GFF3 forbids one ID on two features: across the committed
+    fixture tree no non-empty ID repeats, and linked exons (gb_id
+    deliberately empty) emit Parent= with NO ID= instead of
+    duplicating their gene's locus_tag."""
+    from collections import Counter
+
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        genbank_to_gff,
+    )
+
+    rows = genbank_to_gff(spark, f"{GBK}/*.gbk").collect()
+    ids = [r.feature_id for r in rows if r.feature_id]
+    dupes = [i for i, c in Counter(ids).items() if c > 1]
+    assert not dupes, f"duplicate GFF IDs: {dupes}"
+    exons = [r for r in rows if r.feature_type == "exon"]
+    assert exons
+    for r in exons:
+        assert r.feature_id == ""
+        assert r.attributes.startswith("Parent=")
+        assert "ID=" not in r.attributes
+
+
+def test_unlinked_rna_does_not_capture_model_exons(spark, tmp_path):
+    """A GM_NOT_PART RNA (names a different gene) inside a gene model
+    must not become the parent of the model's later exons — matching
+    the gene-models oracle, which joins linked RNAs only."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        read_genbank_features,
+    )
+
+    gbk = """\
+LOCUS       seqZ             200 bp    DNA     linear   BCT 01-JAN-2024
+FEATURES             Location/Qualifiers
+     gene            10..120
+                     /locus_tag="G_0001"
+     tRNA            20..60
+                     /locus_tag="X_9999"
+     exon            70..100
+                     /locus_tag="G_0001"
+ORIGIN
+        1 gttgtacact ggactcaaga
+//
+"""
+    path = tmp_path / "z.gbk"
+    path.write_text(gbk)
+    rows = {
+        r.feature_type: r
+        for r in read_genbank_features(spark, str(path)).collect()
+    }
+    # the foreign tRNA stays top-level under its own id
+    assert rows["tRNA"].gb_id == "X_9999"
+    assert rows["tRNA"].gb_parent == ""
+    # the linked exon must NOT parent to the foreign RNA
+    assert rows["exon"].gb_parent == ""
+    assert rows["exon"].gb_id == "G_0001"

@@ -815,9 +815,23 @@ def test_audio_fingerprint_null_on_corrupt(spark):
         audio_fingerprint,
     )
 
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        encode_wav,
+    )
+
+    # row 3: structurally VALID zero-sample WAV — decodes to a (0, 1)
+    # array; the grid hash must yield NULL, not an IndexError task
+    # kill (review finding: hash inside the try).
+    empty = bytearray(encode_wav(np.array([], dtype=np.int16), 8000))
     df = spark.createDataFrame(
-        [(1, "audio/wav", bytearray(b"NOTAWAV!")), (2, "video/mp4", bytearray(b"x"))],
+        [
+            (1, "audio/wav", bytearray(b"NOTAWAV!")),
+            (2, "video/mp4", bytearray(b"x")),
+            (3, "audio/wav", empty),
+        ],
         "media_id long, media_type string, payload binary",
     )
     out = {r.media_id: (r.n_samples, r.afp64) for r in audio_fingerprint(df).collect()}
-    assert out == {1: (None, None), 2: (None, None)}
+    assert out == {1: (None, None), 2: (None, None), 3: (None, None)}
