@@ -3061,11 +3061,15 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate; both shuffles are on its natural keys and the min()
     election prunes to one owner row per distinct shingle."""
     sh = _shingles(spark, sf_dir)
-    owner = sh.groupBy("shingle").agg(
-        F.min("doc_id").cast("bigint").alias("owner_id")
+    # Owner election as one unordered window over shingle, not
+    # groupBy + join-back (the r11s2 window-over-key lesson, SURVEY
+    # section 4): measured 25.7 -> 18.0 s min at the 30x point
+    # (-30%), output bit-equal.
+    owner_id = (
+        F.min("doc_id").over(Window.partitionBy("shingle")).cast("bigint")
     )
     return (
-        sh.join(owner, "shingle")
+        sh.withColumn("owner_id", owner_id)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
