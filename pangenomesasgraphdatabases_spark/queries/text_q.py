@@ -887,19 +887,30 @@ def ngram_near_dup_pairs(docs: DataFrame) -> DataFrame:
     own cache lifecycle (module docstring)."""
     sh = shingles_of(docs).select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    # Docfreq as one unordered window over shingle, not a groupBy
+    # whose result joins back TWICE (sizes with df <= cap, the
+    # inverted index with 2 <= df <= cap) — the r11s2 window-over-key
+    # lesson at its strongest: the join shape paid the docfreq agg
+    # exchange plus two sort-merges plus double lineage.  Measured
+    # end-to-end on doc_ngram_jaccard_dedup: 5.4 -> 2.5 s min at
+    # sf0.1, 71.7 -> 26.9 s at the 30x point (-62%), dedup groups
+    # bit-equal.
+    shf = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     ).cache()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = (
-        sh.join(dfreq.filter(F.col("df") <= _NGRAM_DF_CAP).select("shingle"), "shingle")
+        shf.filter(F.col("df") <= _NGRAM_DF_CAP)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
     # Cached: the self-join consumes the inverted index twice, and
-    # without the cache each side re-derives shingles + docfreq.
-    inv = sh.join(
-        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
-        "shingle",
-    ).cache()
+    # without the cache each side re-derives shingles + the window.
+    inv = (
+        shf.filter(F.col("df").between(2, _NGRAM_DF_CAP))
+        .select("doc_id", "shingle")
+        .cache()
+    )
     inter = (
         inv.select(F.col("doc_id").alias("doc1"), "shingle")
         .join(inv.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
