@@ -2787,12 +2787,15 @@ def doc_minimizer_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(_minimizer_sketch)
         .select("doc_id", "minimizer")
         .distinct()
-        .cache()
     )
-    dfreq = sk.groupBy("minimizer").agg(F.count(F.lit(1)).alias("df"))
-    inv = sk.join(
-        dfreq.filter(F.col("df").between(2, _MINIMIZER_DF_CAP)).select("minimizer"),
-        "minimizer",
+    # Docfreq as one unordered window over minimizer, not groupBy +
+    # join-back (r11s2 window-over-key lesson): 2.93 -> 2.18 s min at
+    # sf0.1, 32.4 -> 30.3 s at the 30x point, pairs bit-equal.
+    skf = sk.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("minimizer"))
+    ).cache()
+    inv = skf.filter(F.col("df").between(2, _MINIMIZER_DF_CAP)).select(
+        "doc_id", "minimizer"
     )
     return (
         inv.select(F.col("doc_id").alias("doc1"), "minimizer")
@@ -2915,16 +2918,17 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized_shuffle_width,
     )
 
-    sh = (
-        shingles_of(table(spark, sf_dir, "documents"))
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
+    sh = shingles_of(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Docfreq as one unordered window over shingle, not a groupBy
+    # joined back twice (r11s2 window-over-key lesson): 2.88 -> 2.23 s
+    # min at sf0.1, 26.7 -> 20.8 s at the 30x point, output bit-equal.
+    shf = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).cache()
     sizes = (
-        sh.join(
-            dfreq.filter(F.col("df") <= _NGRAM_DF_CAP).select("shingle"), "shingle"
-        )
+        shf.filter(F.col("df") <= _NGRAM_DF_CAP)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
@@ -2934,9 +2938,8 @@ def doc_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_postings = None if text_bytes is None else text_bytes // 6
     floor = session_shuffle_floor(spark)
     width = sized_shuffle_width(est_postings, floor)
-    inv = sh.join(
-        dfreq.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select("shingle"),
-        "shingle",
+    inv = shf.filter(F.col("df").between(2, _NGRAM_DF_CAP)).select(
+        "doc_id", "shingle"
     )
     if width > floor:
         inv = inv.repartition(width, "shingle")
