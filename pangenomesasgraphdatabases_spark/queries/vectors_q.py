@@ -2469,3 +2469,124 @@ def emb_near_dup_rate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_near_dup_rate_sampled.__doc__ = emb_near_dup_rate_sampled.__doc__.replace(
     "{pct}", str(_NDR_SAMPLE_PCT)
 )
+
+
+# Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+# traversal — the classic data-selection / diversity-sampling
+# operator: pick K points so every point is near some pick).  Like
+# doc_bpe_learn, each round's argmax stays IN-PLAN as a 1-row
+# broadcast frame (jobless construction): round r computes every
+# point's distance to the selected set (min over r broadcast rows)
+# and picks the farthest (ties: lowest vec_id), seeded at the lowest
+# vec_id.
+_KC_K = 8
+
+
+def _kc_round_sql(r: int) -> str:
+    return f"""
+    kd{r} AS MATERIALIZED (
+        SELECT vec_id, min(d) AS dist FROM (
+            SELECT ev.vec_id, s.vec_id AS sid,
+                   sum((ev.v[i] - s.v[i]) * (ev.v[i] - s.v[i])) AS d
+            FROM ev, kall{r - 1} s, generate_series(1, {_KM_DIM}) t(i)
+            GROUP BY ev.vec_id, s.vec_id
+        ) GROUP BY vec_id
+    ),
+    ksel{r} AS MATERIALIZED (
+        SELECT {r} AS step, ev.vec_id, ev.v, round(m.dist, 6) AS dist_prev
+        FROM ev JOIN (
+            SELECT vec_id, dist FROM kd{r}
+            ORDER BY round(dist, 6) DESC, vec_id ASC LIMIT 1
+        ) m USING (vec_id)
+    ),
+    kall{r} AS MATERIALIZED (
+        SELECT step, vec_id, v FROM kall{r - 1}
+        UNION ALL SELECT step, vec_id, v FROM ksel{r}
+    )"""
+
+
+@register(
+    "emb_kcenter_coreset",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+            AS v
+        FROM embeddings
+    ),
+    ksel0 AS MATERIALIZED (
+        SELECT 0 AS step, vec_id, v, 0.0 AS dist_prev
+        FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 1)
+    ),
+    kall0 AS MATERIALIZED (
+        SELECT step, vec_id, v FROM ksel0
+    ),"""
+    + ",".join(_kc_round_sql(r) for r in range(1, _KC_K))
+    + f"""
+    SELECT step, vec_id, dist_prev FROM (
+    {" UNION ALL ".join(
+        f"SELECT step, vec_id, dist_prev FROM ksel{r}"
+        for r in range(_KC_K)
+    )}
+    ) ORDER BY step
+    """,
+    tags=("ext-vector", "coreset", "sampling"),
+)
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (extension — Gonzalez farthest-point
+    selection, the diversity-sampling half of data selection next to
+    doc_importance_resample's distribution-matching half): {K} rounds,
+    each = min-distance-to-selected (a broadcast of <= {K} rows) and a
+    global argmax (round(dist,6) DESC, vec_id ASC — the k-means
+    argmin tie idiom reversed).  The selected set grows as a chain of
+    1-row in-plan frames; no collect anywhere, construction is
+    jobless.  dist_prev is each pick's distance to the set before it —
+    the classic coreset radius curve (monotone nonincreasing).
+
+    Scale shape: round r is one broadcast crossJoin (<= {K} rows) +
+    one map-side min + a TakeOrdered(1) — K rounds = K linear passes,
+    never a pairwise stage; this is exactly how GPU coreset pipelines
+    shard the same algorithm."""
+    e = table(spark, sf_dir, "embeddings")
+    ev = _km_ev(e).cache()
+    sel = (
+        ev.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(0).alias("step"),
+            "vec_id",
+            "v",
+            F.lit(0.0).alias("dist_prev"),
+        )
+        .cache()
+    )
+    all_sel = sel.select("vec_id", "v")
+    rounds = [sel]
+    for r in range(1, _KC_K):
+        scored = ev.crossJoin(
+            F.broadcast(all_sel.select(F.col("v").alias("sv")))
+        ).select(
+            "vec_id", _km_sq_dist(F.col("v"), F.col("sv")).alias("d")
+        )
+        dmin = scored.groupBy("vec_id").agg(F.min("d").alias("dist"))
+        pick = (
+            dmin.orderBy(F.desc(F.round("dist", 6)), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", F.round("dist", 6).alias("dist_prev"))
+        )
+        sel_r = (
+            pick.join(ev, "vec_id")
+            .select(F.lit(r).alias("step"), "vec_id", "v", "dist_prev")
+            .cache()
+        )
+        rounds.append(sel_r)
+        all_sel = all_sel.unionByName(sel_r.select("vec_id", "v"))
+    out = None
+    for fr in rounds:
+        part = fr.select("step", "vec_id", "dist_prev")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+emb_kcenter_coreset.__doc__ = emb_kcenter_coreset.__doc__.replace(
+    "{K}", str(_KC_K)
+)

@@ -293,3 +293,26 @@ def test_ood_scores_find_planted_outlier(spark):
     s = [sum(q[d] for q in qs.values()) for d in range(dims)]
     want99 = sum((qs[99][d] * n - s[d]) ** 2 for d in range(dims))
     assert top.score_n2 == want99
+
+
+def test_kcenter_coreset_properties(spark):
+    """Gonzalez farthest-point invariants: the seed is the lowest
+    vec_id at distance 0, the radius curve (dist_prev) is monotone
+    NONINCREASING from step 1 on, and picks are distinct."""
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        _KC_K,
+        emb_kcenter_coreset,
+    )
+
+    rows = sorted(
+        emb_kcenter_coreset(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.step,
+    )
+    assert len(rows) == _KC_K
+    assert rows[0].step == 0 and rows[0].dist_prev == 0.0
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == _KC_K
+    assert ids[0] == min(ids)  # seeded at the lowest vec_id
+    dists = [r.dist_prev for r in rows[1:]]
+    assert all(d > 0 for d in dists)
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
