@@ -90,6 +90,10 @@ HEADLINE = [
     # to groupBy+join-back (3.5x slower at the 10x point, SCALE.md).
     "doc_duplicate_spans",
     "doc_duplicate_span_clean",
+    # r12 (VERDICT r11 #8): the most expensive unheadlined media query
+    # (2.4 s at sf0.1, 5.1x at 10x) — the real-decode + block-Hamming
+    # path gets round-over-round tracking.
+    "media_phash_pairs",
 ]
 
 # Bench hygiene (VERDICT r9 #8): HEADLINE grows as heavy queries are

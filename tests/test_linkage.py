@@ -124,13 +124,17 @@ def test_scalable_linkage_exact_path(spark):
     assert all(not v[1] for v in out.values())
 
 
-def test_scalable_linkage_approx_past_gate(spark):
-    """Gates of 0 make every non-singleton component pathological: the
-    per-component fallback returns the single-linkage components at
-    the threshold, flagged approx; ISOLATED items are exact singletons
-    (approx=False — a singleton needs no approximation); each exact
-    complete-linkage cluster is contained in one approx component
-    (coarsen-never-split)."""
+def test_scalable_linkage_approx_past_gate(spark, monkeypatch):
+    """Round cap 0 (pre-r12 behavior): gates of 0 make every
+    non-singleton component pathological and the parallel-RNN loop is
+    pinned off, so the coarsening fallback returns the single-linkage
+    components at the threshold, flagged approx; ISOLATED items are
+    exact singletons (approx=False — a singleton needs no
+    approximation); each exact complete-linkage cluster is contained
+    in one approx component (coarsen-never-split)."""
+    from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
+
+    monkeypatch.setattr(ra, "_RNN_MAX_ROUNDS", 0)
     rng = random.Random(11)
     n = 30
     items = [f"y{i}" for i in range(n)]
@@ -256,16 +260,28 @@ def test_scalable_linkage_gate_is_one_action(spark, monkeypatch):
 
     pairs = [("g1", "g2", 0.1), ("g2", "g3", 0.2), ("g1", "g3", 0.9)]
     df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
+
     monkeypatch.setattr(DataFrame, "count", spy_count)
     try:
         exact = linkage_clusters_scalable(df, 0.3)  # exact path: collects inside
+        # rounds pinned to 0 so the approx half exercises the
+        # coarsening fallback (the RNN loop is iterative EXECUTION,
+        # not gating — its per-round aggregates are out of scope here)
+        monkeypatch.setattr(ra, "_RNN_MAX_ROUNDS", 0)
         approx = linkage_clusters_scalable(df, 0.3, exact_max_pairs=0)
+        monkeypatch.setattr(ra, "_RNN_MAX_ROUNDS", 48)
+        # the r12 RNN path on the same input: exact despite gates 0
+        rnn = linkage_clusters_scalable(df, 0.3, exact_max_pairs=0)
     finally:
         monkeypatch.undo()
     assert exact.count() == 3
     assert {r.approx for r in exact.collect()} == {False}
     assert approx.count() == 3
     assert {r.approx for r in approx.collect()} == {True}
+    assert {(r.item, r.cluster, r.approx) for r in rnn.collect()} == {
+        ("g1", "g1", False), ("g2", "g1", False), ("g3", "g3", False),
+    }
 
 
 def test_scalable_linkage_exact_ids_matches_hashed(spark):
@@ -391,11 +407,15 @@ def test_single_linkage_divergence_is_measured():
     assert _divergence(_geometric_pairs(0.1), 0.05) == (0, 0.565)
 
 
-def test_distributed_fallback_matches_single_linkage_cut(spark):
-    """The Spark fallback path computes exactly the single-linkage cut
-    the divergence table is measured against: force the distributed
-    path on the below-percolation geometric family and compare the
-    grouping (labels are representation-free via co-pair sets)."""
+def test_distributed_fallback_matches_single_linkage_cut(spark, monkeypatch):
+    """The coarsening fallback (round cap pinned to 0) computes
+    exactly the single-linkage cut the divergence table is measured
+    against: force the distributed path on the below-percolation
+    geometric family and compare the grouping (labels are
+    representation-free via co-pair sets)."""
+    from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
+
+    monkeypatch.setattr(ra, "_RNN_MAX_ROUNDS", 0)
     pairs = _geometric_pairs(0.1)
     df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
     out = linkage_clusters_scalable(df, 0.05, exact_max_pairs=0)
@@ -443,13 +463,14 @@ def test_distributed_exact_per_component_straddles_gate(spark):
     assert got == want
 
 
-def test_distributed_mixed_pathological_and_exact_components(spark):
-    """A percolating chain component past the per-component gates gets
-    the single-linkage coarsening (approx=True) while small components
-    in the SAME run stay exact (approx=False) — the flag is
-    per-component, not per-run."""
+def test_distributed_mixed_pathological_and_exact_components(spark, monkeypatch):
+    """With the round cap pinned to 0, a percolating chain component
+    past the per-component gates gets the single-linkage coarsening
+    (approx=True) while small components in the SAME run stay exact
+    (approx=False) — the flag is per-component, not per-run."""
     from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
 
+    monkeypatch.setattr(ra, "_RNN_MAX_ROUNDS", 0)
     chain = [(f"c{i}", f"c{i + 1}", 0.2) for i in range(30)]  # 30 pairs
     blob = [("p1", "p2", 0.1), ("p1", "p3", 0.5), ("p2", "p3", 0.15)]
     pairs = chain + blob
@@ -466,3 +487,78 @@ def test_distributed_mixed_pathological_and_exact_components(spark):
     assert _partition({k: v for k, v in exact_blob.items()}) == {
         frozenset({"p1", "p2"}), frozenset({"p3"}),
     }
+
+
+def test_percolating_component_clusters_exactly(spark):
+    """VERDICT r11 #5, the planted percolating fixture: the
+    above-percolation geometric family (one component spanning all
+    200 points at t=0.15 with edges to 0.3) forced past the
+    per-component gates now gets the EXACT complete-linkage cut from
+    the parallel-RNN loop — approx=False everywhere, partition equal
+    to the driver-side NN-chain (full-precision distances, so no
+    tie ambiguity)."""
+    pairs = _geometric_pairs(0.3)
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    t = 0.15
+    rows = linkage_clusters_scalable(df, t, exact_max_pairs=0).collect()
+    assert all(not r.approx for r in rows)
+    got = _copairs({r.item: r.cluster for r in rows})
+    want = _copairs(complete_linkage_clusters(pairs, t))
+    assert got == want
+    # labels are the lexicographic-min member under both paths
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.item)
+    assert all(c == min(members) for c, members in by_cluster.items())
+
+
+def test_increasing_chain_exact_distributed(spark):
+    """The adversarial shape for parallel merging — a chain with
+    strictly increasing consecutive distances admits only ONE mutual
+    pair per round — still converges inside the default cap at n=16
+    (8 sequential merge rounds; n is kept small because each round is
+    a full Spark job cycle) and reproduces the exact cut: consecutive
+    pairs merge (even, odd), no cluster ever absorbs a third member
+    (the skipped pair is missing, i.e. > t under complete linkage)."""
+    chain = [
+        (f"c{i:02d}", f"c{i + 1:02d}", 0.5 + 0.001 * i) for i in range(15)
+    ]
+    df = spark.createDataFrame(chain, "item1 string, item2 string, dist double")
+    rows = linkage_clusters_scalable(df, 1.0, exact_max_pairs=0).collect()
+    assert all(not r.approx for r in rows)
+    got = _copairs({r.item: r.cluster for r in rows})
+    want = _copairs(complete_linkage_clusters(chain, 1.0))
+    assert got == want
+    assert frozenset({"c00", "c01"}) in {
+        frozenset(p) for p in got
+    }  # sanity: the global-min pair merged
+
+
+def test_round_cap_leftover_coarsens(spark, monkeypatch):
+    """A component still unfinished at the round cap falls back to the
+    single-linkage coarsening, flagged approx — cap pinned to 2 so a
+    10-node increasing chain (needs 5 rounds) is left over, while a
+    separate 4-node chain (2 rounds) finishes exactly in the same
+    run."""
+    from pangenomesasgraphdatabases_spark.graph import rgp_analysis as ra
+
+    monkeypatch.setattr(ra, "_RNN_MAX_ROUNDS", 2)
+    long_chain = [
+        (f"L{i}", f"L{i + 1}", 0.1 + 0.01 * i) for i in range(9)
+    ]
+    short_chain = [("S0", "S1", 0.05), ("S2", "S3", 0.06), ("S1", "S2", 0.5)]
+    pairs = long_chain + short_chain
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    # both components exceed pair gate 0 -> both go to the RNN loop
+    out = {
+        r.item: (r.cluster, r.approx)
+        for r in ra.linkage_clusters_scalable(
+            df, 1.0, exact_max_pairs=0
+        ).collect()
+    }
+    # the long chain hit the cap: coarsened to one approx cluster
+    assert all(out[f"L{i}"] == ("L0", True) for i in range(10))
+    # the short chain finished: exact (S0,S1) and (S2,S3) merge at
+    # 0.05/0.06; the S1-S2 bridge at 0.5 then lacks the cross pairs
+    assert out["S0"] == ("S0", False) and out["S1"] == ("S0", False)
+    assert out["S2"] == ("S2", False) and out["S3"] == ("S2", False)
