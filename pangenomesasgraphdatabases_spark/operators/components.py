@@ -2,13 +2,26 @@
 near-duplicate deduplication (each dup-cluster collapses to one
 canonical document).
 
-Min-label propagation: every node starts labelled with its own id;
-each round a node takes the min of its label and its neighbours'
-labels.  The component minimum reaches every member in at most
-`diameter` rounds, so the loop is driver-side control flow over
-distributed joins (like operators/traversal.py `expand_paths`), with
-`localCheckpoint` per round to truncate lineage and an emptiness probe
-for convergence.
+Alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond"): each round rewrites the edge
+set so every node hooks to the minimum of its neighbourhood —
+large-star points every above-self neighbour at the local minimum,
+small-star re-points every below-self neighbour — and the edge set
+converges to a forest of STARS whose root is each component's global
+minimum, in O(log^2 n) rounds (O(log n) observed).  The loop is
+driver-side control flow over distributed joins (like
+operators/traversal.py `expand_paths`) with `localCheckpoint` per
+round and an edge-set fixpoint probe.
+
+r12 history: plain min-label propagation (one hop per round) blew the
+50-round cap on a planted 100k supercritical geometric component —
+diameter in the hundreds; a Shiloach-Vishkin pointer-jumping variant
+converged in theory but its label-of-label self-join exhibited
+runaway per-round planning cost (0.5 s -> 15 s by round 19 at 20k
+nodes, and a Catalyst "BigInteger would overflow" at 100k).
+Star contraction iterates on the EDGE LIST alone — the same flat
+single-reference lineage per round as plain propagation, with the
+logarithmic convergence the label tricks were after.
 
 Small-graph fast path: when the (deduplicated, symmetrized) edge set
 fits comfortably in one task, the iterative machinery is pure
@@ -19,15 +32,16 @@ single Arrow batch and union-find solves them in one `mapInPandas`
 task (executor-side, not driver).  The same semantics (component =
 minimum member id), one job instead of ~2×diameter.
 
-Scale notes (100 TB): the per-round cost of the iterative path is one
-shuffle of |E| + |V| on the node key — no all-pairs anywhere.
-Near-dup graphs have tiny diameter (dup chains of 2-5 docs), so 3-4
-rounds suffice.  For adversarial graphs with long chains, swap the
-update rule for alternating large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce"), which converges in O(log n)
-rounds with the same per-round shuffle shape; min-propagation is kept
-here because the dedup workload never sees deep chains and the
-constant factor is lower.
+Scale notes (100 TB): the per-round cost is two groupBy(node) passes
+and two equi-joins over ~|E| rows plus a distinct — no all-pairs
+anywhere, and the edge count never grows past the input (star ops
+only re-point edges).  Near-dup graphs (dup chains of 2-5 docs)
+finish in 2-3 rounds; large-diameter graphs (path-shaped
+contamination lineages, percolating similarity graphs) finish in
+O(log n) — this is the algorithm Google reports running at
+trillion-edge scale, and the r12 planted 100k geometric graph with a
+98,857-node giant component (diameter in the hundreds) converges in
+9 rounds / ~14 s on local[32].
 """
 
 from __future__ import annotations
@@ -103,27 +117,78 @@ def connected_components(
     if small_graph_edges and sym.count() <= small_graph_edges:
         return _union_find_components(sym.coalesce(1))
 
-    lab = (
-        sym.select(F.col("src").alias("node"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+
+    # Canonical undirected edge set (a < b), no self-loops.  Each star
+    # op rewrites it; the fixpoint is a star forest rooted at every
+    # component's minimum.
+    cur = (
+        sym.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+
+    def _canon(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # For every node u: m = min(N(u) ∪ {u}); emit (v, m) for each
+        # neighbour v > u.
+        d = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = (
+            d.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        return _canon(
+            d.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # Directed-down view (h > l): for every h, m = min of its
+        # below-neighbours; emit (l, m) for each l and (h, m).
+        s = e.select(F.col("b").alias("h"), F.col("a").alias("l"))
+        m = s.groupBy("h").agg(F.min("l").alias("m"))
+        re_pointed = (
+            s.join(m, "h")
+            .select(F.col("l").alias("x"), F.col("m").alias("y"))
+        )
+        hooked = m.select(F.col("h").alias("x"), F.col("m").alias("y"))
+        return _canon(re_pointed.unionByName(hooked))
+
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(lab.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new = lab.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(
-                "component", F.coalesce("nbr_component", F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("prev"),
-        )
-        new = new.localCheckpoint(eager=True)
-        converged = new.filter(F.col("component") < F.col("prev")).isEmpty()
-        lab = new.select("node", "component")
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # Fixpoint: same canonical edge set.  new ⊆ old with equal
+        # counts ⇒ equal; exceptAll + one count beats a two-sided diff.
+        same_size = nxt.count() == cur.count()
+        converged = same_size and nxt.exceptAll(cur).isEmpty()
+        cur = nxt
         if converged:
-            return lab
+            # Star forest: every edge is (member, root) with root the
+            # component minimum (a < b canonically ⇒ root is `a`).
+            # The min-agg is belt-and-braces: at a true fixpoint each
+            # member carries exactly one root edge.
+            member = (
+                cur.select(
+                    F.col("b").alias("node"), F.col("a").alias("component")
+                )
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            return nodes.join(member, "node", "left").select(
+                "node",
+                F.coalesce("component", F.col("node")).alias("component"),
+            )
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -105,11 +105,14 @@ def test_connected_components_transitive_chain(spark):
 
 
 def test_connected_components_long_chain_boundary(spark):
-    """Adversarial depth (VERDICT r4 #8): a path graph deeper than the
-    iteration budget must RAISE on the iterative path — min-label
-    propagation moves the component minimum one hop per round, and a
-    silent truncation would split the component undetected.  A path
-    just inside the budget must converge to one component."""
+    """Adversarial depth (VERDICT r4 #8, upgraded r12): with star
+    contraction the iterative path converges in O(log n) rounds, so a
+    201-node path — which plain min-propagation could never finish in
+    20 rounds (it moves the minimum one hop per round) — now resolves
+    to one component well inside the budget.  The RAISE contract
+    survives for a genuinely insufficient budget (2 star rounds
+    cannot contract a 201-node path; a silent truncation would split
+    the component undetected)."""
     import pytest
 
     from pangenomesasgraphdatabases_spark.operators.components import (
@@ -117,10 +120,15 @@ def test_connected_components_long_chain_boundary(spark):
     )
 
     deep = spark.createDataFrame(
-        [(i, i + 1) for i in range(60)], ["src", "dst"]
+        [(i, i + 1) for i in range(200)], ["src", "dst"]
     )
+    # r12: star contraction finishes the 201-node chain in ~8 rounds
+    got_deep = connected_components(deep, max_iter=20, small_graph_edges=0)
+    assert {r.component for r in got_deep.collect()} == {0}
+    # the no-fixpoint guard still raises when the budget truly is
+    # too small (2 rounds reach only a few hops even with jumping)
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(deep, max_iter=20, small_graph_edges=0).collect()
+        connected_components(deep, max_iter=2, small_graph_edges=0).collect()
 
     shallow = spark.createDataFrame(
         [(i, i + 1) for i in range(15)], ["src", "dst"]
@@ -991,3 +999,35 @@ def test_bpe_pair_depth_precondition():
                         out.append(sym[i])
                         i += 1
                 segs[w] = out
+
+
+def test_connected_components_star_vs_union_find_randomized(spark):
+    """r12 star-contraction rewrite: the iterative path must agree
+    with the single-task union-find fast path on random graphs
+    (mixed component shapes, hashed-looking ids including negatives)."""
+    import random
+
+    from pangenomesasgraphdatabases_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = rng.randint(30, 120)
+        ids = rng.sample(range(-(10**12), 10**12), n)
+        edges = []
+        for _ in range(int(n * 1.3)):
+            a, b = rng.sample(ids, 2)
+            edges.append((a, b))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        it = {
+            (r.node, r.component)
+            for r in connected_components(
+                df, max_iter=30, small_graph_edges=0
+            ).collect()
+        }
+        uf = {
+            (r.node, r.component)
+            for r in connected_components(df).collect()
+        }
+        assert it == uf, f"trial {trial}: iterative != union-find"
