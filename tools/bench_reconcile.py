@@ -38,8 +38,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # query -> (anchor_min_sec_at_sf0.1, SCALE.md source section)
 ANCHORS: dict[str, tuple[float, str]] = {
     "doc_lsh_near_dup_pairs": (
-        3.08,
-        "r11 'dup-light bypass' (5-rep min, steal <= 34)",
+        # r12 reconciliation: the 3.08 builder-session A/B min is not
+        # reproducible in DRIVER SHAPE even on a calm host — the
+        # judge's own calm driver-shape re-measure read 3.83 (VERDICT
+        # r11), and r12 calm-window bench/probe read 4.18-4.28.  The
+        # anchor context is the driver shape, so 3.83 is the honest
+        # reference; the ad-hoc 3.08 stays in SCALE.md as the
+        # deepest-warm floor.
+        3.83,
+        "r11 VERDICT judge calm driver-shape re-measure (was 3.08 ad-hoc)",
     ),
     "doc_duplicate_spans": (1.11, "r11s2 'ExactSubstr family' slopes"),
     "doc_duplicate_span_clean": (1.55, "r11s2 'ExactSubstr family' slopes"),
