@@ -209,6 +209,35 @@ def _reps_done(
 CALIBRATION_REF_SEC = 0.56
 CALIBRATION_ROWS = 10_000_000
 
+# Memory-BANDWIDTH probe (r12): the CPU+shuffle micro-job is blind to
+# the bandwidth/LLC co-tenancy this sandbox exhibits (r11: ann mins
+# floated 3.8 -> 6.4 across same-code same-day sessions at CPU index
+# 1.02-1.21; SCALE.md documents the signature).  A driver-side numpy
+# streaming sum over a 512 MiB array reads DRAM directly —
+# single-thread, deterministic, no JVM involvement — and the compact
+# line carries ``host_bw_index`` = REF / best-observed GiB/s (like
+# the CPU index, ~1.0 calm, > 1 when co-tenants hold the memory bus).
+# Reference pinned from the r12 window (best of repeated samples,
+# 7.1 GiB/s); same caveat as CALIBRATION_REF_SEC: a FIXED denominator,
+# never re-measured per run.
+BW_REF_GIBS = 7.1
+BW_PROBE_BYTES = 512 * 2**20
+
+
+def _bandwidth_probe(reps: int = 3) -> tuple[float, list[float]]:
+    """Best-of-reps GiB/s for the driver-side streaming sum (best,
+    not median: the probe asks how fast the memory bus CAN go)."""
+    import numpy as np
+
+    arr = np.ones(BW_PROBE_BYTES // 8, dtype=np.float64)
+    rates: list[float] = []
+    for _ in range(reps):
+        t0 = time.time()
+        arr.sum()
+        dt = time.time() - t0
+        rates.append(round(arr.nbytes / dt / 2**30, 2))
+    return max(rates), rates
+
 
 def _calibration_probe(spark, reps: int = 3) -> tuple[float, list[float], list[int]]:
     """Min-of-reps wall seconds for the constant-work micro-job (min,
@@ -320,6 +349,7 @@ def main() -> None:
     # (paired with probe #2 after the build so drift WITHIN the run is
     # visible too).
     cal_pre, cal_pre_times, cal_pre_steal = _calibration_probe(spark)
+    bw_pre, bw_pre_rates = _bandwidth_probe()
 
     raw: dict[str, list[float]] = {}
     steal: dict[str, list[int]] = {}
@@ -399,6 +429,8 @@ def main() -> None:
     cal_post, cal_post_times, cal_post_steal = _calibration_probe(spark)
     cal_best = min(cal_pre, cal_post)
     host_speed_index = round(cal_best / CALIBRATION_REF_SEC, 3)
+    bw_post, bw_post_rates = _bandwidth_probe()
+    host_bw_index = round(BW_REF_GIBS / max(bw_pre, bw_post), 3)
 
     total = round(sum(timings.values()), 3)
     fixed_total = round(
@@ -426,6 +458,13 @@ def main() -> None:
             "post_steal": cal_post_steal,
             "best_sec": cal_best,
             "host_speed_index": host_speed_index,
+        },
+        "bandwidth": {
+            "ref_gibs": BW_REF_GIBS,
+            "pre_rates": bw_pre_rates,
+            "post_rates": bw_post_rates,
+            "best_gibs": max(bw_pre, bw_post),
+            "host_bw_index": host_bw_index,
         },
         "sf": sf,
     }
@@ -465,6 +504,7 @@ def main() -> None:
                 "fixed_total_sec": fixed_total,
                 "build_min_sec": build_min,
                 "host_speed_index": host_speed_index,
+                "host_bw_index": host_bw_index,
                 "sf": sf,
             }
         )

@@ -981,10 +981,19 @@ def linkage_distributed_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (p2 must stay out of {p0, p1}; single linkage would
     merge it), so a silent fallback to the single-linkage coarsening
     fails the hash, as does any approx=true flag."""
-    from pangenomesasgraphdatabases_spark.data import table
     from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
         linkage_clusters_scalable,
     )
+
+    pairs = _linkage_fixture_pairs(spark, sf_dir)
+    return linkage_clusters_scalable(pairs, _LINK_T, exact_max_items=100)
+
+
+def _linkage_fixture_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id-derived SF-invariant linkage fixture (module comment
+    above) — shared by the per-component-NN-chain query and the
+    parallel-RNN twin so both driver hashes pin the same cut."""
+    from pangenomesasgraphdatabases_spark.data import table
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 480)
     tag = F.format_string("i%03d", F.col("doc_id").cast("int"))
@@ -1050,5 +1059,48 @@ def linkage_distributed_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    pairs = blob_pairs.unionByName(chain_pairs)
-    return linkage_clusters_scalable(pairs, _LINK_T, exact_max_items=100)
+    return blob_pairs.unionByName(chain_pairs)
+
+
+@register(
+    "linkage_rnn_cut",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS i FROM documents WHERE doc_id < 480
+    )
+    SELECT 'i' || lpad(CAST(i AS VARCHAR), 3, '0') AS item,
+           CASE
+             WHEN i < 240
+                  THEN 'i' || lpad(CAST(8 * (i // 8) AS VARCHAR), 3, '0')
+             WHEN (i - 240) % 3 < 2
+                  THEN 'i' || lpad(CAST(240 + 3 * ((i - 240) // 3)
+                                        AS VARCHAR), 3, '0')
+             ELSE 'i' || lpad(CAST(i AS VARCHAR), 3, '0')
+           END AS cluster,
+           false AS approx
+    FROM ids
+    """,
+    tags=("F17", "clustering", "distributed-exact", "parallel-rnn"),
+)
+def linkage_rnn_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 on the r12 PARALLEL-RNN path (VERDICT r11 #5): the same
+    id-derived fixture and the same expected cut as
+    linkage_distributed_cut, but with the per-component gates forced
+    to 2 so EVERY component (8-item clique blobs, 3-item chain
+    triples) is "pathological" and runs the distributed mutual-NN
+    merge loop instead of applyInPandas.  Complete linkage is
+    reducible, so concurrent RNN merges reproduce the NN-chain's
+    dendrogram exactly — the oracle is the SAME id arithmetic, and
+    the chain triples again pin complete-vs-single semantics (p2 must
+    stay out of {p0, p1}).  Any drift in the merge loop — a wrong
+    mergeability rule (n_cross vs size product), a broken
+    Lance-Williams max, a tie-break divergence, or an approx=true
+    leak from the stall detector — fails the driver hash."""
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        linkage_clusters_scalable,
+    )
+
+    pairs = _linkage_fixture_pairs(spark, sf_dir)
+    return linkage_clusters_scalable(
+        pairs, _LINK_T, exact_max_items=2, exact_max_pairs=2
+    )

@@ -596,6 +596,10 @@ EAGER_BUILD_ALLOWED = {
     # gate agg + iterative connected-components at construction (the
     # distributed exact linkage path, VERDICT r10 #5)
     "linkage_distributed_cut",
+    # ...and its r12 parallel-RNN twin: the mutual-NN merge loop is
+    # genuinely iterative (localCheckpoint + convergence probe per
+    # round, VERDICT r11 #5)
+    "linkage_rnn_cut",
 }
 
 
