@@ -349,10 +349,16 @@ def _parallel_rnn_cut(
             "dist",
         )
         .groupBy("component", "ca", "cb")
-        .agg(
-            F.count(F.lit(1)).alias("n_cross"),
-            F.max("dist").alias("dmax"),
-        )
+        # Initial clusters are singletons, so every DISTINCT unordered
+        # pair contributes exactly one cross edge — n_cross is 1 by
+        # definition, NOT the input row count: a duplicated pair row
+        # would otherwise inflate n_cross past size_a*size_b and make
+        # the pair permanently unmergeable (silent coarsening).  A
+        # dup with conflicting distances takes the max — the
+        # complete-linkage-consistent reading of ill-defined input
+        # (the driver NN-chain's dict is last-row-wins there).
+        .agg(F.max("dist").alias("dmax"))
+        .withColumn("n_cross", F.lit(1).cast("long"))
         .localCheckpoint(eager=True)
     )
 

@@ -562,3 +562,24 @@ def test_round_cap_leftover_coarsens(spark, monkeypatch):
     # 0.05/0.06; the S1-S2 bridge at 0.5 then lacks the cross pairs
     assert out["S0"] == ("S0", False) and out["S1"] == ("S0", False)
     assert out["S2"] == ("S2", False) and out["S3"] == ("S2", False)
+
+
+def test_rnn_path_tolerates_duplicate_pair_rows(spark):
+    """A duplicated input pair row must not inflate the RNN loop's
+    cross-edge count past size_a*size_b (which would silently make
+    the pair unmergeable): n_cross is per distinct unordered pair,
+    with max-dist on conflicts."""
+    pairs = [
+        ("a", "b", 0.1),
+        ("b", "a", 0.1),   # same pair, swapped orientation
+        ("a", "b", 0.12),  # same pair again, conflicting dist
+        ("b", "c", 0.5),
+    ]
+    df = spark.createDataFrame(pairs, "item1 string, item2 string, dist double")
+    out = {
+        r.item: (r.cluster, r.approx)
+        for r in linkage_clusters_scalable(df, 0.3, exact_max_pairs=0).collect()
+    }
+    # a-b merges at max(0.1, 0.12) <= t; c stays out (0.5 > t)
+    assert out["a"] == ("a", False) and out["b"] == ("a", False)
+    assert out["c"] == ("c", False)
