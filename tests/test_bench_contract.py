@@ -58,10 +58,23 @@ def test_compact_line_stays_parseable():
             "unit": "sec",
             "queries": queries,
             "build_min_sec": 9999.999,
+            "fixed_total_sec": 9999.999,
+            "host_speed_index": 9.999,
+            "host_bw_index": 9.999,
             "sf": 0.1,
         }
     )
     assert len(line) <= 1500, f"compact bench line {len(line)} B > 1.5 KB budget"
+
+
+def test_bandwidth_probe_contract():
+    """The r12 memory-bandwidth leg: best-of-reps GiB/s with all reps
+    retained, reference fixed (never re-measured per run)."""
+    bench = _load_bench()
+    best, rates = bench._bandwidth_probe(reps=2)
+    assert len(rates) == 2 and best == max(rates)
+    assert all(r > 0 for r in rates)
+    assert bench.BW_REF_GIBS == 7.1  # pinned r12 denominator
 
 
 def test_steal_retry_rule():
