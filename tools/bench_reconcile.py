@@ -54,6 +54,12 @@ ANCHORS: dict[str, tuple[float, str]] = {
     "doc_segment_dedup": (0.74, "r11s2 'window-over-key lesson'"),
     "doc_ngram_jaccard_dedup": (2.52, "r11s2 docfreq window rewrite"),
     "doc_jaccard_containment": (2.23, "r11s2 two-join-backs -> window"),
+    # r12 calm 5-rep driver-shape session (hsi 1.057, steal <= 1/rep)
+    # — the ann-drift adjudication table (SCALE.md r12)
+    "ann_bruteforce_topk": (0.486, "r12 'ann drift pinned' calm 5-rep"),
+    "ann_ivf_topk": (2.193, "r12 'ann drift pinned' calm 5-rep"),
+    "ann_ivfpq_topk": (3.786, "r12 'ann drift pinned' calm 5-rep"),
+    "emb_pq_codes": (1.744, "r12 'ann drift pinned' calm 5-rep"),
 }
 
 DIVERGENCE_PCT = 25.0
