@@ -3114,6 +3114,80 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-anonymity floor for the rare-n-gram memorization audit: a shingle
+# carried by fewer than K documents is "rare" (uncorroborated content
+# a model could only reproduce by memorizing this document).
+_RARE_K = 3
+
+
+@register(
+    "doc_rare_ngram_privacy",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    dfreq AS (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingles
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df < {_RARE_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           CAST(sum(CASE WHEN df < {_RARE_K} THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS rare_ppm,
+           CAST(min(df) AS BIGINT) AS k_anon_min
+    FROM dfreq
+    GROUP BY doc_id
+    """,
+    tags=("ext-text", "privacy", "memorization"),
+)
+def doc_rare_ngram_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit (extension — the k-anonymity view of
+    n-gram support, the third leg of the privacy story next to the
+    PII scrub and the forget-cascade): a shingle carried by fewer
+    than {K} documents is RARE — content with no corpus corroboration,
+    which is exactly the duplication band where models memorize
+    verbatim (low-duplicate-count sequences) rather than generalize.
+    Per document: shingle count, rare count, rare fraction in exact
+    ppm, and ``k_anon_min`` — the document's weakest n-gram support,
+    i.e. the k in "every phrase in this doc appears in >= k docs".
+    Differs from doc_ngram_novelty's OWNERSHIP fraction: a shingle in
+    two docs is non-novel for the later doc but still rare for BOTH
+    (df=2 < {K}) — support is symmetric, ownership is not.
+
+    Scale shape: docfreq as ONE unordered window over the shingle key
+    (the r11s2/r12-measured window-over-key pattern — the hot-gram
+    single-buffer hazard is measured harmless, SCALE.md r12), then
+    one groupBy(doc_id); never all-pairs.  All-integer outputs."""
+    sh = _shingles(spark, sf_dir)
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("df", df_)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") < _RARE_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rare"),
+            F.min("df").cast("bigint").alias("k_anon_min"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_rare",
+            F.expr("n_rare * 1000000L div n_shingles")
+            .cast("bigint")
+            .alias("rare_ppm"),
+            "k_anon_min",
+        )
+    )
+
+
+doc_rare_ngram_privacy.__doc__ = doc_rare_ngram_privacy.__doc__.replace(
+    "{K}", str(_RARE_K)
+)
+
+
 _ZIPF_TOP = 100
 
 

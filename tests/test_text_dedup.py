@@ -1031,3 +1031,48 @@ def test_connected_components_star_vs_union_find_randomized(spark):
             for r in connected_components(df).collect()
         }
         assert it == uf, f"trial {trial}: iterative != union-find"
+
+
+def test_rare_ngram_privacy_planted(spark, tmp_path):
+    """k-anonymity n-gram audit: a phrase shared by >= K docs is safe
+    support, a phrase in K-1 docs is rare for ALL its carriers
+    (support is symmetric — unlike novelty's ownership), and
+    k_anon_min is the doc's weakest support."""
+    from pangenomesasgraphdatabases_spark.queries.text_q import (
+        _RARE_K,
+        doc_rare_ngram_privacy,
+    )
+
+    assert _RARE_K == 3  # fixture arithmetic below assumes K=3
+    safe = "alpha beta gamma delta"          # 2 shingles, in 3 docs
+    duo = "omega psi chi phi"                # 2 shingles, in 2 docs
+    rows = [
+        (1, f"{safe} one unique tail here"),
+        (2, f"{safe} two other tail text"),
+        (3, safe),                            # only safe shingles
+        (4, f"{duo} four tail words here"),
+        (5, duo),                             # only duo shingles
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumns(
+        {
+            "lang": F.lit("en"),
+            "source": F.lit("test"),
+            "n_chars": F.length("text"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.doc_id: r for r in doc_rare_ngram_privacy(spark, sf_dir).collect()}
+    # doc 3: both shingles in 3 docs -> zero rare, k_anon_min = 3
+    assert (got[3].n_shingles, got[3].n_rare, got[3].k_anon_min) == (2, 0, 3)
+    assert got[3].rare_ppm == 0
+    # doc 5: both shingles in only 2 docs -> all rare (df=2 < 3)
+    assert (got[5].n_shingles, got[5].n_rare, got[5].k_anon_min) == (2, 2, 2)
+    assert got[5].rare_ppm == 1000000
+    # doc 4: 2 duo shingles rare + bridging/unique shingles rare too;
+    # weakest support is 1 (its unique tail)
+    assert got[4].k_anon_min == 1 and got[4].n_rare == got[4].n_shingles
+    # doc 1: safe shingles (df=3) not rare, everything else unique
+    assert got[1].k_anon_min == 1
+    assert got[1].n_rare == got[1].n_shingles - 2
