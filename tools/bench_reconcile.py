@@ -90,8 +90,8 @@ def main() -> int:
     hsi = detail.get("calibration", {}).get("host_speed_index")
     flags = 0
     print(
-        f"| query | SCALE anchor (min) | bench min | bench median "
-        f"| div(min) | verdict | anchor source |"
+        "| query | SCALE anchor (min) | bench min | bench median "
+        "| div(min) | verdict | anchor source |"
     )
     print("|---|---|---|---|---|---|---|")
     for name, (anchor, src) in sorted(ANCHORS.items()):
