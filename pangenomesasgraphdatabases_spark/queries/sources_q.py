@@ -735,3 +735,124 @@ def etl_genbank_so_types_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("feature_type", "so_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- S11 builtin aligner (the no-binary answer to the blastn wall) ----------
+# SF-invariant corpus generated IN-PLAN from md5 chains (the engine's
+# shared idiom — DuckDB's md5 produces the identical hex): 8 subjects
+# of 256 nt (8 md5 blocks, hex translated to ACGT), 3 queries per
+# subject cut at fixed offsets.  The registered projection keeps only
+# FULL-LENGTH EXACT hits (align_len = n_matches = 24, q_start = 1),
+# which makes the oracle STRUCTURAL, not probabilistic: such a hit
+# exists iff substr(subject, s_start, 24) equals the query — the
+# DuckDB side enumerates occurrences by direct substring scan, the
+# Spark side must find every one through 11-mer seeding + X-drop
+# extension (an exact 24-mer guarantees 14 seeds, far below the
+# overrepresented-word cap on this corpus).  Partial-identity and
+# X-drop behavior is pinned by tests/test_seed_align.py.
+_BLAST_HEX2NT = "ACGTACGTACGTACGT"
+_BLAST_OFFSETS = (17, 101, 186)
+_BLAST_QLEN = 24
+
+
+def _blast_corpus(spark: SparkSession):
+    seq = F.concat(
+        *[
+            F.translate(
+                F.md5(
+                    F.concat(
+                        F.lit("blast-"),
+                        F.col("id").cast("string"),
+                        F.lit(f"-{j}"),
+                    )
+                ),
+                "0123456789abcdef",
+                _BLAST_HEX2NT,
+            )
+            for j in range(8)
+        ]
+    )
+    subjects = spark.range(8).select(
+        F.format_string("s%d", F.col("id").cast("int")).alias("subject_id"),
+        seq.alias("sequence"),
+    )
+    q = None
+    for off in _BLAST_OFFSETS:
+        part = subjects.select(
+            F.format_string(
+                "q_%s_%d", F.col("subject_id"), F.lit(off)
+            ).alias("query_id"),
+            F.substring("sequence", off, _BLAST_QLEN).alias("sequence"),
+        )
+        q = part if q is None else q.unionByName(part)
+    return q, subjects
+
+
+_BLAST_SUBJ_SQL = f"""
+    subjects AS (
+        SELECT 's' || CAST(i AS VARCHAR) AS subject_id,
+               translate({" || ".join(
+                   f"md5('blast-' || CAST(i AS VARCHAR) || '-{j}')"
+                   for j in range(8)
+               )},
+                         '0123456789abcdef', '{_BLAST_HEX2NT}') AS sequence
+        FROM generate_series(0, 7) t(i)
+    ),
+    qs AS (
+        SELECT 'q_' || subject_id || '_' || CAST(off AS VARCHAR) AS query_id,
+               substr(sequence, off, {_BLAST_QLEN}) AS qseq
+        FROM subjects, (VALUES {", ".join(f"({o})" for o in _BLAST_OFFSETS)})
+             o(off)
+    )
+"""
+
+
+@register(
+    "blast_builtin_exact_hits",
+    oracle=f"""
+    WITH {_BLAST_SUBJ_SQL.strip()}
+    SELECT q.query_id, s.subject_id,
+           CAST(1 AS INT) AS q_start,
+           CAST(p AS INT) AS s_start,
+           CAST({_BLAST_QLEN} AS INT) AS align_len,
+           CAST({_BLAST_QLEN} AS INT) AS n_matches,
+           CAST({_BLAST_QLEN} AS INT) AS score
+    FROM qs q, subjects s,
+         generate_series(1, 256 - {_BLAST_QLEN} + 1) t(p)
+    WHERE substr(s.sequence, p, {_BLAST_QLEN}) = q.qseq
+    """,
+    tags=("S11", "aligner", "seed-extend"),
+)
+def blast_builtin_exact_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 without the binary (closing the last environment residue):
+    the builtin Spark-native seed-and-extend aligner
+    (operators/seed_align — 11-mer inverted-index equi-join seeding
+    with the overrepresented-word cap, diagonal grouping, ungapped
+    X-drop extension in mapInPandas; reference boundary
+    extendingDB_performingBlast.py:63-105) run over the md5-derived
+    corpus, projected to FULL-LENGTH EXACT hits so the DuckDB oracle
+    can enumerate the same set by direct substring scan — equality is
+    structural: a (query, subject, s_start) row with 24/24 matches
+    exists on either side iff the 24-char substrings are equal."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits,
+    )
+
+    q, s = _blast_corpus(spark)
+    # min_score below the 24-nt queries' maximum (the operator default
+    # of 28 targets longer queries); partial hits admitted here are
+    # removed by the exact-hit projection below either way.
+    hits = builtin_blast_hits(q, s, min_score=20)
+    return hits.filter(
+        (F.col("align_len") == _BLAST_QLEN)
+        & (F.col("n_matches") == _BLAST_QLEN)
+        & (F.col("q_start") == 1)
+    ).select(
+        "query_id",
+        "subject_id",
+        "q_start",
+        "s_start",
+        "align_len",
+        "n_matches",
+        "score",
+    )

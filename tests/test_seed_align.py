@@ -1,0 +1,141 @@
+"""Builtin seed-and-extend aligner (operators/seed_align) — the
+no-binary S11 path: planted-alignment semantics, X-drop termination,
+the overrepresented-word cap, and the enrich writeback adapter."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pangenomesasgraphdatabases_spark.operators.seed_align import (
+    KA_K,
+    KA_LAMBDA,
+    builtin_blast_hits,
+    builtin_hits_as_blast_table,
+    with_bitscore,
+)
+
+# deterministic pseudo-random ACGT with no repeated 11-mers
+_BASES = "ACGT"
+
+
+def _seq(seed: int, n: int) -> str:
+    x = seed
+    out = []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        out.append(_BASES[(x >> 33) & 3])
+    return "".join(out)
+
+
+def _frames(spark, queries, subjects):
+    q = spark.createDataFrame(queries, ["query_id", "sequence"])
+    s = spark.createDataFrame(subjects, ["subject_id", "sequence"])
+    return q, s
+
+
+def test_exact_embedded_query_found(spark):
+    """A query cut verbatim from inside a subject yields one
+    full-length exact HSP at the right coordinates."""
+    subj = _seq(1, 300)
+    query = subj[80:140]  # 60 nt
+    q, s = _frames(spark, [("q1", query)], [("s1", subj)])
+    hits = builtin_blast_hits(q, s).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert (h.q_start, h.s_start) == (1, 81)
+    assert h.align_len == 60 and h.n_matches == 60 and h.score == 60
+
+
+def test_mismatches_extended_through_and_scored(spark):
+    """Two point mutations inside the query: extension crosses them
+    (drop 2 < xdrop) and the score is exactly m - 2*(L - m)."""
+    subj = _seq(2, 300)
+    query = list(subj[100:160])  # 60 nt
+    for pos in (20, 40):
+        query[pos] = {"A": "C", "C": "G", "G": "T", "T": "A"}[query[pos]]
+    q, s = _frames(spark, [("q1", "".join(query))], [("s1", subj)])
+    hits = builtin_blast_hits(q, s).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert h.align_len == 60 and h.n_matches == 58
+    assert h.score == 58 - 2 * 2
+    assert h.s_start == 101
+
+
+def test_xdrop_terminates_at_junk_boundary(spark):
+    """Query = 40 nt of subject + 40 nt of unrelated junk: the HSP
+    stops at the homology boundary instead of dragging through the
+    junk (X-drop), so align_len stays ~40 with all matches."""
+    subj = _seq(3, 300)
+    query = subj[50:90] + _seq(99, 40)
+    q, s = _frames(spark, [("q1", query)], [("s1", subj)])
+    hits = builtin_blast_hits(q, s).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert h.q_start == 1 and h.s_start == 51
+    # the boundary may extend a few lucky chance matches past 40
+    assert 40 <= h.align_len <= 48
+    assert h.score >= 38
+
+
+def test_overrepresented_kmer_cap_blocks_polyA(spark):
+    """A poly-A query against poly-A-rich subjects: every 11-mer
+    exceeds max_kmer_df, so no seeds form (BLAST's low-complexity
+    trade) — while a unique query still hits."""
+    polyA = "A" * 200
+    uniq = _seq(4, 200)
+    q, s = _frames(
+        spark,
+        [("qA", "A" * 40), ("qU", uniq[60:120])],
+        [(f"s{i}", polyA) for i in range(3)] + [("sU", uniq)],
+    )
+    hits = builtin_blast_hits(q, s, max_kmer_df=16).collect()
+    by_q = {}
+    for h in hits:
+        by_q.setdefault(h.query_id, []).append(h)
+    assert "qA" not in by_q  # masked: 3 subjects x 190 positions >> 16
+    assert len(by_q["qU"]) == 1 and by_q["qU"][0].subject_id == "sU"
+
+
+def test_bitscore_and_enrich_adapter(spark):
+    """Karlin-Altschul columns and the blast-table adapter: bit score
+    matches the closed form, e-value = m*n*2^-bit, and the adapter
+    feeds enrich_clusters_with_blast unchanged."""
+    from pangenomesasgraphdatabases_spark.graph.enrich import (
+        enrich_clusters_with_blast,
+    )
+
+    subj = _seq(5, 300)
+    q, s = _frames(spark, [("c1", subj[10:90])], [("virus1", subj)])
+    hits = with_bitscore(builtin_blast_hits(q, s), m=80, n=300)
+    h = hits.collect()[0]
+    want_bit = (KA_LAMBDA * h.score - math.log(KA_K)) / math.log(2.0)
+    assert abs(h.bit_score - want_bit) < 1e-9
+    assert abs(h.evalue - 80 * 300 * 2.0 ** (-want_bit)) < 1e-12
+
+    table = builtin_hits_as_blast_table(hits)
+    clusters = spark.createDataFrame(
+        [("c1",), ("c2",)], ["cluster_id"]
+    )
+    out = {r.cluster_id: r for r in
+           enrich_clusters_with_blast(clusters, table).collect()}
+    assert out["c1"].hasBlastVirusHit is True
+    assert out["c1"].blastTitlesVirus == ["virus1"]
+    assert out["c2"].hasBlastVirusHit is False
+
+
+def test_registered_query_matches_local_oracle(spark):
+    """blast_builtin_exact_hits equals its own DuckDB oracle row-for-
+    row (the structural exact-substring argument)."""
+    import duckdb
+
+    from pangenomesasgraphdatabases_spark.queries.registry import all_queries
+
+    qq = all_queries()["blast_builtin_exact_hits"]
+    got = sorted(
+        tuple(r) for r in qq.fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(qq.oracle).fetchall())
+    assert got == want and len(got) == 24
