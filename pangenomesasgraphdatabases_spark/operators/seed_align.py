@@ -87,7 +87,12 @@ def builtin_blast_hits(
     """Ungapped seed-and-extend hits between ``queries`` and
     ``subjects`` (both ``(.., sequence)`` frames with ``query_id`` /
     ``subject_id``).  Returns one best HSP per (query, subject,
-    diagonal) with ``score >= min_score``:
+    diagonal) with ``score >= min_score``, anchored at the
+    diagonal's FIRST seed — a later, disjoint homology island on the
+    same diagonal (separated by a > xdrop junk gap) is not re-seeded
+    (BLAST extends every seed; one-anchor-per-diagonal is the
+    documented simplification, sufficient for the hit-detection /
+    ranking use the reference pipeline makes of blastn):
 
     ``(query_id, subject_id, q_start, s_start, align_len, n_matches,
     score)`` — 1-based starts, integer raw score under +1/-2.
