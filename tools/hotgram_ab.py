@@ -62,6 +62,13 @@ FIXTURES = {
 
 def plant() -> None:
     for name, src in FIXTURES.items():
+        if not os.path.exists(os.path.join(src, "documents.parquet")):
+            print(
+                f"skip {name}: {src} missing (run tools/gen_scale_data.py "
+                "first for the 10x/30x tiers)",
+                file=sys.stderr,
+            )
+            continue
         out = os.path.join(REPO, ".scale", name)
         os.makedirs(out, exist_ok=True)
         dst = os.path.join(out, "documents.parquet")
