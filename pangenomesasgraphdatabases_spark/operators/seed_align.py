@@ -27,9 +27,12 @@ alignment (match +1 / mismatch -2) with Karlin-Altschul statistics
 values): ``bit = (lambda*S - ln K) / ln 2``,
 ``evalue = m*n / 2^bit`` with effective lengths simplified to the
 raw pair lengths (documented simplification; the reference pipeline
-only thresholds and ranks, which this preserves).  Gapped alignment
-is out of scope — the reference's virus-screen use case is
-high-identity hit detection, where ungapped HSPs carry the signal;
+only thresholds and ranks, which this preserves).  The ungapped path
+is the default — the reference's virus-screen use case is
+high-identity hit detection, where ungapped HSPs carry the signal —
+and :func:`builtin_blast_hits_gapped` adds indel tolerance via
+banded Smith-Waterman around the best-seeded diagonal (raw-score
+ranking; published ungapped lambda/K do not apply to gapped scores).
 ``run_blastn`` remains the exact-parity path when a binary exists.
 """
 
@@ -224,3 +227,153 @@ def builtin_hits_as_blast_table(hits_with_bits: DataFrame) -> DataFrame:
         F.round("bit_score", 2).alias("score"),
         "evalue",
     )
+
+
+def _banded_sw(
+    qs: str,
+    ss: str,
+    diag: int,
+    band: int,
+    gap: int,
+) -> tuple[int, int, int, int, int, int, int] | None:
+    """Banded local alignment (Smith-Waterman, linear gap penalty)
+    restricted to diagonals ``[diag - band, diag + band]`` — O(|q| *
+    band) time and memory, the classic post-seeding refinement.
+    Returns (q_start, s_start, align_len, n_matches, score, gaps),
+    1-based starts, or None when nothing scores above 0.  Parallel DP
+    tables carry match counts, gap counts, column counts and path
+    origins so identity is exact without a traceback pass."""
+    nq, ns = len(qs), len(ss)
+    width = 2 * band + 1
+    NEG = -(10**9)
+    # per-cell: score, matches, gaps, cols, origin (qi, ji)
+    H = [NEG] * width
+    Mt = [0] * width
+    Gp = [0] * width
+    Cl = [0] * width
+    Org = [(0, 0)] * width
+    best = (0, None)  # (score, payload)
+    for i in range(nq):
+        nH = [NEG] * width
+        nM = [0] * width
+        nG = [0] * width
+        nC = [0] * width
+        nO = [(0, 0)] * width
+        base_j = i + diag - band
+        for k in range(width):
+            j = base_j + k
+            if j < 0 or j >= ns:
+                continue
+            m = MATCH if qs[i] == ss[j] else MISMATCH
+            # start a new local path here
+            sc, mt, gp, cl, org = m, int(m > 0), 0, 1, (i, j)
+            # diagonal move: H[k] is (i-1, j-1) in the previous row
+            if H[k] > NEG and H[k] + m > sc:
+                sc = H[k] + m
+                mt, gp, cl = Mt[k] + int(m > 0), Gp[k], Cl[k] + 1
+                org = Org[k]
+            # up (gap in subject): (i-1, j) = previous row, k+1
+            if k + 1 < width and H[k + 1] > NEG and H[k + 1] + gap > sc:
+                sc = H[k + 1] + gap
+                mt, gp, cl = Mt[k + 1], Gp[k + 1] + 1, Cl[k + 1] + 1
+                org = Org[k + 1]
+            # left (gap in query): (i, j-1) = current row, k-1
+            if k - 1 >= 0 and nH[k - 1] > NEG and nH[k - 1] + gap > sc:
+                sc = nH[k - 1] + gap
+                mt, gp, cl = nM[k - 1], nG[k - 1] + 1, nC[k - 1] + 1
+                org = nO[k - 1]
+            if sc < 0:
+                continue
+            nH[k], nM[k], nG[k], nC[k], nO[k] = sc, mt, gp, cl, org
+            if sc > best[0]:
+                best = (sc, (org[0] + 1, org[1] + 1, cl, mt, sc, gp))
+        H, Mt, Gp, Cl, Org = nH, nM, nG, nC, nO
+    return best[1]
+
+
+def builtin_blast_hits_gapped(
+    queries: DataFrame,
+    subjects: DataFrame,
+    word_size: int = 11,
+    band: int = 8,
+    gap: int = -3,
+    min_score: int = 28,
+    max_kmer_df: int = 64,
+) -> DataFrame:
+    """Gapped variant of :func:`builtin_blast_hits`: the same
+    inverted-index seeding and overrepresented-word cap, but
+    candidates collapse to ONE best-seeded diagonal per (query,
+    subject) and refine with banded Smith-Waterman (± ``band``
+    diagonals, linear ``gap`` penalty) — indel-tolerant HSPs the
+    ungapped X-drop cannot produce.  Output adds a ``gaps`` column;
+    scores are raw +1/-2/gap (the published Karlin-Altschul ungapped
+    lambda/K do not apply to gapped scores, so rank/threshold on the
+    raw score — exactly how the reference pipeline consumes hits).
+
+    Scale shape: identical to the ungapped path until extension (the
+    join IS the work); the banded DP is O(|q| * band) per candidate
+    pair inside the same Arrow-batched ``mapInPandas``."""
+    qk = _kmers(queries, "query_id", word_size, "q_pos")
+    sk = _kmers(subjects, "subject_id", word_size, "s_pos")
+    sk = sk.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("kmer"))
+    ).filter(F.col("_df") <= max_kmer_df)
+    seeds = qk.join(sk, "kmer").select(
+        "query_id",
+        "subject_id",
+        (F.col("s_pos") - F.col("q_pos")).alias("diag"),
+    )
+    diag_counts = seeds.groupBy("query_id", "subject_id", "diag").agg(
+        F.count(F.lit(1)).alias("n_seeds")
+    )
+    # best-seeded diagonal per pair (ties: lowest diagonal)
+    cand = (
+        diag_counts.groupBy("query_id", "subject_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_seeds"), (-F.col("diag")).alias("nd"))
+            ).alias("m")
+        )
+        .select("query_id", "subject_id", (-F.col("m.nd")).alias("diag"))
+    )
+    with_seqs = cand.join(
+        queries.select("query_id", F.col("sequence").alias("_qs")),
+        "query_id",
+    ).join(
+        subjects.select("subject_id", F.col("sequence").alias("_ss")),
+        "subject_id",
+    )
+
+    def extend(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for qid, sid, diag, qs, ss in zip(
+                pdf["query_id"],
+                pdf["subject_id"],
+                pdf["diag"],
+                pdf["_qs"],
+                pdf["_ss"],
+            ):
+                r = _banded_sw(qs, ss, int(diag), band, gap)
+                if r is None:
+                    continue
+                q_start, s_start, cl, mt, sc, gp = r
+                rows.append((qid, sid, q_start, s_start, cl, mt, sc, gp))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "query_id",
+                    "subject_id",
+                    "q_start",
+                    "s_start",
+                    "align_len",
+                    "n_matches",
+                    "score",
+                    "gaps",
+                ],
+            )
+
+    hits = with_seqs.mapInPandas(extend, _HIT_SCHEMA + ", gaps int")
+    return hits.filter(F.col("score") >= F.lit(min_score))

@@ -139,3 +139,63 @@ def test_registered_query_matches_local_oracle(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(qq.oracle).fetchall())
     assert got == want and len(got) == 24
+
+
+def test_gapped_alignment_crosses_indel(spark):
+    """A single-nt deletion in the query: the ungapped path can only
+    report one side of the break, the banded gapped path aligns
+    through it — 59 matches, 1 gap, score 59 - 3."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits_gapped,
+    )
+
+    subj = _seq(7, 300)
+    cut = subj[100:160]  # 60 nt
+    query = cut[:30] + cut[31:]  # delete position 30 -> 59 nt
+    q, s = _frames(spark, [("q1", query)], [("s1", subj)])
+
+    ungapped = builtin_blast_hits(q, s).collect()
+    assert all(h.align_len <= 35 for h in ungapped)  # one side only
+
+    gapped = builtin_blast_hits_gapped(q, s).collect()
+    assert len(gapped) == 1
+    h = gapped[0]
+    assert h.gaps == 1 and h.n_matches == 59
+    assert h.score == 59 - 3
+    assert h.align_len == 60  # 59 matches + 1 gap column
+    assert (h.q_start, h.s_start) == (1, 101)
+
+
+def test_gapped_matches_ungapped_on_clean_hit(spark):
+    """No indels: the gapped path reproduces the ungapped full-length
+    exact hit with zero gaps (the band never pays when unused)."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits_gapped,
+    )
+
+    subj = _seq(8, 300)
+    query = subj[40:100]
+    q, s = _frames(spark, [("q1", query)], [("s1", subj)])
+    hits = builtin_blast_hits_gapped(q, s).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert (h.align_len, h.n_matches, h.score, h.gaps) == (60, 60, 60, 0)
+    assert (h.q_start, h.s_start) == (1, 41)
+
+
+def test_gapped_insertion_in_query(spark):
+    """A single-nt insertion in the query (gap in the SUBJECT row):
+    aligned through with one gap column."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits_gapped,
+    )
+
+    subj = _seq(9, 300)
+    cut = subj[50:110]  # 60 nt
+    query = cut[:25] + "A" + cut[25:]  # 61 nt (insertion may match by luck)
+    q, s = _frames(spark, [("q1", query)], [("s1", subj)])
+    hits = builtin_blast_hits_gapped(q, s).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert h.gaps == 1 and h.n_matches >= 60
+    assert h.score >= 60 - 3
