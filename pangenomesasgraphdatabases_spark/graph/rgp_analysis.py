@@ -341,6 +341,13 @@ def _parallel_rnn_cut(
     members = big_members.select(
         "component", "item", F.col("item").alias("cl")
     ).localCheckpoint(eager=True)
+    # Defensive: the mergeability invariant (n_cross == size_a*size_b
+    # means every cross distance <= threshold) only holds when the
+    # input pair graph is pre-cut at the threshold.  The caller
+    # (linkage_clusters_scalable) already filters; enforcing it here
+    # keeps a future caller from feeding an unfiltered pair frame and
+    # silently over-merging (ADVICE r12).
+    big_cpairs = big_cpairs.filter(F.col("dist") <= F.lit(threshold))
     cedges = (
         big_cpairs.select(
             "component",

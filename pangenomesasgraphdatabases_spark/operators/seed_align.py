@@ -15,11 +15,24 @@ The BLAST algorithm itself is public and maps naturally onto Spark:
    via one window over the k-mer key — a poly-A run cannot become a
    quadratic join key.  Dropped-seed recall loss is the documented
    BLAST trade, not a silent failure: the cap is a parameter.
-3. **Diagonal grouping**: seed hits collapse per
-   (query, subject, s_pos - q_pos); one candidate row per diagonal.
-4. **Extension** is embarrassingly parallel: each candidate row
-   carries its two sequences into an Arrow-batched ``mapInPandas``
-   and runs classic ungapped X-drop extension from the seed.
+3. **Candidate collapse**: seed hits group per (query, subject,
+   diagonal = s_pos - q_pos) carrying the sorted seed-position list,
+   then collapse to ONE ROW PER (query, subject) PAIR holding the
+   diagonal list — so each pair's two sequences enter the shuffle and
+   the Arrow batch exactly once, however many diagonals it seeds
+   (the repo's payloads-shuffle-once discipline; a hot megabase
+   subject on 50 diagonals carries 1 sequence copy, not 50).
+4. **Extension** is embarrassingly parallel: each pair row runs in an
+   Arrow-batched ``mapInPandas``; per diagonal the seed positions are
+   clustered into islands (consecutive seeds <= ``word_size +
+   xdrop // 2`` apart merge — a junk gap extension can cross anyway;
+   wider gaps X-drop would not cross split) and classic ungapped
+   X-drop extension runs from EVERY island, so (a) a second disjoint
+   homology island on the same diagonal past an X-drop junk gap gets
+   its own HSP (multi-HSP, as blastn's per-seed extension produces),
+   and (b) a spurious early seed on the diagonal cannot mask a
+   genuine later island — each extends independently and identical
+   outcomes dedup.
 
 Scoring is the public blastn default for ungapped nucleotide
 alignment (match +1 / mismatch -2) with Karlin-Altschul statistics
@@ -31,9 +44,12 @@ only thresholds and ranks, which this preserves).  The ungapped path
 is the default — the reference's virus-screen use case is
 high-identity hit detection, where ungapped HSPs carry the signal —
 and :func:`builtin_blast_hits_gapped` adds indel tolerance via
-banded Smith-Waterman around the best-seeded diagonal (raw-score
-ranking; published ungapped lambda/K do not apply to gapped scores).
-``run_blastn`` remains the exact-parity path when a binary exists.
+banded Smith-Waterman around the top ``max_diags`` seeded diagonals
+per pair (raw-score ranking; published ungapped lambda/K do not
+apply to gapped scores), so a two-locus homology on far-apart
+diagonals yields two hits, as ``hit.alignments`` iteration at
+extendingDB_performingBlast.py:95-105 consumes.  ``run_blastn``
+remains the exact-parity path when a binary exists.
 """
 
 from __future__ import annotations
@@ -79,29 +95,21 @@ def _kmers(seqs: DataFrame, id_col: str, word_size: int, pos_col: str) -> DataFr
     )
 
 
-def builtin_blast_hits(
+def _pair_candidates(
     queries: DataFrame,
     subjects: DataFrame,
-    word_size: int = 11,
-    xdrop: int = 20,
-    min_score: int = 28,
-    max_kmer_df: int = 64,
+    word_size: int,
+    max_kmer_df: int,
+    keep_positions: bool,
+    max_diags: int | None = None,
 ) -> DataFrame:
-    """Ungapped seed-and-extend hits between ``queries`` and
-    ``subjects`` (both ``(.., sequence)`` frames with ``query_id`` /
-    ``subject_id``).  Returns one best HSP per (query, subject,
-    diagonal) with ``score >= min_score``, anchored at the
-    diagonal's FIRST seed — a later, disjoint homology island on the
-    same diagonal (separated by a > xdrop junk gap) is not re-seeded
-    (BLAST extends every seed; one-anchor-per-diagonal is the
-    documented simplification, sufficient for the hit-detection /
-    ranking use the reference pipeline makes of blastn):
-
-    ``(query_id, subject_id, q_start, s_start, align_len, n_matches,
-    score)`` — 1-based starts, integer raw score under +1/-2.
-
-    Use :func:`with_bitscore` to attach bit score / e-value columns
-    for the ``enrich_clusters_with_blast`` surface."""
+    """Shared seeding front half: k-mer inverted-index join with the
+    overrepresented-word cap, collapsed to ONE row per (query,
+    subject) pair carrying the diagonal list (and per-diagonal seed
+    positions when ``keep_positions``), with both sequences attached
+    exactly once per pair.  ``max_diags`` keeps only the top-N
+    diagonals per pair by seed count (ties: lowest diagonal) — the
+    gapped path's banded-DP budget."""
     qk = _kmers(queries, "query_id", word_size, "q_pos")
     sk = _kmers(subjects, "subject_id", word_size, "s_pos")
     # BLAST-style overrepresented-word mask: one window over the
@@ -116,10 +124,24 @@ def builtin_blast_hits(
         (F.col("s_pos") - F.col("q_pos")).alias("diag"),
         "q_pos",
     )
-    cand = seeds.groupBy("query_id", "subject_id", "diag").agg(
-        F.min("q_pos").alias("seed_qpos")
+    per_diag = seeds.groupBy("query_id", "subject_id", "diag").agg(
+        F.sort_array(F.collect_set("q_pos")).alias("qpos"),
+        F.count(F.lit(1)).alias("n_seeds"),
     )
-    with_seqs = cand.join(
+    if max_diags is not None:
+        rk = Window.partitionBy("query_id", "subject_id").orderBy(
+            F.col("n_seeds").desc(), F.col("diag").asc()
+        )
+        per_diag = per_diag.withColumn(
+            "_rk", F.row_number().over(rk)
+        ).filter(F.col("_rk") <= max_diags)
+    diag_struct = (
+        F.struct("diag", "qpos") if keep_positions else F.struct("diag")
+    )
+    cand = per_diag.groupBy("query_id", "subject_id").agg(
+        F.sort_array(F.collect_list(diag_struct)).alias("diags")
+    )
+    return cand.join(
         queries.select("query_id", F.col("sequence").alias("_qs")),
         "query_id",
     ).join(
@@ -127,68 +149,117 @@ def builtin_blast_hits(
         "subject_id",
     )
 
+
+def _xdrop_extend(
+    qs: str, ss: str, diag: int, i0: int, xdrop: int
+) -> tuple[int, int, int, int, int] | None:
+    """Classic ungapped X-drop extension from 0-based query anchor
+    ``i0`` on ``diag``: (q_start, s_start, align_len, n_matches,
+    score), 1-based starts, or None when nothing scores >= 1."""
+    nq, ns = len(qs), len(ss)
+
+    def step(i: int) -> int:
+        return MATCH if qs[i] == ss[i + diag] else MISMATCH
+
+    # right extension from the anchor (the seed is all-match by
+    # construction, re-scored as part of the sweep)
+    best = score = 0
+    best_r = i0 - 1
+    i = i0
+    while i < nq and i + diag < ns:
+        score += step(i)
+        if score > best:
+            best, best_r = score, i
+        if best - score > xdrop:
+            break
+        i += 1
+    right = best
+    # left extension
+    best = score = 0
+    best_l = i0
+    i = i0 - 1
+    while i >= 0 and i + diag >= 0:
+        score += step(i)
+        if score > best:
+            best, best_l = score, i
+        if best - score > xdrop:
+            break
+        i -= 1
+    total = right + best
+    if total < 1 or best_r < best_l:
+        return None
+    length = best_r - best_l + 1
+    n_matches = (total + 2 * length) // 3  # s = m - 2(L-m)
+    return (best_l + 1, best_l + diag + 1, length, n_matches, total)
+
+
+def _seed_islands(qpos: list[int], merge_gap: int) -> list[int]:
+    """Anchor positions (0-based) — one per island of seed starts,
+    where consecutive sorted seed positions <= ``merge_gap`` apart
+    belong to the same island.  Extension runs once per island."""
+    anchors = [qpos[0] - 1]
+    prev = qpos[0]
+    for p in qpos[1:]:
+        if p - prev > merge_gap:
+            anchors.append(p - 1)
+        prev = p
+    return anchors
+
+
+def builtin_blast_hits(
+    queries: DataFrame,
+    subjects: DataFrame,
+    word_size: int = 11,
+    xdrop: int = 20,
+    min_score: int = 28,
+    max_kmer_df: int = 64,
+) -> DataFrame:
+    """Ungapped seed-and-extend hits between ``queries`` and
+    ``subjects`` (both ``(.., sequence)`` frames with ``query_id`` /
+    ``subject_id``).  Returns every distinct HSP with ``score >=
+    min_score``: per (query, subject, diagonal) the seed positions
+    cluster into islands (gap > ``word_size + xdrop // 2`` splits —
+    a junk gap narrow enough for X-drop to cross merges, anything
+    wider extends separately), X-drop extension runs from each
+    island's first seed, and identical outcomes dedup — so disjoint
+    homology islands on one diagonal yield one HSP EACH (multi-HSP,
+    matching blastn's extend-every-seed behavior the reference
+    consumes via ``hit.alignments``,
+    extendingDB_performingBlast.py:95-105), and a spurious early
+    seed cannot mask a genuine later island:
+
+    ``(query_id, subject_id, q_start, s_start, align_len, n_matches,
+    score)`` — 1-based starts, integer raw score under +1/-2.
+
+    Use :func:`with_bitscore` to attach bit score / e-value columns
+    for the ``enrich_clusters_with_blast`` surface."""
+    with_seqs = _pair_candidates(
+        queries, subjects, word_size, max_kmer_df, keep_positions=True
+    )
+    merge_gap = word_size + xdrop // 2
+
     def extend(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for qid, sid, diag, seed_qpos, qs, ss in zip(
+            for qid, sid, diags, qs, ss in zip(
                 pdf["query_id"],
                 pdf["subject_id"],
-                pdf["diag"],
-                pdf["seed_qpos"],
+                pdf["diags"],
                 pdf["_qs"],
                 pdf["_ss"],
             ):
-                diag = int(diag)
-                i0 = int(seed_qpos) - 1  # 0-based query index
-                j0 = i0 + diag  # 0-based subject index
-                nq, ns = len(qs), len(ss)
-
-                def step(i: int) -> int:
-                    return MATCH if qs[i] == ss[i + diag] else MISMATCH
-
-                # right extension from the seed start (the seed is
-                # all-match by construction, re-scored as part of the
-                # sweep)
-                best = score = 0
-                best_r = i0 - 1
-                i = i0
-                while i < nq and i + diag < ns:
-                    score += step(i)
-                    if score > best:
-                        best, best_r = score, i
-                    if best - score > xdrop:
-                        break
-                    i += 1
-                right = best
-                # left extension
-                best = score = 0
-                best_l = i0
-                i = i0 - 1
-                while i >= 0 and i + diag >= 0:
-                    score += step(i)
-                    if score > best:
-                        best, best_l = score, i
-                    if best - score > xdrop:
-                        break
-                    i -= 1
-                total = right + best
-                if total < 1 or best_r < best_l:
-                    continue
-                length = best_r - best_l + 1
-                n_matches = (total + 2 * length) // 3  # s = m - 2(L-m)
-                rows.append(
-                    (
-                        qid,
-                        sid,
-                        best_l + 1,
-                        best_l + diag + 1,
-                        length,
-                        n_matches,
-                        total,
-                    )
-                )
+                seen: set[tuple[int, int, int, int, int]] = set()
+                for d in diags:
+                    diag = int(d["diag"])
+                    for i0 in _seed_islands(
+                        [int(p) for p in d["qpos"]], merge_gap
+                    ):
+                        hsp = _xdrop_extend(qs, ss, diag, i0, xdrop)
+                        if hsp is not None and hsp not in seen:
+                            seen.add(hsp)
+                            rows.append((qid, sid) + hsp)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -299,49 +370,36 @@ def builtin_blast_hits_gapped(
     gap: int = -3,
     min_score: int = 28,
     max_kmer_df: int = 64,
+    max_diags: int = 4,
 ) -> DataFrame:
     """Gapped variant of :func:`builtin_blast_hits`: the same
-    inverted-index seeding and overrepresented-word cap, but
-    candidates collapse to ONE best-seeded diagonal per (query,
-    subject) and refine with banded Smith-Waterman (± ``band``
-    diagonals, linear ``gap`` penalty) — indel-tolerant HSPs the
-    ungapped X-drop cannot produce.  Output adds a ``gaps`` column;
-    scores are raw +1/-2/gap (the published Karlin-Altschul ungapped
-    lambda/K do not apply to gapped scores, so rank/threshold on the
-    raw score — exactly how the reference pipeline consumes hits).
+    inverted-index seeding, overrepresented-word cap, and
+    one-row-per-pair candidate collapse, but candidates keep the TOP
+    ``max_diags`` seeded diagonals per (query, subject) (by seed
+    count, ties to the lowest diagonal) and refine each with banded
+    Smith-Waterman (± ``band`` diagonals, linear ``gap`` penalty) —
+    indel-tolerant HSPs the ungapped X-drop cannot produce, with
+    identical outcomes deduped, so a two-locus homology on diagonals
+    further than ``band`` apart yields two hits (a locus beyond the
+    ``max_diags`` seed-count cut is the documented recall limit on
+    many-locus subjects — raise ``max_diags`` for repeat-rich
+    corpora).  Output adds a ``gaps`` column; scores are raw
+    +1/-2/gap (the published Karlin-Altschul ungapped lambda/K do
+    not apply to gapped scores, so rank/threshold on the raw score —
+    exactly how the reference pipeline consumes hits).
 
     Scale shape: identical to the ungapped path until extension (the
-    join IS the work); the banded DP is O(|q| * band) per candidate
-    pair inside the same Arrow-batched ``mapInPandas``."""
-    qk = _kmers(queries, "query_id", word_size, "q_pos")
-    sk = _kmers(subjects, "subject_id", word_size, "s_pos")
-    sk = sk.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("kmer"))
-    ).filter(F.col("_df") <= max_kmer_df)
-    seeds = qk.join(sk, "kmer").select(
-        "query_id",
-        "subject_id",
-        (F.col("s_pos") - F.col("q_pos")).alias("diag"),
-    )
-    diag_counts = seeds.groupBy("query_id", "subject_id", "diag").agg(
-        F.count(F.lit(1)).alias("n_seeds")
-    )
-    # best-seeded diagonal per pair (ties: lowest diagonal)
-    cand = (
-        diag_counts.groupBy("query_id", "subject_id")
-        .agg(
-            F.max(
-                F.struct(F.col("n_seeds"), (-F.col("diag")).alias("nd"))
-            ).alias("m")
-        )
-        .select("query_id", "subject_id", (-F.col("m.nd")).alias("diag"))
-    )
-    with_seqs = cand.join(
-        queries.select("query_id", F.col("sequence").alias("_qs")),
-        "query_id",
-    ).join(
-        subjects.select("subject_id", F.col("sequence").alias("_ss")),
-        "subject_id",
+    join IS the work); the banded DP is O(|q| * band) per kept
+    diagonal inside the same Arrow-batched ``mapInPandas``, and each
+    pair's sequences cross the shuffle once regardless of
+    ``max_diags``."""
+    with_seqs = _pair_candidates(
+        queries,
+        subjects,
+        word_size,
+        max_kmer_df,
+        keep_positions=False,
+        max_diags=max_diags,
     )
 
     def extend(batches: Iterable) -> Iterator:
@@ -349,18 +407,19 @@ def builtin_blast_hits_gapped(
 
         for pdf in batches:
             rows = []
-            for qid, sid, diag, qs, ss in zip(
+            for qid, sid, diags, qs, ss in zip(
                 pdf["query_id"],
                 pdf["subject_id"],
-                pdf["diag"],
+                pdf["diags"],
                 pdf["_qs"],
                 pdf["_ss"],
             ):
-                r = _banded_sw(qs, ss, int(diag), band, gap)
-                if r is None:
-                    continue
-                q_start, s_start, cl, mt, sc, gp = r
-                rows.append((qid, sid, q_start, s_start, cl, mt, sc, gp))
+                seen: set[tuple[int, int, int, int, int, int]] = set()
+                for d in diags:
+                    r = _banded_sw(qs, ss, int(d["diag"]), band, gap)
+                    if r is not None and r not in seen:
+                        seen.add(r)
+                        rows.append((qid, sid) + r)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -788,7 +788,7 @@ def _blast_corpus(spark: SparkSession):
     return q, subjects
 
 
-_BLAST_SUBJ_SQL = f"""
+_BLAST_SUBJ_ONLY_SQL = f"""
     subjects AS (
         SELECT 's' || CAST(i AS VARCHAR) AS subject_id,
                translate({" || ".join(
@@ -797,7 +797,11 @@ _BLAST_SUBJ_SQL = f"""
                )},
                          '0123456789abcdef', '{_BLAST_HEX2NT}') AS sequence
         FROM generate_series(0, 7) t(i)
-    ),
+    )
+"""
+
+_BLAST_SUBJ_SQL = f"""
+    {_BLAST_SUBJ_ONLY_SQL.strip()},
     qs AS (
         SELECT 'q_' || subject_id || '_' || CAST(off AS VARCHAR) AS query_id,
                substr(sequence, off, {_BLAST_QLEN}) AS qseq
@@ -855,4 +859,208 @@ def blast_builtin_exact_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "align_len",
         "n_matches",
         "score",
+    )
+
+
+# --- S11 builtin aligner: partial-identity scoring under the hash ----------
+# VERDICT r12 #2: the exact-hit projection above never exercises the
+# X-drop scoring/n_matches/trim arithmetic — a scoring bug would pass
+# the driver.  These two queries plant analytically-solvable variants
+# over the SAME md5 corpus: a single point mutation (ungapped path)
+# and a single deletion (gapped banded-SW path).
+#
+# Ungapped closed form (+1/-2, xdrop=20): a 24-nt query with ONE
+# interior mutation at 1-based position mp in [4, 21] aligns
+# full-length — the X-drop sweep from the diagonal's first seed keeps
+# both flanks because each flank past the mismatch regains more than
+# the -2 it costs (prefix/suffix of >= 3 matches), and trimming the
+# mismatch would lose the longer flank; so q_start=1, align_len=24,
+# n_matches=23, score=21.  Outside [4, 21] the optimum TRIMS the
+# mismatch (align_len < 24) and the row drops out of the projection
+# on BOTH sides.  The oracle does not trust the construction: it
+# SCANS every (query, subject, s_start) window and keeps Hamming<=1
+# windows with the mismatch (if any) interior — structural equality
+# with the Spark side's full-length projection, because a full-length
+# HSP with score >= 20 exists iff such a window does (score 24-3*ham
+# needs ham <= 1; 11-mer seeding is guaranteed: a Hamming<=1 window
+# of 24 has an exact run >= 12).
+_BLAST_MUT = ((17, 4), (101, 12), (186, 21))  # (offset, mutated pos)
+_BLAST_NWIN = 256 - _BLAST_QLEN + 1
+
+
+def _blast_mut_corpus(spark: SparkSession):
+    _, subjects = _blast_corpus(spark)
+    q = None
+    for off, mp in _BLAST_MUT:
+        base = F.substring("sequence", off, _BLAST_QLEN)
+        mut = F.concat(
+            F.substring(base, 1, mp - 1),
+            F.translate(F.substring(base, mp, 1), "ACGT", "CGTA"),
+            F.substring(base, mp + 1, _BLAST_QLEN - mp),
+        )
+        part = subjects.select(
+            F.format_string(
+                "qm_%s_%d", F.col("subject_id"), F.lit(off)
+            ).alias("query_id"),
+            mut.alias("sequence"),
+        )
+        q = part if q is None else q.unionByName(part)
+    return q, subjects
+
+
+_BLAST_MUT_SQL = f"""
+    {_BLAST_SUBJ_ONLY_SQL.strip()},
+    qmut AS (
+        SELECT 'qm_' || subject_id || '_' || CAST(off AS VARCHAR) AS query_id,
+               substr(sequence, off, mp - 1)
+               || translate(substr(sequence, off + mp - 1, 1),
+                            'ACGT', 'CGTA')
+               || substr(sequence, off + mp, {_BLAST_QLEN} - mp) AS qseq
+        FROM subjects,
+             (VALUES {", ".join(f"({o}, {p})" for o, p in _BLAST_MUT)})
+             o(off, mp)
+    ),
+    wins AS (
+        SELECT q.query_id, s.subject_id, p AS s_start,
+               count(*) FILTER (
+                   WHERE substr(s.sequence, p + i - 1, 1)
+                         <> substr(q.qseq, i, 1)) AS ham,
+               coalesce(min(i) FILTER (
+                   WHERE substr(s.sequence, p + i - 1, 1)
+                         <> substr(q.qseq, i, 1)), 0) AS mp
+        FROM qmut q, subjects s,
+             generate_series(1, {_BLAST_NWIN}) t(p),
+             generate_series(1, {_BLAST_QLEN}) g(i)
+        GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "blast_builtin_scored_hits",
+    oracle=f"""
+    WITH {_BLAST_MUT_SQL.strip()}
+    SELECT query_id, subject_id,
+           CAST(1 AS INT) AS q_start,
+           CAST(s_start AS INT) AS s_start,
+           CAST({_BLAST_QLEN} AS INT) AS align_len,
+           CAST({_BLAST_QLEN} - ham AS INT) AS n_matches,
+           CAST({_BLAST_QLEN} - 3 * ham AS INT) AS score
+    FROM wins
+    WHERE ham = 0 OR (ham = 1 AND mp BETWEEN 4 AND {_BLAST_QLEN - 3})
+    """,
+    tags=("S11", "aligner", "xdrop-scoring"),
+)
+def blast_builtin_scored_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 partial-identity scoring under the driver hash (VERDICT
+    r12 #2 — the reference consumes SCORED partial hits,
+    extendingDB_performingBlast.py:95-105): every query carries one
+    planted interior point mutation (positions 4 / 12 / 21 — both
+    edges of the analytic-validity interval and the middle), so the
+    full-length HSPs the projection keeps have n_matches=23 and
+    score=21 ONLY if the X-drop sweep, trim arithmetic and the
+    n_matches derivation (score = m - 2(L-m)) are all exact.  The
+    oracle is a structural Hamming scan of every alignment window —
+    construction-independent."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits,
+    )
+
+    q, s = _blast_mut_corpus(spark)
+    hits = builtin_blast_hits(q, s, min_score=20)
+    return hits.filter(
+        (F.col("q_start") == 1) & (F.col("align_len") == _BLAST_QLEN)
+    ).select(
+        "query_id",
+        "subject_id",
+        "q_start",
+        "s_start",
+        "align_len",
+        "n_matches",
+        "score",
+    )
+
+
+# Gapped closed form (+1/-2, gap=-3, band=8): a 23-nt query built by
+# deleting ONE interior base (1-based dp) from a 24-nt subject window
+# aligns with exactly one gap column: 23 matches, 1 gap, score 20,
+# align_len 24 (23 match columns + 1 gap column), q_start=1,
+# s_start=off.  dp must sit DEEP interior: an ungapped flank of F
+# matches can extend past the deletion point by the homopolymer run
+# there (each neighbor-equal base is a free match), and at F + luck
+# >= 20 it TIES the gapped optimum — the DP keeps the first tie, not
+# the gapped one (observed at dp=5: flank 19 + 1 lucky neighbor).
+# At dp in [10, 14] the max flank is 14, so a tie needs a 6-long
+# homopolymer run at the cut — absent from this fixed md5 corpus
+# (verified; the corpus is SF-invariant, so the check is permanent).
+# At least one flank diagonal seeds (the longer flank is >= 13 >= 11
+# at every dp here), and the two flank diagonals sit 1 apart —
+# inside the band, so every kept diagonal's banded DP finds the SAME
+# optimum and dedups to one row.  A gapped-DP
+# oracle is not SQL-expressible; the oracle emits the closed-form
+# rows from the same corpus constants (the value hash still pins
+# Spark's DP arithmetic to them exactly).
+_BLAST_DEL = ((17, 10), (101, 12), (186, 14))  # (offset, deleted pos)
+
+
+def _blast_del_corpus(spark: SparkSession):
+    _, subjects = _blast_corpus(spark)
+    q = None
+    for off, dp in _BLAST_DEL:
+        base = F.substring("sequence", off, _BLAST_QLEN)
+        dele = F.concat(
+            F.substring(base, 1, dp - 1),
+            F.substring(base, dp + 1, _BLAST_QLEN - dp),
+        )
+        part = subjects.select(
+            F.format_string(
+                "qg_%s_%d", F.col("subject_id"), F.lit(off)
+            ).alias("query_id"),
+            dele.alias("sequence"),
+        )
+        q = part if q is None else q.unionByName(part)
+    return q, subjects
+
+
+@register(
+    "blast_builtin_gapped_hits",
+    oracle=f"""
+    WITH {_BLAST_SUBJ_ONLY_SQL.strip()}
+    SELECT 'qg_' || subject_id || '_' || CAST(off AS VARCHAR) AS query_id,
+           subject_id,
+           CAST(1 AS INT) AS q_start,
+           CAST(off AS INT) AS s_start,
+           CAST({_BLAST_QLEN} AS INT) AS align_len,
+           CAST({_BLAST_QLEN} - 1 AS INT) AS n_matches,
+           CAST({_BLAST_QLEN} - 4 AS INT) AS score,
+           CAST(1 AS INT) AS gaps
+    FROM subjects,
+         (VALUES {", ".join(f"({o})" for o, _ in _BLAST_DEL)}) o(off)
+    """,
+    tags=("S11", "aligner", "banded-sw"),
+)
+def blast_builtin_gapped_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 gapped banded-Smith-Waterman path under the driver hash
+    (VERDICT r12 #2): every query carries one planted deep-interior
+    deletion (positions 10 / 12 / 14 — deep enough that no ungapped
+    flank can tie the gapped optimum, see the tie analysis above;
+    dp=12 leaves the left flank EXACTLY one seed wide), so the
+    emitted hits pin the banded DP's score/match/gap/
+    column bookkeeping and the origin tracking (q_start/s_start
+    without a traceback pass) to the closed form: 23 matches + 1 gap
+    = score 20 across 24 columns at the planted coordinates."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits_gapped,
+    )
+
+    q, s = _blast_del_corpus(spark)
+    return builtin_blast_hits_gapped(q, s, min_score=19).select(
+        "query_id",
+        "subject_id",
+        "q_start",
+        "s_start",
+        "align_len",
+        "n_matches",
+        "score",
+        "gaps",
     )

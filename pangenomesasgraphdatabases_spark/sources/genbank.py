@@ -520,8 +520,13 @@ def with_so_type(
         for k, v in sorted(literal.items()):
             expr = F.when(F.col(src_col) == k, F.lit(v)).otherwise(expr)
         return df.withColumn("so_type", expr)
-    m = type_map.select(
-        F.col("ft_key").alias("__ft_key"), F.col("so_type").alias("__so")
+    # A duplicate ft_key row in a user-supplied map table would
+    # silently FAN OUT feature rows through the join — impossible in
+    # the dict path, so the table path must dedup (ADVICE r12).
+    # max() keeps the reduction deterministic (dropDuplicates picks
+    # an arbitrary survivor, which would float the driver hash).
+    m = type_map.groupBy(F.col("ft_key").alias("__ft_key")).agg(
+        F.max("so_type").alias("__so")
     )
     return (
         df.join(F.broadcast(m), F.col(src_col) == F.col("__ft_key"), "left")

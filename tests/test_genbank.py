@@ -771,3 +771,25 @@ def test_so_type_mapping_table_driven(spark):
         for r in with_so_type(feats, type_map=dict(as_dict)).collect()
     }
     assert dict_out == got
+
+
+def test_so_type_map_duplicate_key_does_not_fan_out(spark):
+    """ADVICE r12: a duplicate ft_key row in a user-supplied map
+    table must not duplicate feature rows through the broadcast join
+    — the table path dedups deterministically (max so_type), so row
+    count is preserved and the survivor is stable."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import with_so_type
+
+    feats = spark.createDataFrame(
+        [("f1", "CDS"), ("f2", "tRNA"), ("f3", "CDS")],
+        ["feature_id", "feature_type"],
+    )
+    dup_map = spark.createDataFrame(
+        [("CDS", "CDS"), ("CDS", "zzz_conflicting"), ("tRNA", "tRNA")],
+        ["ft_key", "so_type"],
+    )
+    out = with_so_type(feats, type_map=dup_map).collect()
+    assert len(out) == 3  # no fan-out
+    got = {r.feature_id: r.so_type for r in out}
+    assert got == {"f1": "zzz_conflicting", "f2": "tRNA",
+                   "f3": "zzz_conflicting"}

@@ -583,3 +583,27 @@ def test_rnn_path_tolerates_duplicate_pair_rows(spark):
     # a-b merges at max(0.1, 0.12) <= t; c stays out (0.5 > t)
     assert out["a"] == ("a", False) and out["b"] == ("a", False)
     assert out["c"] == ("c", False)
+
+
+def test_parallel_rnn_cut_filters_unfiltered_pairs(spark):
+    """ADVICE r12: _parallel_rnn_cut must enforce its own threshold
+    precondition — fed an UNFILTERED pair frame (distances above the
+    cut included), it must produce the same clusters as the
+    pre-filtered call, not over-merge."""
+    from pangenomesasgraphdatabases_spark.graph.rgp_analysis import (
+        _parallel_rnn_cut,
+    )
+
+    # two tight pairs bridged by an over-threshold edge
+    pairs = spark.createDataFrame(
+        [("c0", "a", "b", 1.0), ("c0", "c", "d", 1.0),
+         ("c0", "b", "c", 9.0)],
+        ["component", "item1", "item2", "dist"],
+    )
+    members = spark.createDataFrame(
+        [("c0", x) for x in "abcd"], ["component", "item"]
+    )
+    labels, unfinished = _parallel_rnn_cut(pairs, members, threshold=2.0)
+    got = {r.item: r.cl for r in labels.collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+    assert unfinished is None
