@@ -94,6 +94,14 @@ HEADLINE = [
     # (2.4 s at sf0.1, 5.1x at 10x) — the real-decode + block-Hamming
     # path gets round-over-round tracking.
     "media_phash_pairs",
+    # r13 (VERDICT r12 #8): the builtin aligner family, tracked from
+    # birth — the exact-hit pipeline (seeding join + X-drop) and the
+    # scored partial-identity variant that pins the extension
+    # arithmetic.  bench_reconcile anchors from SCALE.md r12's 5.66 s
+    # base point (dedicated corpus; these md5-corpus queries are the
+    # driver-shape proxies).
+    "blast_builtin_exact_hits",
+    "blast_builtin_scored_hits",
 ]
 
 # Bench hygiene (VERDICT r9 #8): HEADLINE grows as heavy queries are

@@ -4,7 +4,9 @@ Real decoders for the formats that need no external media library:
 uncompressed 24-bit BMP, binary PPM (P6), PCM WAV, and (since r7)
 8-bit PNG — PNG's DEFLATE layer is stdlib ``zlib``, so a full,
 spec-correct decoder (all five row filters, gray/RGB/RGBA color
-types, CRC-checked chunks) needs no external library at all — plus
+types, CRC-checked chunks; since r13 also palette color at bit
+depths 1/2/4/8 and Adam7 interlace with per-pass filtering) needs no
+external library at all — plus
 huffman-DCT JFIF JPEG (operators/jpeg_codec: Annex K tables,
 canonical Huffman, orthonormal DCT, 4:4:4/4:2:0, restart markers,
 baseline interleaved + non-interleaved multi-scan + progressive SOF2
@@ -15,8 +17,8 @@ genuinely real for these formats.  The video/audio CONTAINER layer
 operators/containers — so the remaining boundary where PIL/ffmpeg
 would plug in is the compressed elementary-stream decode inside those
 containers (H.264/AAC/Vorbis/Opus DSP) and the exotic still-image
-variants nothing in the pipeline emits (palette/Adam7 PNG,
-arithmetic/lossless/12-bit JPEG), each a documented
+variants nothing in the pipeline emits (16-bit / sub-8-bit-grayscale
+PNG, arithmetic/lossless/12-bit JPEG), each a documented
 NotImplementedError.
 
 Encoders are provided too (fixture generation, resize re-encode);
@@ -205,8 +207,63 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # --- PNG (8-bit; color types 0/2/4/6; zlib is stdlib) ------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# Channels per pixel by PNG color type (3 = palette, unsupported).
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# Channels per pixel by PNG color type (3 = palette: 1 index sample).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace passes (PNG spec 8.2): (x0, y0, dx, dy).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """(x0, y0, dx, dy, pass_w, pass_h) per non-empty Adam7 pass, in
+    stream order.  Empty passes contribute no scanlines at all (not
+    even filter bytes) — PNG spec 8.2."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def _unpack_bits(row: bytes, n: int, depth: int) -> "np.ndarray":
+    """First ``n`` left-to-right samples of ``depth`` bits each from a
+    packed scanline (PNG packs sub-byte samples MSB-first)."""
+    b = np.frombuffer(bytes(row), np.uint8)
+    if depth == 8:
+        return b[:n]
+    if depth == 4:
+        out = np.empty(len(b) * 2, np.uint8)
+        out[0::2] = b >> 4
+        out[1::2] = b & 15
+    elif depth == 2:
+        out = np.empty(len(b) * 4, np.uint8)
+        for i, sh in enumerate((6, 4, 2, 0)):
+            out[i::4] = (b >> sh) & 3
+    elif depth == 1:
+        out = np.unpackbits(b)
+    else:
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    return out[:n]
+
+
+def _pack_bits(samples: "np.ndarray", depth: int) -> bytes:
+    """Inverse of :func:`_unpack_bits` for one scanline."""
+    if depth == 8:
+        return samples.astype(np.uint8).tobytes()
+    per = 8 // depth
+    pad = (-len(samples)) % per
+    s = np.concatenate([samples, np.zeros(pad, samples.dtype)])
+    out = np.zeros(len(s) // per, np.uint16)
+    for i in range(per):
+        out = (out << depth) | s[i::per].astype(np.uint16)
+    return out.astype(np.uint8).tobytes()
 
 
 def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -273,24 +330,33 @@ def _png_unfilter_row(ft: int, row: bytearray, prev: bytes, bpp: int) -> None:
             raise ValueError(f"invalid PNG filter type {ft}")
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
     """(h, w, 3) uint8 RGB -> PNG (8-bit truecolor, one IDAT).
     ``filter_type`` selects the per-row scanline filter (0-4) — any
     choice decodes to the identical image (lossless), so the tests
-    exercise every decoder filter branch through the same API."""
+    exercise every decoder filter branch through the same API.
+    ``interlace=True`` writes Adam7 passes (PNG spec 8.2): each
+    non-empty pass is filtered as an independent sub-image."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_png expects (h, w, 3) uint8")
     if not 0 <= filter_type <= 4:
         raise ValueError("PNG filter type must be 0-4")
     h, w, _ = arr.shape
     raw = bytearray()
-    prev = bytes(w * 3)
-    for y in range(h):
-        row = arr[y].tobytes()
-        raw.append(filter_type)
-        raw += _png_filter_row(filter_type, row, prev, 3)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    passes = (
+        _adam7_passes(w, h) if interlace else ((0, 0, 1, 1, w, h),)
+    )
+    for x0, y0, dx, dy, pw, ph in passes:
+        sub = arr[y0::dy, x0::dx]
+        prev = bytes(pw * 3)
+        for y in range(ph):
+            row = sub[y].tobytes()
+            raw.append(filter_type)
+            raw += _png_filter_row(filter_type, row, prev, 3)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -299,18 +365,100 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def encode_png_palette(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    depth: int | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> indexed-color PNG (color type 3): the
+    distinct colors become the PLTE (sorted for determinism) and each
+    pixel stores a palette index at ``depth`` bits (1/2/4/8 —
+    smallest that fits when None).  Raises ValueError when the image
+    has more than 2**depth distinct colors (palette encoding is only
+    defined up to 256).  Filtering runs over the PACKED index bytes
+    with bpp=1 (PNG spec 9: sub-8-bit pixels filter at byte
+    granularity); ``interlace=True`` writes Adam7 passes."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png_palette expects (h, w, 3) uint8")
+    h, w, _ = arr.shape
+    colors, inverse = np.unique(
+        arr.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if depth is None:
+        depth = next(
+            d for d in (1, 2, 4, 8) if len(colors) <= (1 << d)
+        ) if len(colors) <= 256 else 8
+    if len(colors) > (1 << depth):
+        raise ValueError(
+            f"{len(colors)} distinct colors exceed {1 << depth}-entry "
+            f"palette (depth={depth})"
+        )
+    idx = inverse.reshape(h, w).astype(np.uint8)
+    raw = bytearray()
+    passes = (
+        _adam7_passes(w, h) if interlace else ((0, 0, 1, 1, w, h),)
+    )
+    for x0, y0, dx, dy, pw, ph in passes:
+        sub = idx[y0::dy, x0::dx]
+        stride = (pw * depth + 7) // 8
+        prev = bytes(stride)
+        for y in range(ph):
+            packed = _pack_bits(sub[y], depth)
+            raw.append(filter_type)
+            raw += _png_filter_row(filter_type, packed, prev, 1)
+            prev = packed
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_subimage(
+    raw: bytes, pos: int, pw: int, ph: int, ch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image starting at ``pos`` in the
+    decompressed IDAT stream: returns ((ph, pw, ch) uint8 SAMPLES —
+    palette indices, not colors, when ch=1/depth<8 — and the new
+    stream position).  Filtering operates on packed bytes with bpp =
+    max(1, bits_per_pixel // 8) (PNG spec 9)."""
+    bits_pp = depth * ch
+    stride = (pw * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    if pos + ph * (stride + 1) > len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((ph, pw, ch), dtype=np.uint8)
+    prev = bytes(stride)
+    for y in range(ph):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        _png_unfilter_row(ft, row, prev, bpp)
+        prev = bytes(row)
+        samples = _unpack_bits(prev, pw * ch, depth)
+        out[y] = samples.reshape(pw, ch)
+    return out, pos
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG -> (h, w, 3) uint8 RGB.  Full decode for 8-bit gray /
-    gray+alpha / RGB / RGBA, all five scanline filters, CRC-verified
-    chunks, multi-IDAT streams; alpha is dropped and gray broadcast
-    to RGB so every image format shares one output contract.  The
-    two variants nothing in this pipeline emits stay documented
-    boundaries: palette color (PLTE indirection) and Adam7 interlace
-    raise NotImplementedError."""
+    gray+alpha / RGB / RGBA, palette (color type 3, PLTE lookup,
+    bit depths 1/2/4/8), Adam7 interlace (all 7 passes, per-pass
+    filtering), all five scanline filters, CRC-verified chunks,
+    multi-IDAT streams; alpha is dropped (including tRNS palette
+    alpha) and gray broadcast to RGB so every image format shares one
+    output contract.  Remaining documented boundary: 16-bit channels
+    and sub-8-bit GRAYSCALE (depths 1/2/4 outside palette) raise
+    NotImplementedError."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -323,6 +471,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} fails CRC")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0:
+                raise ValueError("PLTE length must be a positive x3")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
@@ -331,36 +483,40 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_n, compression, filt, interlace = ihdr
+    if ctype_n not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype_n}")
     if ctype_n == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"invalid palette bit depth {depth}")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+    elif depth != 8:
         raise NotImplementedError(
-            "palette (indexed) PNG not supported — PLTE indirection is "
-            "the PIL boundary; re-encode as truecolor"
+            f"only 8-bit gray/RGB(A) channels supported (depth={depth}, "
+            f"color type={ctype_n}); 16-bit and sub-8-bit grayscale are "
+            "the documented boundary"
         )
-    if depth != 8 or ctype_n not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"only 8-bit gray/RGB(A) PNG supported (depth={depth}, "
-            f"color type={ctype_n})"
-        )
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG not supported (interlace=1); "
-            "re-encode progressive images without interlacing"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if compression != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     ch = _PNG_CHANNELS[ctype_n]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
     out = np.empty((h, w, ch), dtype=np.uint8)
-    prev = bytes(stride)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        _png_unfilter_row(ft, row, prev, ch)
-        prev = bytes(row)
-        out[y] = np.frombuffer(prev, np.uint8).reshape(w, ch)
+    spos = 0
+    passes = (
+        _adam7_passes(w, h) if interlace else ((0, 0, 1, 1, w, h),)
+    )
+    for x0, y0, dx, dy, pw, ph in passes:
+        sub, spos = _decode_subimage(raw, spos, pw, ph, ch, depth)
+        out[y0::dy, x0::dx] = sub
+    if spos != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    if ctype_n == 3:
+        idx = out[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of PLTE range")
+        return plte[idx]
     if ctype_n == 2:
         return out
     if ctype_n == 6:

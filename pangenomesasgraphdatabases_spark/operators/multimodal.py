@@ -16,10 +16,11 @@ tiers (r5):
   video/audio CONTAINER layer is real too: ``probe_containers``
   walks MP4 boxes and Ogg pages (operators/containers) for codec
   identity / geometry / duration / CRC health without decoding any
-  elementary stream.  The residual ffmpeg boundary is the compressed
-  elementary-stream DECODE inside those containers (H.264/AAC/
-  Vorbis/Opus DSP), plus arithmetic/lossless/12-bit JPEG and
-  palette/interlaced PNG variants.
+  elementary stream.  Since r13 PNG palette color (PLTE, depths
+  1/2/4/8) and Adam7 interlace decode for real too.  The residual
+  ffmpeg boundary is the compressed elementary-stream DECODE inside
+  those containers (H.264/AAC/Vorbis/Opus DSP), plus
+  arithmetic/lossless/12-bit JPEG and 16-bit/sub-8-bit-gray PNG.
 * ``decode_stub=True`` keeps the deterministic byte-level fake
   features (the oracle-hashed `media_feature_extract` path, which
   wraps text payloads — not decodable media).
@@ -214,8 +215,10 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
     * BMP/PPM/PNG images: ``w = 8 + id % 9``, ``h = 6 + id % 7``,
       byte ``v[k] = (id*31 + 7*k) % 256`` (row-major, interleaved);
       PNG is lossless so the same arithmetic survives DEFLATE —
-      the zlib stream varies the filter per id ((id >> 2) % 5),
-      exercising all five PNG filters on the hash path;
+      the zlib stream varies the filter per id ((id >> 2) % 5) AND
+      the encode form ((id >> 4) % 4: truecolor/palette x
+      plain/Adam7), exercising all five PNG filters, PLTE
+      indirection, and interlaced reassembly on the hash path;
     * audio: ``ns = 64 + id % 101`` samples at 8 kHz,
       ``s[k] = ((id*13 + 11*k) % 65536) - 32768``;
     * JPEG: lossy in general, so the fixture is built from FLAT 8x8
@@ -245,6 +248,7 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
         from pangenomesasgraphdatabases_spark.operators.media_codecs import (
             encode_bmp,
             encode_png,
+            encode_png_palette,
             encode_ppm,
             encode_wav,
         )
@@ -265,7 +269,23 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
                         mt, payload = "image/x-portable-pixmap", encode_ppm(arr)
                     else:
                         mt = "image/png"
-                        payload = encode_png(arr, filter_type=(mid >> 2) % 5)
+                        # Cycle the scanline filter AND the encode
+                        # form (truecolor/palette x plain/Adam7 —
+                        # every image here has <= 192 distinct colors,
+                        # so palette always fits): PNG is lossless, so
+                        # the decoded integers (and the oracle) are
+                        # identical while the driver hash routes real
+                        # palette and interlaced streams through the
+                        # decoder (VERDICT r12 #7).
+                        form = (mid >> 4) % 4
+                        enc_png = (
+                            encode_png_palette if form >= 2 else encode_png
+                        )
+                        payload = enc_png(
+                            arr,
+                            filter_type=(mid >> 2) % 5,
+                            interlace=bool(form % 2),
+                        )
                     mw, mh = w, h
                 elif kind == 4:
                     bw, bh = 1 + mid % 3, 1 + mid % 2

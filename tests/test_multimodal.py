@@ -469,9 +469,11 @@ def test_png_color_types_decode_to_rgb():
 
 
 def test_png_rejects_documented_variants_and_corruption():
-    """Palette and Adam7 PNGs raise the documented NotImplementedError
-    (actionable message); a flipped pixel byte fails the chunk CRC
-    with ValueError (corruption is an error, never a wrong image)."""
+    """The remaining documented boundaries raise (16-bit channels);
+    malformed palette streams raise ValueError (missing PLTE, bad
+    palette depth, out-of-range index); a flipped pixel byte fails
+    the chunk CRC with ValueError (corruption is an error, never a
+    wrong image)."""
     import struct
     import zlib
 
@@ -481,28 +483,82 @@ def test_png_rejects_documented_variants_and_corruption():
         _png_chunk,
         decode_png,
         encode_png,
+        encode_png_palette,
     )
 
-    def build_hdr(ctype, interlace):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ctype, 0, 0, interlace)
-        raw = b"\x00\x00\x00" if ctype == 3 else b"\x00" + b"\x00" * 6
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(raw))
-            + _png_chunk(b"IEND", b"")
+    def build_hdr(ctype, interlace, depth=8, raw=None, plte=None):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        if raw is None:
+            raw = b"\x00\x00\x00" if ctype == 3 else b"\x00" * 7
+        blob = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            blob += _png_chunk(b"PLTE", plte)
+        return blob + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(
+            b"IEND", b""
         )
 
-    with pytest.raises(NotImplementedError, match="palette"):
+    # 16-bit channels: the documented NotImplementedError boundary
+    with pytest.raises(NotImplementedError, match="16-bit|depth=16"):
+        decode_png(build_hdr(2, 0, depth=16))
+    # palette stream without a PLTE chunk is malformed
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(build_hdr(3, 0))
-    with pytest.raises(NotImplementedError, match="Adam7|interlace"):
-        decode_png(build_hdr(2, 1))
+    # invalid palette bit depth
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(build_hdr(3, 0, depth=3, plte=b"\x00\x00\x00"))
+    # palette index past the PLTE table
+    raw = b"\x00\x05\x00" + b"\x00\x00\x00"  # indices 5,0 / 0,0
+    with pytest.raises(ValueError, match="index"):
+        decode_png(build_hdr(3, 0, raw=raw, plte=b"\x01\x02\x03" * 2))
 
     img = np.zeros((3, 3, 3), dtype=np.uint8)
     blob = bytearray(encode_png(img))
     blob[-20] ^= 0xFF  # flip a byte inside IDAT payload/CRC region
     with pytest.raises(ValueError, match="CRC|Error -3|invalid"):
         decode_png(bytes(blob))
+    # more distinct colors than the requested depth can index
+    many_colors = np.random.default_rng(3).integers(
+        0, 256, (8, 8, 3), dtype=np.uint8
+    )
+    with pytest.raises(ValueError, match="palette"):
+        encode_png_palette(many_colors, depth=2)
+
+
+def test_png_palette_and_adam7_roundtrip():
+    """VERDICT r12 #7: palette color (depths 1/2/4/8) and Adam7
+    interlace round-trip bit-exactly, in every combination with the
+    five scanline filters and with each other (palette + interlace),
+    including sub-8x8 images where most Adam7 passes are empty."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(23)
+    for h, w in ((1, 1), (3, 5), (8, 8), (9, 13), (17, 6)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            blob = encode_png(img, filter_type=ft, interlace=True)
+            assert (decode_png(blob) == img).all(), ("adam7", h, w, ft)
+    for depth, ncol in ((1, 2), (2, 4), (4, 16), (8, 256)):
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (11, 7))
+        img = pal[idx]
+        for interlace in (False, True):
+            for ft in range(5):
+                blob = encode_png_palette(
+                    img, filter_type=ft, interlace=interlace, depth=depth
+                )
+                assert (decode_png(blob) == img).all(), (
+                    depth, interlace, ft,
+                )
+    # depth=None picks the smallest fitting depth
+    two_color = pal[rng.integers(0, 2, (5, 9))]
+    blob = encode_png_palette(two_color)
+    assert (decode_png(blob) == two_color).all()
 
 
 def test_png_through_spark_decode_and_resize(spark):
@@ -548,7 +604,8 @@ def test_png_through_spark_decode_and_resize(spark):
 
 def test_png_roundtrip_property():
     """Property: encode_png/decode_png is identity for arbitrary
-    shapes (incl. 1-pixel edges) and every filter type."""
+    shapes (incl. 1-pixel edges), every filter type, interlaced or
+    not, truecolor or palette at any legal palette depth (r13)."""
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -556,20 +613,30 @@ def test_png_roundtrip_property():
     from pangenomesasgraphdatabases_spark.operators.media_codecs import (
         decode_png,
         encode_png,
+        encode_png_palette,
     )
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=60, deadline=None)
     @given(
         st.integers(1, 16),
         st.integers(1, 16),
         st.integers(0, 4),
+        st.booleans(),
+        st.sampled_from([None, 1, 2, 4, 8]),  # None = truecolor
         st.integers(0, 2**31 - 1),
     )
-    def prop(w, h, ft, seed):
-        img = np.random.default_rng(seed).integers(
-            0, 256, size=(h, w, 3), dtype=np.uint8
-        )
-        assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+    def prop(w, h, ft, interlace, pal_depth, seed):
+        rng = np.random.default_rng(seed)
+        if pal_depth is None:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob = encode_png(img, filter_type=ft, interlace=interlace)
+        else:
+            pal = rng.integers(0, 256, (1 << pal_depth, 3), dtype=np.uint8)
+            img = pal[rng.integers(0, len(pal), (h, w))]
+            blob = encode_png_palette(
+                img, filter_type=ft, interlace=interlace, depth=pal_depth
+            )
+        assert (decode_png(blob) == img).all()
 
     prop()
 
