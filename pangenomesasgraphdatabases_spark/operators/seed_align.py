@@ -73,24 +73,68 @@ _HIT_SCHEMA = (
 )
 
 
+# Chunk payload for k-mer extraction: positions per Generate row.
+_KMER_CHUNK = 4096
+
+
 def _kmers(seqs: DataFrame, id_col: str, word_size: int, pos_col: str) -> DataFrame:
-    """(id, pos, kmer) for every ``word_size`` window — JVM-side
-    explode over substring, the gram idiom of the dedup family."""
-    return (
-        seqs.filter(F.length("sequence") >= word_size)
+    """(id, pos, kmer) for every ``word_size`` window — JVM-side, in
+    three Generate steps sized for MEGABASE sequences:
+
+    1. encode to binary and slice into ``_KMER_CHUNK``-byte chunks
+       (+ ``word_size - 1`` overlap) via ``transform`` over a
+       position sequence — ``substring`` on BinaryType is an O(1)
+       offset + O(len) copy, where StringType substring WALKS the
+       string to char ``pos`` (O(pos) per call, O(L^2) per sequence:
+       measured minutes-per-megabase before this shape);
+    2. explode the chunk array — each exploded row carries one small
+       chunk, never the full sequence (explode copies its carried
+       columns per OUTPUT row, so a megabase string through a
+       1M-position explode would memcpy ~1 TB);
+    3. per chunk, build the k-mer array with ``transform`` +
+       binary substring and posexplode it.
+
+    Positions are 1-based BYTE offsets — identical to character
+    offsets for the ACGT alphabet this engine feeds it."""
+    c, w = _KMER_CHUNK, word_size
+    chunks = (
+        seqs.filter(F.length("sequence") >= w)
         .select(
             F.col(id_col),
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.length("sequence") - (word_size - 1)
-                )
-            ).alias(pos_col),
-            "sequence",
+            F.encode("sequence", "UTF-8").alias("_sb"),
         )
         .select(
             id_col,
-            pos_col,
-            F.substring("sequence", F.col(pos_col), word_size).alias("kmer"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.length("_sb") - F.lit(w)) / F.lit(c)
+                        ).cast("int"),
+                    ),
+                    lambda i: F.substring(
+                        "_sb", i * F.lit(c) + 1, c + w - 1
+                    ),
+                )
+            ).alias("_ci", "_ck"),
+        )
+    )
+    return (
+        chunks.select(
+            id_col,
+            (F.col("_ci").cast("long") * c).alias("_off"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_ck") - (w - 1)),
+                    lambda j: F.substring("_ck", j, w),
+                )
+            ).alias("_ji", "_kb"),
+        )
+        .select(
+            id_col,
+            (F.col("_off") + F.col("_ji") + 1).cast("int").alias(pos_col),
+            F.decode("_kb", "UTF-8").alias("kmer"),
         )
     )
 
