@@ -60,6 +60,11 @@ ANCHORS: dict[str, tuple[float, str]] = {
     "ann_ivf_topk": (2.193, "r12 'ann drift pinned' calm 5-rep"),
     "ann_ivfpq_topk": (3.786, "r12 'ann drift pinned' calm 5-rep"),
     "emb_pq_codes": (1.744, "r12 'ann drift pinned' calm 5-rep"),
+    # r13 birth anchors for the aligner headline entries (calm 5-rep,
+    # steal <= 6/rep; the md5 corpus is SF-invariant so these are
+    # corpus-fixed figures, not data-scaled ones)
+    "blast_builtin_exact_hits": (1.32, "r13 aligner headline birth 5-rep"),
+    "blast_builtin_scored_hits": (1.117, "r13 aligner headline birth 5-rep"),
 }
 
 DIVERGENCE_PCT = 25.0
