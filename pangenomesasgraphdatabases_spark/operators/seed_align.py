@@ -139,6 +139,21 @@ def _kmers(seqs: DataFrame, id_col: str, word_size: int, pos_col: str) -> DataFr
     )
 
 
+def _low_complexity(kmer_col, word_size: int):
+    """DUST-style low-complexity predicate for one k-mer, JVM-side:
+    count DISTINCT triplets inside the word (blastn's dust works on
+    triplet composition over windows; at word granularity a k-mer
+    whose 9 triplets collapse to <= 3 distinct values is a
+    homopolymer / short-period repeat — poly-A has 1, (AT)n has 2,
+    (ACG)n has 3).  Composed from aggregate over a position sequence
+    + array_distinct, no UDF."""
+    triplets = F.transform(
+        F.sequence(F.lit(1), F.lit(word_size - 2)),
+        lambda i: F.substring(kmer_col, i, 3),
+    )
+    return F.size(F.array_distinct(triplets)) <= 3
+
+
 def _pair_candidates(
     queries: DataFrame,
     subjects: DataFrame,
@@ -146,6 +161,7 @@ def _pair_candidates(
     max_kmer_df: int,
     keep_positions: bool,
     max_diags: int | None = None,
+    mask_low_complexity: bool = False,
 ) -> DataFrame:
     """Shared seeding front half: k-mer inverted-index join with the
     overrepresented-word cap, collapsed to ONE row per (query,
@@ -156,6 +172,13 @@ def _pair_candidates(
     gapped path's banded-DP budget."""
     qk = _kmers(queries, "query_id", word_size, "q_pos")
     sk = _kmers(subjects, "subject_id", word_size, "s_pos")
+    if mask_low_complexity:
+        # DUST-style masking (blastn -dust yes): drop low-complexity
+        # words from seeding on BOTH sides before any shuffle — a
+        # (AT)n tract can pass the corpus-frequency cap on a small
+        # database yet still seed junk diagonals.
+        qk = qk.filter(~_low_complexity(F.col("kmer"), word_size))
+        sk = sk.filter(~_low_complexity(F.col("kmer"), word_size))
     # BLAST-style overrepresented-word mask: one window over the
     # k-mer key (the measured window-over-key pattern) instead of a
     # groupBy + join-back.
@@ -257,6 +280,7 @@ def builtin_blast_hits(
     xdrop: int = 20,
     min_score: int = 28,
     max_kmer_df: int = 64,
+    mask_low_complexity: bool = False,
 ) -> DataFrame:
     """Ungapped seed-and-extend hits between ``queries`` and
     ``subjects`` (both ``(.., sequence)`` frames with ``query_id`` /
@@ -275,10 +299,22 @@ def builtin_blast_hits(
     ``(query_id, subject_id, q_start, s_start, align_len, n_matches,
     score)`` — 1-based starts, integer raw score under +1/-2.
 
+    ``mask_low_complexity=True`` additionally drops DUST-style
+    low-complexity words (<= 3 distinct triplets — homopolymers and
+    short-period repeats) from seeding on both sides, blastn's
+    ``-dust yes`` analog: the corpus-frequency cap alone cannot catch
+    a repeat tract that is rare in a SMALL database.  Default off —
+    the reference pipeline screens curated cluster representatives.
+
     Use :func:`with_bitscore` to attach bit score / e-value columns
     for the ``enrich_clusters_with_blast`` surface."""
     with_seqs = _pair_candidates(
-        queries, subjects, word_size, max_kmer_df, keep_positions=True
+        queries,
+        subjects,
+        word_size,
+        max_kmer_df,
+        keep_positions=True,
+        mask_low_complexity=mask_low_complexity,
     )
     merge_gap = word_size + xdrop // 2
 
@@ -415,6 +451,7 @@ def builtin_blast_hits_gapped(
     min_score: int = 28,
     max_kmer_df: int = 64,
     max_diags: int = 4,
+    mask_low_complexity: bool = False,
 ) -> DataFrame:
     """Gapped variant of :func:`builtin_blast_hits`: the same
     inverted-index seeding, overrepresented-word cap, and
@@ -444,6 +481,7 @@ def builtin_blast_hits_gapped(
         max_kmer_df,
         keep_positions=False,
         max_diags=max_diags,
+        mask_low_complexity=mask_low_complexity,
     )
 
     def extend(batches: Iterable) -> Iterator:

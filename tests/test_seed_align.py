@@ -279,3 +279,35 @@ def test_scored_and_gapped_registered_queries_match_oracle(spark):
         )
         want = sorted(tuple(r) for r in duckdb.sql(qq.oracle).fetchall())
         assert got == want and len(got) == 24, name
+
+
+def test_dust_masking_blocks_repeat_seeds(spark):
+    """mask_low_complexity=True (blastn -dust yes analog): a
+    short-period repeat tract shared by query and subject stops
+    seeding — even when it is RARE in the database, so the
+    corpus-frequency cap cannot catch it — while a genuine
+    high-complexity hit in the same run is untouched, in both the
+    ungapped and gapped paths."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits,
+        builtin_blast_hits_gapped,
+    )
+
+    uniq = _seq(21, 300)
+    repeat = "AT" * 30  # (AT)n: every 11-mer has 2 distinct triplets
+    subj = uniq[:150] + repeat + uniq[150:]
+    q, s = _frames(
+        spark,
+        [("q_rep", repeat[:40]), ("q_ok", uniq[40:100])],
+        [("s1", subj)],
+    )
+    unmasked = {h.query_id for h in builtin_blast_hits(q, s).collect()}
+    assert unmasked == {"q_rep", "q_ok"}  # df cap alone misses (AT)n
+    masked = builtin_blast_hits(q, s, mask_low_complexity=True).collect()
+    by_q = {h.query_id for h in masked}
+    assert by_q == {"q_ok"}
+    ok = [h for h in masked if h.query_id == "q_ok"]
+    assert ok[0].n_matches >= 60 and ok[0].s_start == 41
+
+    gm = builtin_blast_hits_gapped(q, s, mask_low_complexity=True).collect()
+    assert {h.query_id for h in gm} == {"q_ok"}

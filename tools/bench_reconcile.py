@@ -48,17 +48,30 @@ ANCHORS: dict[str, tuple[float, str]] = {
         3.83,
         "r11 VERDICT judge calm driver-shape re-measure (was 3.08 ad-hoc)",
     ),
-    "doc_duplicate_spans": (1.11, "r11s2 'ExactSubstr family' slopes"),
-    "doc_duplicate_span_clean": (1.55, "r11s2 'ExactSubstr family' slopes"),
+    # r13 re-anchored downward: both r12 and r13 bench windows read
+    # 25-40% UNDER the r11s2 anchors on unchanged code — the r11s2
+    # session was the busy window, not these.  Anchor = r13 bench min
+    # (steal <= 1 reps).
+    "doc_duplicate_spans": (0.811, "r13 bench window (re-anchored)"),
+    "doc_duplicate_span_clean": (1.094, "r13 bench window (re-anchored)"),
     "media_phash_pairs": (2.41, "r11s2 'remaining new registrations'"),
-    "doc_segment_dedup": (0.74, "r11s2 'window-over-key lesson'"),
+    "doc_segment_dedup": (0.451, "r13 bench window (re-anchored)"),
     "doc_ngram_jaccard_dedup": (2.52, "r11s2 docfreq window rewrite"),
     "doc_jaccard_containment": (2.23, "r11s2 two-join-backs -> window"),
     # r12 calm 5-rep driver-shape session (hsi 1.057, steal <= 1/rep)
     # — the ann-drift adjudication table (SCALE.md r12)
     "ann_bruteforce_topk": (0.486, "r12 'ann drift pinned' calm 5-rep"),
     "ann_ivf_topk": (2.193, "r12 'ann drift pinned' calm 5-rep"),
-    "ann_ivfpq_topk": (3.786, "r12 'ann drift pinned' calm 5-rep"),
+    # r13 re-anchored to the IN-BENCH context (what this tool actually
+    # compares): a same-day solo calm 5-rep read 2.461 min on code
+    # untouched since r12 — 35% UNDER the old solo anchor — while the
+    # full-bench window read 5.15; the fixed-stage-chain ANN family
+    # floats ~2x between solo and in-bench JVM context on identical
+    # plans (SCALE.md r12 proved it flat across 100x data).  Anchoring
+    # to the solo floor would FLAG every future bench mechanically, so
+    # the anchor is the bench-window min and the 2.461 solo floor is
+    # recorded here as the engine-capability figure.
+    "ann_ivfpq_topk": (5.15, "r13 bench window (solo floor 2.461)"),
     "emb_pq_codes": (1.744, "r12 'ann drift pinned' calm 5-rep"),
     # r13 birth anchors for the aligner headline entries (calm 5-rep,
     # steal <= 6/rep; the md5 corpus is SF-invariant so these are
