@@ -66,6 +66,10 @@ MATCH = 1
 MISMATCH = -2
 KA_LAMBDA = 1.28
 KA_K = 0.46
+# Relative entropy H of the +1/-2 ungapped target distribution
+# (NCBI's published value for this matrix) — drives the BLAST
+# effective-length adjustment.
+KA_H = 1.10
 
 _HIT_SCHEMA = (
     "query_id string, subject_id string, q_start int, s_start int, "
@@ -357,11 +361,37 @@ def builtin_blast_hits(
     return hits.filter(F.col("score") >= F.lit(min_score))
 
 
-def with_bitscore(hits: DataFrame, m: int, n: int) -> DataFrame:
+def effective_length_adjustment(
+    m: int, n: int, k: float = KA_K, h: float = KA_H, iters: int = 5
+) -> int:
+    """BLAST's length adjustment ``l`` — the fixed point of
+    ``l = ln(K * (m - l) * (n - l)) / H`` (an alignment cannot start
+    in the last ~l positions of either sequence, so the e-value
+    search space shrinks to (m - l)(n - l); NCBI BLAST solves the
+    same fixed point, BlastComputeLengthAdjustment).  Five iterations
+    from 0 with clamping, as BLAST does; returns a non-negative
+    integer (floor, BLAST's convention)."""
+    l = 0.0
+    for _ in range(iters):
+        l = math.log(k * max(m - l, 1.0) * max(n - l, 1.0)) / h
+        l = max(l, 0.0)
+    return int(l)
+
+
+def with_bitscore(
+    hits: DataFrame, m: int, n: int, effective_lengths: bool = False
+) -> DataFrame:
     """Attach Karlin-Altschul bit score and e-value columns (ungapped
     +1/-2 parameters; ``m``/``n`` are the query/database lengths the
-    e-value search space uses — raw lengths, the documented
-    simplification)."""
+    e-value search space uses).  Default keeps RAW lengths (the r12
+    documented simplification — the reference pipeline only
+    thresholds and ranks, which raw lengths preserve);
+    ``effective_lengths=True`` applies BLAST's length adjustment
+    (:func:`effective_length_adjustment`) so the search space is
+    ``(m - l)(n - l)`` as blastn reports."""
+    if effective_lengths:
+        adj = effective_length_adjustment(m, n)
+        m, n = max(m - adj, 1), max(n - adj, 1)
     bit = (KA_LAMBDA * F.col("score") - math.log(KA_K)) / math.log(2.0)
     return hits.withColumn("bit_score", bit).withColumn(
         "evalue", F.lit(float(m)) * F.lit(float(n)) * F.pow(F.lit(2.0), -bit)

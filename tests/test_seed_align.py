@@ -311,3 +311,43 @@ def test_dust_masking_blocks_repeat_seeds(spark):
 
     gm = builtin_blast_hits_gapped(q, s, mask_low_complexity=True).collect()
     assert {h.query_id for h in gm} == {"q_ok"}
+
+
+def test_effective_length_evalue():
+    """effective_lengths=True: the length adjustment is the fixed
+    point of l = ln(K(m-l)(n-l))/H (checked against its own
+    equation), shrinks the e-value search space, and leaves the bit
+    score untouched."""
+    import math
+
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        KA_H,
+        KA_K,
+        effective_length_adjustment,
+    )
+
+    m, n = 500, 100_000
+    adj = effective_length_adjustment(m, n)
+    want = math.log(KA_K * (m - adj) * (n - adj)) / KA_H
+    assert abs(adj - want) <= 1.0  # integer floor of the fixed point
+    assert 0 < adj < m
+
+
+def test_effective_length_evalue_spark(spark):
+    """Spark side: raw vs effective e-values differ by exactly the
+    search-space ratio; bit scores identical."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits,
+        effective_length_adjustment,
+        with_bitscore,
+    )
+
+    subj = _seq(31, 300)
+    q, s = _frames(spark, [("q1", subj[50:110])], [("s1", subj)])
+    hits = builtin_blast_hits(q, s)
+    raw = with_bitscore(hits, m=60, n=300).collect()[0]
+    eff = with_bitscore(hits, m=60, n=300, effective_lengths=True).collect()[0]
+    adj = effective_length_adjustment(60, 300)
+    assert eff.bit_score == raw.bit_score
+    ratio = ((60 - adj) * (300 - adj)) / (60 * 300)
+    assert abs(eff.evalue / raw.evalue - ratio) < 1e-12
