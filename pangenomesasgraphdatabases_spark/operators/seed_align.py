@@ -212,6 +212,25 @@ def _pair_candidates(
     cand = per_diag.groupBy("query_id", "subject_id").agg(
         F.sort_array(F.collect_list(diag_struct)).alias("diags")
     )
+    # Pin the extension stage's parallelism with an EXPLICIT
+    # round-robin width on the slim candidate frame BEFORE sequences
+    # attach (payloads still never shuffle — the sequence joins
+    # broadcast under it).  The extension is CPU-bound per row, so
+    # AQE's byte-based partition coalescing is exactly wrong for it:
+    # measured 88 s fused vs 13 s pinned on the 200x50
+    # reference-scale corpus — AQE saw a "small" post-agg frame and
+    # squeezed the python DP stage onto ONE task.  It must be
+    # ROUND-ROBIN: a keyed repartition on (query_id, subject_id)
+    # matches the aggregate's distribution, gets elided as redundant,
+    # and the surviving agg exchange is AQE-coalescible again
+    # (measured: the keyed form changed nothing); REPARTITION_BY_NUM
+    # round-robin is user-specified width AQE preserves, and it
+    # load-balances the uneven per-pair DP cost as a bonus.
+    from pangenomesasgraphdatabases_spark.operators.sizing import (
+        session_shuffle_floor,
+    )
+
+    cand = cand.repartition(session_shuffle_floor(queries.sparkSession))
     return cand.join(
         queries.select("query_id", F.col("sequence").alias("_qs")),
         "query_id",
@@ -472,6 +491,144 @@ def _banded_sw(
     return best[1]
 
 
+_NEG = -(10**9)
+
+
+def _banded_sw_batch(
+    tasks: list[tuple[str, str, int]], band: int, gap: int
+) -> list[tuple[int, int, int, int, int, int] | None]:
+    """Vectorized :func:`_banded_sw` over a BATCH of (qs, ss, diag)
+    tasks — one numpy wavefront advances every task's DP row
+    together, so the python-level cost is O(max|q| * width) numpy ops
+    on (n_tasks,)-vectors instead of O(sum|q| * width) interpreted
+    cells (measured 20x the ungapped path's wall at reference scale
+    before this).  Bit-identical to the scalar version including tie
+    order (fresh < diag < up < left, strict >, first-best-in-scan-
+    order kept): the scalar stays as the property-test reference.
+
+    The within-row left-gap dependency is the one sequential edge: it
+    runs as a width-sized loop per row (width ~17), each step a
+    vector op over tasks."""
+    import numpy as np
+
+    n = len(tasks)
+    if n == 0:
+        return []
+    W = 2 * band + 1
+    nq = np.array([len(t[0]) for t in tasks], dtype=np.int64)
+    ns = np.array([len(t[1]) for t in tasks], dtype=np.int64)
+    diag = np.array([t[2] for t in tasks], dtype=np.int64)
+    max_nq, max_ns = int(nq.max()), int(ns.max())
+    Q = np.zeros((n, max_nq), dtype=np.uint8)
+    S = np.zeros((n, max_ns), dtype=np.uint8)
+    for t, (qs, ss, _) in enumerate(tasks):
+        Q[t, : len(qs)] = np.frombuffer(qs.encode(), np.uint8)
+        S[t, : len(ss)] = np.frombuffer(ss.encode(), np.uint8)
+
+    ar = np.arange(W, dtype=np.int64)
+    tix = np.arange(n)
+    # per-cell state: score, matches, gaps, cols, origin (qi, ji)
+    H = np.full((n, W), _NEG, dtype=np.int64)
+    Mt = np.zeros((n, W), dtype=np.int64)
+    Gp = np.zeros((n, W), dtype=np.int64)
+    Cl = np.zeros((n, W), dtype=np.int64)
+    Oi = np.zeros((n, W), dtype=np.int64)
+    Oj = np.zeros((n, W), dtype=np.int64)
+    best_sc = np.zeros(n, dtype=np.int64)
+    best_pl = np.zeros((n, 6), dtype=np.int64)
+    has_best = np.zeros(n, dtype=bool)
+    neg_col = np.full((n, 1), _NEG, dtype=np.int64)
+    zero_col = np.zeros((n, 1), dtype=np.int64)
+
+    for i in range(max_nq):
+        j = i + diag[:, None] - band + ar[None, :]  # (n, W)
+        valid = (j >= 0) & (j < ns[:, None]) & (i < nq)[:, None]
+        jc = np.clip(j, 0, max_ns - 1)
+        qc = Q[tix, np.minimum(i, max_nq - 1)][:, None]
+        m = np.where(qc == S[tix[:, None], jc], MATCH, MISMATCH)
+        # fresh start
+        sc = m.copy()
+        mt = (m > 0).astype(np.int64)
+        gp = np.zeros_like(sc)
+        cl = np.ones_like(sc)
+        oi = np.full_like(sc, i)
+        oj = j.copy()
+        # diagonal: prev row, same k
+        cand = H + m
+        take = (H > _NEG) & (cand > sc)
+        sc = np.where(take, cand, sc)
+        mt = np.where(take, Mt + (m > 0), mt)
+        gp = np.where(take, Gp, gp)
+        cl = np.where(take, Cl + 1, cl)
+        oi = np.where(take, Oi, oi)
+        oj = np.where(take, Oj, oj)
+        # up (gap in subject): prev row, k+1
+        Hu = np.concatenate([H[:, 1:], neg_col], axis=1)
+        cand = Hu + gap
+        take = (Hu > _NEG) & (cand > sc)
+        sc = np.where(take, cand, sc)
+        mt = np.where(take, np.concatenate([Mt[:, 1:], zero_col], 1), mt)
+        gp = np.where(
+            take, np.concatenate([Gp[:, 1:], zero_col], 1) + 1, gp
+        )
+        cl = np.where(
+            take, np.concatenate([Cl[:, 1:], zero_col], 1) + 1, cl
+        )
+        oi = np.where(take, np.concatenate([Oi[:, 1:], zero_col], 1), oi)
+        oj = np.where(take, np.concatenate([Oj[:, 1:], zero_col], 1), oj)
+        # invalid / dropped-below-zero cells die BEFORE feeding the
+        # left scan (scalar: `continue` skips the cell entirely)
+        dead = ~valid | (sc < 0)
+        sc[dead] = _NEG
+        # left (gap in query): CURRENT row, k-1 — sequential in k,
+        # vectorized over tasks
+        for k in range(1, W):
+            prev = sc[:, k - 1]
+            cand = prev + gap
+            take = (prev > _NEG) & (cand > sc[:, k]) & valid[:, k]
+            if not take.any():
+                continue
+            sc[take, k] = cand[take]
+            mt[take, k] = mt[take, k - 1]
+            gp[take, k] = gp[take, k - 1] + 1
+            cl[take, k] = cl[take, k - 1] + 1
+            oi[take, k] = oi[take, k - 1]
+            oj[take, k] = oj[take, k - 1]
+        # a left move can land below zero (scalar kills such cells at
+        # its `sc < 0` check) — re-kill for exact dead-state parity
+        sc[sc < 0] = _NEG
+        # commit row state
+        H, Mt, Gp, Cl, Oi, Oj = sc, mt, gp, cl, oi, oj
+        # best update: scalar scans k ascending with strict >, so the
+        # row's winner is its max at the FIRST k attaining it
+        alive = H > _NEG
+        row_max = np.where(alive, H, _NEG).max(axis=1)
+        upd = row_max > best_sc
+        if upd.any():
+            k_first = np.argmax(
+                np.where(alive, H, _NEG) == row_max[:, None], axis=1
+            )
+            ti = tix[upd]
+            kf = k_first[upd]
+            best_sc[upd] = row_max[upd]
+            best_pl[upd, 0] = Oi[ti, kf] + 1
+            best_pl[upd, 1] = Oj[ti, kf] + 1
+            best_pl[upd, 2] = Cl[ti, kf]
+            best_pl[upd, 3] = Mt[ti, kf]
+            best_pl[upd, 4] = H[ti, kf]
+            best_pl[upd, 5] = Gp[ti, kf]
+            has_best[upd] = True
+
+    out: list[tuple[int, int, int, int, int, int] | None] = []
+    for t in range(n):
+        if has_best[t] and best_sc[t] > 0:
+            q0, j0, cl0, mt0, sc0, gp0 = (int(v) for v in best_pl[t])
+            out.append((q0, j0, cl0, mt0, sc0, gp0))
+        else:
+            out.append(None)
+    return out
+
+
 def builtin_blast_hits_gapped(
     queries: DataFrame,
     subjects: DataFrame,
@@ -518,20 +675,33 @@ def builtin_blast_hits_gapped(
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for qid, sid, diags, qs, ss in zip(
-                pdf["query_id"],
-                pdf["subject_id"],
-                pdf["diags"],
-                pdf["_qs"],
-                pdf["_ss"],
+            # one vectorized DP wavefront over every (pair, diagonal)
+            # task in the Arrow batch (_banded_sw_batch; the scalar
+            # _banded_sw is the property-test reference)
+            tasks, owners = [], []
+            for row_i, (qs, ss, diags) in enumerate(
+                zip(pdf["_qs"], pdf["_ss"], pdf["diags"])
             ):
-                seen: set[tuple[int, int, int, int, int, int]] = set()
                 for d in diags:
-                    r = _banded_sw(qs, ss, int(d["diag"]), band, gap)
-                    if r is not None and r not in seen:
-                        seen.add(r)
-                        rows.append((qid, sid) + r)
+                    tasks.append((qs, ss, int(d["diag"])))
+                    owners.append(row_i)
+            results = _banded_sw_batch(tasks, band, gap)
+            rows = []
+            seen: dict[int, set] = {}
+            for row_i, r in zip(owners, results):
+                if r is None:
+                    continue
+                s_r = seen.setdefault(row_i, set())
+                if r in s_r:
+                    continue
+                s_r.add(r)
+                rows.append(
+                    (
+                        pdf["query_id"].iloc[row_i],
+                        pdf["subject_id"].iloc[row_i],
+                    )
+                    + r
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -351,3 +351,43 @@ def test_effective_length_evalue_spark(spark):
     assert eff.bit_score == raw.bit_score
     ratio = ((60 - adj) * (300 - adj)) / (60 * 300)
     assert abs(eff.evalue / raw.evalue - ratio) < 1e-12
+
+
+def test_banded_sw_batch_matches_scalar():
+    """Property: the vectorized batch DP (_banded_sw_batch) is
+    bit-identical to the scalar _banded_sw — same scores, same
+    bookkeeping, same tie-breaks — across random sequence pairs,
+    diagonals (incl. out-of-band and negative), bands and gaps."""
+    import random
+
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        _banded_sw,
+        _banded_sw_batch,
+    )
+
+    rng = random.Random(99)
+    for band, gap in ((8, -3), (3, -2), (1, -5)):
+        tasks = []
+        for _ in range(120):
+            nq = rng.randint(1, 60)
+            ns = rng.randint(1, 80)
+            qs = "".join(rng.choice("ACGT") for _ in range(nq))
+            if rng.random() < 0.5:
+                # embed a (mutated/indeled) copy so real alignments occur
+                off = rng.randint(0, max(ns - nq, 0))
+                ss = (
+                    "".join(rng.choice("ACGT") for _ in range(off))
+                    + qs[: rng.randint(0, nq)]
+                    + "".join(
+                        rng.choice("ACGT")
+                        for _ in range(max(ns - off - nq, 0))
+                    )
+                )[:ns] or "A"
+            else:
+                ss = "".join(rng.choice("ACGT") for _ in range(ns))
+            diag = rng.randint(-5, ns)
+            tasks.append((qs, ss, diag))
+        got = _banded_sw_batch(tasks, band, gap)
+        for task, g in zip(tasks, got):
+            want = _banded_sw(*task, band=band, gap=gap)
+            assert g == want, (task, band, gap, g, want)
