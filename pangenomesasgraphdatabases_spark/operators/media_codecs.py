@@ -5,7 +5,8 @@ uncompressed 24-bit BMP, binary PPM (P6), PCM WAV, and (since r7)
 8-bit PNG — PNG's DEFLATE layer is stdlib ``zlib``, so a full,
 spec-correct decoder (all five row filters, gray/RGB/RGBA color
 types, CRC-checked chunks; since r13 also palette color at bit
-depths 1/2/4/8 and Adam7 interlace with per-pass filtering) needs no
+depths 1/2/4/8, Adam7 interlace with per-pass filtering, and 16-bit
+channels via high-byte downconversion) needs no
 external library at all — plus
 huffman-DCT JFIF JPEG (operators/jpeg_codec: Annex K tables,
 canonical Huffman, orthonormal DCT, 4:4:4/4:2:0, restart markers,
@@ -17,8 +18,8 @@ genuinely real for these formats.  The video/audio CONTAINER layer
 operators/containers — so the remaining boundary where PIL/ffmpeg
 would plug in is the compressed elementary-stream decode inside those
 containers (H.264/AAC/Vorbis/Opus DSP) and the exotic still-image
-variants nothing in the pipeline emits (16-bit / sub-8-bit-grayscale
-PNG, arithmetic/lossless/12-bit JPEG), each a documented
+variants nothing in the pipeline emits (sub-8-bit-grayscale PNG,
+arithmetic/lossless/12-bit JPEG), each a documented
 NotImplementedError.
 
 Encoders are provided too (fixture generation, resize re-encode);
@@ -439,21 +440,29 @@ def _decode_subimage(
         pos += 1 + stride
         _png_unfilter_row(ft, row, prev, bpp)
         prev = bytes(row)
-        samples = _unpack_bits(prev, pw * ch, depth)
+        if depth == 16:
+            # big-endian 16-bit samples scale to the 8-bit output
+            # contract by keeping the high byte (v >> 8, PIL's I;16
+            # convention) — the filter pass above already ran at the
+            # full 2-byte bpp per spec
+            samples = np.frombuffer(prev, np.uint8)[0::2][: pw * ch]
+        else:
+            samples = _unpack_bits(prev, pw * ch, depth)
         out[y] = samples.reshape(pw, ch)
     return out, pos
 
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG -> (h, w, 3) uint8 RGB.  Full decode for 8-bit gray /
-    gray+alpha / RGB / RGBA, palette (color type 3, PLTE lookup,
-    bit depths 1/2/4/8), Adam7 interlace (all 7 passes, per-pass
-    filtering), all five scanline filters, CRC-verified chunks,
-    multi-IDAT streams; alpha is dropped (including tRNS palette
-    alpha) and gray broadcast to RGB so every image format shares one
-    output contract.  Remaining documented boundary: 16-bit channels
-    and sub-8-bit GRAYSCALE (depths 1/2/4 outside palette) raise
-    NotImplementedError."""
+    gray+alpha / RGB / RGBA (at 8- OR 16-bit channel depth — 16-bit
+    samples keep the high byte, the standard 8-bit downconversion),
+    palette (color type 3, PLTE lookup, bit depths 1/2/4/8), Adam7
+    interlace (all 7 passes, per-pass filtering), all five scanline
+    filters, CRC-verified chunks, multi-IDAT streams; alpha is
+    dropped (including tRNS palette alpha) and gray broadcast to RGB
+    so every image format shares one output contract.  Remaining
+    documented boundary: sub-8-bit GRAYSCALE (depths 1/2/4 outside
+    palette) raises NotImplementedError."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -490,10 +499,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"invalid palette bit depth {depth}")
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-    elif depth != 8:
+    elif depth not in (8, 16):
         raise NotImplementedError(
-            f"only 8-bit gray/RGB(A) channels supported (depth={depth}, "
-            f"color type={ctype_n}); 16-bit and sub-8-bit grayscale are "
+            f"only 8/16-bit gray/RGB(A) channels supported (depth="
+            f"{depth}, color type={ctype_n}); sub-8-bit grayscale is "
             "the documented boundary"
         )
     if interlace not in (0, 1):

@@ -497,9 +497,10 @@ def test_png_rejects_documented_variants_and_corruption():
             b"IEND", b""
         )
 
-    # 16-bit channels: the documented NotImplementedError boundary
-    with pytest.raises(NotImplementedError, match="16-bit|depth=16"):
-        decode_png(build_hdr(2, 0, depth=16))
+    # sub-8-bit grayscale: the documented NotImplementedError boundary
+    # (16-bit channels decode since r13)
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        decode_png(build_hdr(0, 0, depth=4))
     # palette stream without a PLTE chunk is malformed
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(build_hdr(3, 0))
@@ -902,3 +903,59 @@ def test_audio_fingerprint_null_on_corrupt(spark):
     )
     out = {r.media_id: (r.n_samples, r.afp64) for r in audio_fingerprint(df).collect()}
     assert out == {1: (None, None), 2: (None, None), 3: (None, None)}
+
+
+def test_png_16bit_channels_decode():
+    """16-bit gray / RGB / RGBA streams decode through the 8-bit RGB
+    contract by high-byte downconversion (v >> 8), with filtering at
+    the full 2-byte-per-sample bpp — including under Adam7."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        _adam7_passes,
+        _png_chunk,
+        _png_filter_row,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(41)
+
+    def build16(pix, ctype, ch, interlace=0, ft=0):
+        h, w = pix.shape[:2]
+        raw = bytearray()
+        passes = (
+            _adam7_passes(w, h) if interlace else ((0, 0, 1, 1, w, h),)
+        )
+        for x0, y0, dx, dy, pw, ph in passes:
+            sub = pix[y0::dy, x0::dx]
+            prev = bytes(pw * ch * 2)
+            for y in range(ph):
+                row = sub[y].astype(">u2").tobytes()
+                raw.append(ft)
+                raw += _png_filter_row(ft, row, prev, ch * 2)
+                prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rgb = rng.integers(0, 65536, (7, 9, 3), dtype=np.uint16)
+    want = (rgb >> 8).astype(np.uint8)
+    for interlace in (0, 1):
+        for ft in (0, 2, 4):
+            got = decode_png(build16(rgb, 2, 3, interlace, ft))
+            assert (got == want).all(), (interlace, ft)
+
+    gray = rng.integers(0, 65536, (5, 4, 1), dtype=np.uint16)
+    got = decode_png(build16(gray, 0, 1))
+    assert (got == np.repeat(gray >> 8, 3, axis=2)).all()
+
+    rgba = rng.integers(0, 65536, (4, 6, 4), dtype=np.uint16)
+    got = decode_png(build16(rgba, 6, 4))
+    assert (got == (rgba[..., :3] >> 8)).all()
