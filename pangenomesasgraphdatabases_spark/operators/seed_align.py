@@ -32,7 +32,14 @@ The BLAST algorithm itself is public and maps naturally onto Spark:
    its own HSP (multi-HSP, as blastn's per-seed extension produces),
    and (b) a spurious early seed on the diagonal cannot mask a
    genuine later island — each extends independently and identical
-   outcomes dedup.
+   outcomes dedup.  The extension stage's width is PINNED with an
+   explicit round-robin repartition of the slim candidate frame:
+   its cost is CPU-per-row, invisible to AQE's byte-based partition
+   coalescing, which otherwise serializes the python stage onto one
+   task (measured 88 s -> 13 s; SCALE.md r13).  The gapped variant's
+   banded Smith-Waterman runs as ONE numpy wavefront over every
+   (pair, diagonal) task in the batch (:func:`_banded_sw_batch`,
+   bit-identical to the scalar :func:`_banded_sw` reference).
 
 Scoring is the public blastn default for ungapped nucleotide
 alignment (match +1 / mismatch -2) with Karlin-Altschul statistics
