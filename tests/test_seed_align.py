@@ -391,3 +391,51 @@ def test_banded_sw_batch_matches_scalar():
         for task, g in zip(tasks, got):
             want = _banded_sw(*task, band=band, gap=gap)
             assert g == want, (task, band, gap, g, want)
+
+
+def test_xdrop_batch_matches_scalar():
+    """Property: the vectorized batch X-drop (_xdrop_extend_batch) is
+    bit-identical to the scalar _xdrop_extend — same best-interval
+    tie-breaks, same drop termination — across random sequences,
+    anchors and diagonals."""
+    import random
+
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        _xdrop_extend,
+        _xdrop_extend_batch,
+    )
+
+    rng = random.Random(77)
+    for xdrop in (20, 5, 1):
+        tasks = []
+        for _ in range(200):
+            nq = rng.randint(1, 80)
+            ns = rng.randint(1, 120)
+            qs = "".join(rng.choice("ACGT") for _ in range(nq))
+            if rng.random() < 0.5:
+                off = rng.randint(0, max(ns - nq, 0))
+                ss = (
+                    "".join(rng.choice("ACGT") for _ in range(off))
+                    + qs[: rng.randint(0, nq)]
+                    + "".join(
+                        rng.choice("ACGT")
+                        for _ in range(max(ns - off - nq, 0))
+                    )
+                )[:ns] or "A"
+            else:
+                ss = "".join(rng.choice("ACGT") for _ in range(ns))
+            # anchors come from real seeds, so i0 + diag is always a
+            # valid subject index (both implementations assume it);
+            # bound by the ACTUAL lengths after construction
+            nq, ns = len(qs), len(ss)
+            diag = rng.randint(-nq + 1, ns - 1)
+            lo = max(0, -diag)
+            hi = min(nq - 1, ns - 1 - diag)
+            if lo > hi:
+                continue
+            i0 = rng.randint(lo, hi)
+            tasks.append((qs, ss, diag, i0))
+        got = _xdrop_extend_batch(tasks, xdrop)
+        for task, g in zip(tasks, got):
+            want = _xdrop_extend(task[0], task[1], task[2], task[3], xdrop)
+            assert g == want, (task, xdrop, g, want)
