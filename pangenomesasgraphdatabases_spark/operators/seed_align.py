@@ -310,12 +310,25 @@ def _xdrop_extend_batch(
     diag = np.array([t[2] for t in tasks], dtype=np.int64)
     i0 = np.array([t[3] for t in tasks], dtype=np.int64)
     max_nq, max_ns = int(nq.max()), int(ns.max())
-    Q = np.zeros((n, max_nq), dtype=np.uint8)
-    S = np.zeros((n, max_ns), dtype=np.uint8)
+    # Dedup sequences across tasks: many tasks share a sequence (one
+    # hot subject on many diagonals/islands), and padding a copy PER
+    # TASK re-replicates the payload inside the worker — a megabase
+    # subject on 64 diagonals would cost 64 MB/pair (measured as a
+    # worker OOM on the long-subject fixture).  One padded row per
+    # DISTINCT sequence, gathered through per-task index maps.
+    uq: dict[str, int] = {}
+    us: dict[str, int] = {}
+    qmap = np.empty(n, dtype=np.int64)
+    smap = np.empty(n, dtype=np.int64)
     for t, (qs, ss, _, _) in enumerate(tasks):
-        Q[t, : len(qs)] = np.frombuffer(qs.encode(), np.uint8)
-        S[t, : len(ss)] = np.frombuffer(ss.encode(), np.uint8)
-    tix = np.arange(n)
+        qmap[t] = uq.setdefault(qs, len(uq))
+        smap[t] = us.setdefault(ss, len(us))
+    Q = np.zeros((len(uq), max_nq), dtype=np.uint8)
+    S = np.zeros((len(us), max_ns), dtype=np.uint8)
+    for qs, k in uq.items():
+        Q[k, : len(qs)] = np.frombuffer(qs.encode(), np.uint8)
+    for ss, k in us.items():
+        S[k, : len(ss)] = np.frombuffer(ss.encode(), np.uint8)
 
     def sweep(direction: int):
         """direction +1: right from i0; -1: left from i0-1.  Returns
@@ -337,7 +350,7 @@ def _xdrop_extend_batch(
                 break
             ic = np.clip(i, 0, max_nq - 1)
             jc = np.clip(j, 0, max_ns - 1)
-            m = np.where(Q[tix, ic] == S[tix, jc], MATCH, MISMATCH)
+            m = np.where(Q[qmap, ic] == S[smap, jc], MATCH, MISMATCH)
             score = np.where(active, score + m, score)
             upd = active & (score > best)
             best = np.where(upd, score, best)
@@ -611,11 +624,21 @@ def _banded_sw_batch(
     ns = np.array([len(t[1]) for t in tasks], dtype=np.int64)
     diag = np.array([t[2] for t in tasks], dtype=np.int64)
     max_nq, max_ns = int(nq.max()), int(ns.max())
-    Q = np.zeros((n, max_nq), dtype=np.uint8)
-    S = np.zeros((n, max_ns), dtype=np.uint8)
+    # one padded row per DISTINCT sequence (see _xdrop_extend_batch —
+    # per-task padding re-replicates shared payloads in the worker)
+    uq: dict[str, int] = {}
+    us: dict[str, int] = {}
+    qmap = np.empty(n, dtype=np.int64)
+    smap = np.empty(n, dtype=np.int64)
     for t, (qs, ss, _) in enumerate(tasks):
-        Q[t, : len(qs)] = np.frombuffer(qs.encode(), np.uint8)
-        S[t, : len(ss)] = np.frombuffer(ss.encode(), np.uint8)
+        qmap[t] = uq.setdefault(qs, len(uq))
+        smap[t] = us.setdefault(ss, len(us))
+    Q = np.zeros((len(uq), max_nq), dtype=np.uint8)
+    S = np.zeros((len(us), max_ns), dtype=np.uint8)
+    for qs, k in uq.items():
+        Q[k, : len(qs)] = np.frombuffer(qs.encode(), np.uint8)
+    for ss, k in us.items():
+        S[k, : len(ss)] = np.frombuffer(ss.encode(), np.uint8)
 
     ar = np.arange(W, dtype=np.int64)
     tix = np.arange(n)
@@ -636,8 +659,8 @@ def _banded_sw_batch(
         j = i + diag[:, None] - band + ar[None, :]  # (n, W)
         valid = (j >= 0) & (j < ns[:, None]) & (i < nq)[:, None]
         jc = np.clip(j, 0, max_ns - 1)
-        qc = Q[tix, np.minimum(i, max_nq - 1)][:, None]
-        m = np.where(qc == S[tix[:, None], jc], MATCH, MISMATCH)
+        qc = Q[qmap, np.minimum(i, max_nq - 1)][:, None]
+        m = np.where(qc == S[smap[:, None], jc], MATCH, MISMATCH)
         # fresh start
         sc = m.copy()
         mt = (m > 0).astype(np.int64)
