@@ -1064,3 +1064,89 @@ def blast_builtin_gapped_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "gaps",
     )
+
+
+@register(
+    "blast_builtin_enrich",
+    oracle=f"""
+    WITH {_BLAST_SUBJ_ONLY_SQL.strip()},
+    qs AS (
+        SELECT 'q_' || subject_id || '_' || CAST(off AS VARCHAR) AS cluster_id,
+               substr(sequence, off, {_BLAST_QLEN}) AS qseq
+        FROM subjects, (VALUES {", ".join(f"({o})" for o in _BLAST_OFFSETS)})
+             o(off)
+    ),
+    hits AS (
+        SELECT q.cluster_id, s.subject_id AS title
+        FROM qs q, subjects s,
+             generate_series(1, 256 - {_BLAST_QLEN} + 1) t(p)
+        WHERE substr(s.sequence, p, {_BLAST_QLEN}) = q.qseq
+    ),
+    agg AS (
+        SELECT cluster_id,
+               CAST(count(*) AS INT) AS n_hits,
+               string_agg(title, ';' ORDER BY title) AS titles
+        FROM hits GROUP BY cluster_id
+    )
+    SELECT q.cluster_id,
+           (a.cluster_id IS NOT NULL) AS has_hit,
+           coalesce(a.n_hits, 0) AS n_hits,
+           coalesce(a.titles, '') AS titles,
+           CASE WHEN a.cluster_id IS NOT NULL
+                THEN CAST(round(100.0 * (1.28 * {_BLAST_QLEN} - ln(0.46))
+                                / ln(2.0)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS bit_x100
+    FROM qs q LEFT JOIN agg a ON q.cluster_id = a.cluster_id
+    """,
+    tags=("S11", "S14", "aligner", "enrich"),
+)
+def blast_builtin_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 -> S14 end-to-end with NO binary: the builtin aligner's
+    hits flow through the Karlin-Altschul surface
+    (:func:`with_bitscore`), the blast-table adapter, and the
+    reference's cluster-enrichment writeback
+    (``enrich_clusters_with_blast`` — the grouped collect + left join
+    replacing extendingDB_performingBlast.py:107-142's per-cluster
+    SET loop), all under one driver hash.  Hits are projected to the
+    full-length exact subset first (same structural argument as
+    ``blast_builtin_exact_hits``: the oracle enumerates them by
+    substring scan), so every downstream value is closed-form: the
+    sorted title list, the hit count, and the bit score of a
+    24-match ungapped HSP as an integer x100 (float-safe hash)."""
+    from pangenomesasgraphdatabases_spark.graph.enrich import (
+        enrich_clusters_with_blast,
+    )
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits,
+        builtin_hits_as_blast_table,
+        with_bitscore,
+    )
+
+    q, s = _blast_corpus(spark)
+    clusters = q.select(F.col("query_id").alias("cluster_id"))
+    hits = builtin_blast_hits(q, s, min_score=20).filter(
+        (F.col("align_len") == _BLAST_QLEN)
+        & (F.col("n_matches") == _BLAST_QLEN)
+    )
+    table = builtin_hits_as_blast_table(
+        with_bitscore(hits, m=_BLAST_QLEN, n=8 * 256)
+    )
+    enriched = enrich_clusters_with_blast(clusters, table)
+    return enriched.select(
+        "cluster_id",
+        F.col("hasBlastVirusHit").alias("has_hit"),
+        F.coalesce(F.size("blastTitlesVirus"), F.lit(0)).cast("int").alias(
+            "n_hits"
+        ),
+        F.coalesce(
+            F.array_join("blastTitlesVirus", ";"), F.lit("")
+        ).alias("titles"),
+        F.when(
+            F.col("hasBlastVirusHit"),
+            F.round(
+                F.element_at("blastScoresVirus", 1) * 100
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("bit_x100"),
+    )

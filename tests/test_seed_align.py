@@ -439,3 +439,22 @@ def test_xdrop_batch_matches_scalar():
         for task, g in zip(tasks, got):
             want = _xdrop_extend(task[0], task[1], task[2], task[3], xdrop)
             assert g == want, (task, xdrop, g, want)
+
+
+def test_builtin_enrich_registered_query_matches_oracle(spark):
+    """blast_builtin_enrich (r13 post-freeze): the S11 -> S14
+    end-to-end pipe — builtin hits through with_bitscore, the blast
+    table adapter, and enrich_clusters_with_blast — equals its
+    closed-form DuckDB oracle row-for-row, with every cluster present
+    (hit or not) and the bit score pinned as an integer x100."""
+    import duckdb
+
+    from pangenomesasgraphdatabases_spark.queries.registry import all_queries
+
+    qq = all_queries()["blast_builtin_enrich"]
+    got = sorted(
+        tuple(r) for r in qq.fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(qq.oracle).fetchall())
+    assert got == want and len(got) == 24
+    assert all(r[1] for r in got)  # every planted cluster has its hit
