@@ -18,9 +18,9 @@ genuinely real for these formats.  The video/audio CONTAINER layer
 operators/containers — so the remaining boundary where PIL/ffmpeg
 would plug in is the compressed elementary-stream decode inside those
 containers (H.264/AAC/Vorbis/Opus DSP) and the exotic still-image
-variants nothing in the pipeline emits (sub-8-bit-grayscale PNG,
-arithmetic/lossless/12-bit JPEG), each a documented
-NotImplementedError.
+variants nothing in the pipeline emits (arithmetic/lossless/12-bit
+JPEG), each a documented NotImplementedError — PNG itself is now
+complete across every legal depth/color-type/interlace combination.
 
 Encoders are provided too (fixture generation, resize re-encode);
 every codec round-trips bit-exactly (pytest property — PNG is
@@ -499,11 +499,12 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"invalid palette bit depth {depth}")
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
+    elif ctype_n == 0:
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"invalid grayscale bit depth {depth}")
     elif depth not in (8, 16):
-        raise NotImplementedError(
-            f"only 8/16-bit gray/RGB(A) channels supported (depth="
-            f"{depth}, color type={ctype_n}); sub-8-bit grayscale is "
-            "the documented boundary"
+        raise ValueError(
+            f"invalid bit depth {depth} for color type {ctype_n}"
         )
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
@@ -526,6 +527,14 @@ def decode_png(data: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of PLTE range")
         return plte[idx]
+    if ctype_n == 0 and depth < 8:
+        # sub-8-bit grayscale: expand to the 8-bit range by the
+        # spec's max-value scaling (v * 255 / (2^depth - 1) — exact
+        # for these depths: bit replication)
+        gray = (
+            out[..., 0].astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+        return np.repeat(gray[..., None], 3, axis=2)
     if ctype_n == 2:
         return out
     if ctype_n == 6:

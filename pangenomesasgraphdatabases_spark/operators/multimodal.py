@@ -20,7 +20,8 @@ tiers (r5):
   1/2/4/8) and Adam7 interlace decode for real too.  The residual
   ffmpeg boundary is the compressed elementary-stream DECODE inside
   those containers (H.264/AAC/Vorbis/Opus DSP), plus
-  arithmetic/lossless/12-bit JPEG and sub-8-bit-gray PNG.
+  arithmetic/lossless/12-bit JPEG (PNG decode is complete across
+  every legal depth/color-type/interlace combination).
 * ``decode_stub=True`` keeps the deterministic byte-level fake
   features (the oracle-hashed `media_feature_extract` path, which
   wraps text payloads — not decodable media).

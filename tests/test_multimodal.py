@@ -497,10 +497,12 @@ def test_png_rejects_documented_variants_and_corruption():
             b"IEND", b""
         )
 
-    # sub-8-bit grayscale: the documented NotImplementedError boundary
-    # (16-bit channels decode since r13)
-    with pytest.raises(NotImplementedError, match="depth=4"):
-        decode_png(build_hdr(0, 0, depth=4))
+    # malformed depth/color-type combinations are errors (every LEGAL
+    # combination decodes since r13)
+    with pytest.raises(ValueError, match="invalid"):
+        decode_png(build_hdr(0, 0, depth=3))
+    with pytest.raises(ValueError, match="invalid"):
+        decode_png(build_hdr(2, 0, depth=4))
     # palette stream without a PLTE chunk is malformed
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(build_hdr(3, 0))
@@ -959,3 +961,53 @@ def test_png_16bit_channels_decode():
     rgba = rng.integers(0, 65536, (4, 6, 4), dtype=np.uint16)
     got = decode_png(build16(rgba, 6, 4))
     assert (got == (rgba[..., :3] >> 8)).all()
+
+
+def test_png_sub8bit_grayscale_decode():
+    """Sub-8-bit grayscale (depths 1/2/4) decodes via the spec's
+    max-value scaling (exact bit replication: 1-bit -> 0/255,
+    2-bit -> v*85, 4-bit -> v*17), broadcast to the RGB contract —
+    including under Adam7 where pass rows pack at sub-byte width."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        _adam7_passes,
+        _pack_bits,
+        _png_chunk,
+        _png_filter_row,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(43)
+    for depth in (1, 2, 4):
+        vals = rng.integers(0, 1 << depth, (9, 13), dtype=np.uint8)
+        for interlace in (0, 1):
+            raw = bytearray()
+            passes = (
+                _adam7_passes(13, 9) if interlace else ((0, 0, 1, 1, 13, 9),)
+            )
+            for x0, y0, dx, dy, pw, ph in passes:
+                sub = vals[y0::dy, x0::dx]
+                prev = bytes((pw * depth + 7) // 8)
+                for y in range(ph):
+                    packed = _pack_bits(sub[y], depth)
+                    raw.append(0)
+                    raw += _png_filter_row(0, packed, prev, 1)
+                    prev = packed
+            ihdr = struct.pack(">IIBBBBB", 13, 9, depth, 0, 0, 0, interlace)
+            blob = (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b"")
+            )
+            got = decode_png(blob)
+            want8 = (
+                vals.astype(np.uint16) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8)
+            assert (got == np.repeat(want8[..., None], 3, axis=2)).all(), (
+                depth, interlace,
+            )
