@@ -52,11 +52,13 @@ is the default — the reference's virus-screen use case is
 high-identity hit detection, where ungapped HSPs carry the signal —
 and :func:`builtin_blast_hits_gapped` adds indel tolerance via
 banded Smith-Waterman around the top ``max_diags`` seeded diagonals
-per pair (raw-score ranking; published ungapped lambda/K do not
-apply to gapped scores), so a two-locus homology on far-apart
-diagonals yields two hits, as ``hit.alignments`` iteration at
-extendingDB_performingBlast.py:95-105 consumes.  ``run_blastn``
-remains the exact-parity path when a binary exists.
+per pair (gapped Karlin-Altschul parameters ``KA_GAPPED_*`` attach
+via ``with_bitscore(..., gapped=True)`` — the ungapped lambda/K do
+not apply to gapped scores), so a two-locus homology on far-apart
+diagonals yields two hits, matching the per-subject description rows
+(best score per subject) readBlast consumes at
+extendingDB_performingBlast.py:82-105.  ``run_blastn`` remains the
+exact-parity path when a binary exists.
 """
 
 from __future__ import annotations
@@ -77,6 +79,21 @@ KA_K = 0.46
 # (NCBI's published value for this matrix) — drives the BLAST
 # effective-length adjustment.
 KA_H = 1.10
+# GAPPED Karlin-Altschul parameters for the builtin gapped path
+# (VERDICT r13 #4).  NCBI publishes gapped (lambda, K, H) per
+# (reward, penalty, gap_open, gap_extend) regime in blast_stat.c's
+# blastn_values_1_2 table; this engine's linear ``gap = -3`` per gap
+# column is bracketed by two published (1,-2) rows — open 1 / extend
+# 2 (a length-k gap costs 2k+1 <= 3k for all k >= 1) below and open
+# 3 / extend 3 (3k+3 >= 3k) above.  Cheaper gaps admit more
+# high-scoring random alignments, i.e. smaller lambda — so the
+# cheaper bracket's parameters (lambda 0.85, K 0.23, H 0.66 for
+# open 1 / extend 2) are the CONSERVATIVE choice: bit scores are
+# never overstated and e-values never understated relative to the
+# true (unpublished) linear-3 values.
+KA_GAPPED_LAMBDA = 0.85
+KA_GAPPED_K = 0.23
+KA_GAPPED_H = 0.66
 
 _HIT_SCHEMA = (
     "query_id string, subject_id string, q_start int, s_start int, "
@@ -154,15 +171,21 @@ def _low_complexity(kmer_col, word_size: int):
     """DUST-style low-complexity predicate for one k-mer, JVM-side:
     count DISTINCT triplets inside the word (blastn's dust works on
     triplet composition over windows; at word granularity a k-mer
-    whose 9 triplets collapse to <= 3 distinct values is a
-    homopolymer / short-period repeat — poly-A has 1, (AT)n has 2,
-    (ACG)n has 3).  Composed from aggregate over a position sequence
-    + array_distinct, no UDF."""
+    whose triplets collapse to few distinct values is a homopolymer /
+    short-period repeat — poly-A has 1, (AT)n has 2, (ACG)n has 3).
+    The cutoff SCALES with the word: a period-p repeat contributes p
+    distinct triplets however long the word, so ``max(3, (word_size -
+    2) // 3)`` keeps the masked period growing with word_size (at the
+    default 11 it is the classic <= 3; a fixed 3 would let period-4+
+    repeats through 28-mers — ADVICE r13).  Composed from aggregate
+    over a position sequence + array_distinct, no UDF."""
     triplets = F.transform(
         F.sequence(F.lit(1), F.lit(word_size - 2)),
         lambda i: F.substring(kmer_col, i, 3),
     )
-    return F.size(F.array_distinct(triplets)) <= 3
+    return F.size(F.array_distinct(triplets)) <= max(
+        3, (word_size - 2) // 3
+    )
 
 
 def _pair_candidates(
@@ -173,6 +196,7 @@ def _pair_candidates(
     keep_positions: bool,
     max_diags: int | None = None,
     mask_low_complexity: bool = False,
+    broadcast_seqs: bool = True,
 ) -> DataFrame:
     """Shared seeding front half: k-mer inverted-index join with the
     overrepresented-word cap, collapsed to ONE row per (query,
@@ -180,7 +204,23 @@ def _pair_candidates(
     positions when ``keep_positions``), with both sequences attached
     exactly once per pair.  ``max_diags`` keeps only the top-N
     diagonals per pair by seed count (ties: lowest diagonal) — the
-    gapped path's banded-DP budget."""
+    gapped path's banded-DP budget.
+
+    ``broadcast_seqs`` picks the sequence-attach regime (VERDICT r13
+    #2 / ADVICE r13 — the pin must not depend on AQE's silent
+    broadcast decision):
+
+    * True (default): both sequence frames join under an EXPLICIT
+      ``F.broadcast`` hint — payloads never shuffle and the
+      round-robin pin placed before the joins survives to the
+      extension stage whatever ``autoBroadcastJoinThreshold`` says.
+      Above Spark's ~8 GB broadcast hard cap this fails LOUDLY
+      instead of silently unpinning.
+    * False (corpora too big to broadcast): the joins run as
+      shuffle joins and the round-robin pin moves AFTER them — the
+      payloads shuffle (unavoidable in this regime: the join itself
+      must move them) plus one extra round-robin pass to restore the
+      pinned width the keyed join exchange discarded."""
     qk = _kmers(queries, "query_id", word_size, "q_pos")
     sk = _kmers(subjects, "subject_id", word_size, "s_pos")
     if mask_low_complexity:
@@ -220,9 +260,7 @@ def _pair_candidates(
         F.sort_array(F.collect_list(diag_struct)).alias("diags")
     )
     # Pin the extension stage's parallelism with an EXPLICIT
-    # round-robin width on the slim candidate frame BEFORE sequences
-    # attach (payloads still never shuffle — the sequence joins
-    # broadcast under it).  The extension is CPU-bound per row, so
+    # round-robin width.  The extension is CPU-bound per row, so
     # AQE's byte-based partition coalescing is exactly wrong for it:
     # measured 88 s fused vs 13 s pinned on the 200x50
     # reference-scale corpus — AQE saw a "small" post-agg frame and
@@ -237,13 +275,28 @@ def _pair_candidates(
         session_shuffle_floor,
     )
 
-    cand = cand.repartition(session_shuffle_floor(queries.sparkSession))
-    return cand.join(
-        queries.select("query_id", F.col("sequence").alias("_qs")),
-        "query_id",
-    ).join(
-        subjects.select("subject_id", F.col("sequence").alias("_ss")),
-        "subject_id",
+    width = session_shuffle_floor(queries.sparkSession)
+    qs_dim = queries.select("query_id", F.col("sequence").alias("_qs"))
+    ss_dim = subjects.select("subject_id", F.col("sequence").alias("_ss"))
+    if broadcast_seqs:
+        # Pin BEFORE the joins on the slim candidate frame; the
+        # explicit broadcast hints guarantee the joins preserve the
+        # pinned partitioning (a silent sort-merge fallback above the
+        # auto-broadcast threshold would re-shuffle by key and undo
+        # the pin — ADVICE r13; tests/test_plans.py asserts the plan
+        # shape on both sides of the threshold).
+        return (
+            cand.repartition(width)
+            .join(F.broadcast(qs_dim), "query_id")
+            .join(F.broadcast(ss_dim), "subject_id")
+        )
+    # Big-corpus regime: shuffle joins move the payloads anyway; the
+    # round-robin pin re-applies AFTER them so the extension width is
+    # explicit whatever the join exchanges negotiated.
+    return (
+        cand.join(qs_dim, "query_id")
+        .join(ss_dim, "subject_id")
+        .repartition(width)
     )
 
 
@@ -395,6 +448,7 @@ def builtin_blast_hits(
     min_score: int = 28,
     max_kmer_df: int = 64,
     mask_low_complexity: bool = False,
+    broadcast_seqs: bool = True,
 ) -> DataFrame:
     """Ungapped seed-and-extend hits between ``queries`` and
     ``subjects`` (both ``(.., sequence)`` frames with ``query_id`` /
@@ -414,11 +468,14 @@ def builtin_blast_hits(
     score)`` — 1-based starts, integer raw score under +1/-2.
 
     ``mask_low_complexity=True`` additionally drops DUST-style
-    low-complexity words (<= 3 distinct triplets — homopolymers and
-    short-period repeats) from seeding on both sides, blastn's
+    low-complexity words (few distinct triplets — homopolymers and
+    short-period repeats; cutoff scales with ``word_size``, see
+    :func:`_low_complexity`) from seeding on both sides, blastn's
     ``-dust yes`` analog: the corpus-frequency cap alone cannot catch
     a repeat tract that is rare in a SMALL database.  Default off —
     the reference pipeline screens curated cluster representatives.
+    ``broadcast_seqs=False`` switches the sequence-attach joins to
+    the big-corpus shuffle regime (see :func:`_pair_candidates`).
 
     Use :func:`with_bitscore` to attach bit score / e-value columns
     for the ``enrich_clusters_with_blast`` surface."""
@@ -429,6 +486,7 @@ def builtin_blast_hits(
         max_kmer_df,
         keep_positions=True,
         mask_low_complexity=mask_low_complexity,
+        broadcast_seqs=broadcast_seqs,
     )
     merge_gap = word_size + xdrop // 2
 
@@ -503,20 +561,37 @@ def effective_length_adjustment(
 
 
 def with_bitscore(
-    hits: DataFrame, m: int, n: int, effective_lengths: bool = False
+    hits: DataFrame,
+    m: int,
+    n: int,
+    effective_lengths: bool = False,
+    gapped: bool = False,
 ) -> DataFrame:
-    """Attach Karlin-Altschul bit score and e-value columns (ungapped
-    +1/-2 parameters; ``m``/``n`` are the query/database lengths the
+    """Attach Karlin-Altschul bit score and e-value columns (+1/-2
+    parameters; ``m``/``n`` are the query/database lengths the
     e-value search space uses).  Default keeps RAW lengths (the r12
     documented simplification — the reference pipeline only
     thresholds and ranks, which raw lengths preserve);
     ``effective_lengths=True`` applies BLAST's length adjustment
     (:func:`effective_length_adjustment`) so the search space is
-    ``(m - l)(n - l)`` as blastn reports."""
+    ``(m - l)(n - l)`` as blastn reports.
+
+    ``gapped=True`` switches to the GAPPED parameters
+    (``KA_GAPPED_*`` — the conservative published bracket of the
+    linear ``-3`` regime, VERDICT r13 #4), so gapped and ungapped
+    hits threshold on ONE bit/e-value scale exactly as blastn
+    reports per HSP and the reference's hits-table consumers expect
+    (readBlast's description rows carry blastn's gapped scores,
+    extendingDB_performingBlast.py:82-105)."""
+    lam, kk, hh = (
+        (KA_GAPPED_LAMBDA, KA_GAPPED_K, KA_GAPPED_H)
+        if gapped
+        else (KA_LAMBDA, KA_K, KA_H)
+    )
     if effective_lengths:
-        adj = effective_length_adjustment(m, n)
+        adj = effective_length_adjustment(m, n, k=kk, h=hh)
         m, n = max(m - adj, 1), max(n - adj, 1)
-    bit = (KA_LAMBDA * F.col("score") - math.log(KA_K)) / math.log(2.0)
+    bit = (lam * F.col("score") - math.log(kk)) / math.log(2.0)
     return hits.withColumn("bit_score", bit).withColumn(
         "evalue", F.lit(float(m)) * F.lit(float(n)) * F.pow(F.lit(2.0), -bit)
     )
@@ -525,12 +600,25 @@ def with_bitscore(
 def builtin_hits_as_blast_table(hits_with_bits: DataFrame) -> DataFrame:
     """Adapter to the ``blast_hits_from_xml`` output surface so
     ``enrich_clusters_with_blast`` runs unchanged on builtin hits:
-    (cluster_id, title, score, evalue)."""
-    return hits_with_bits.select(
-        F.col("query_id").alias("cluster_id"),
-        F.col("subject_id").alias("title"),
-        F.round("bit_score", 2).alias("score"),
-        "evalue",
+    (cluster_id, title, score, evalue) — ONE row per (cluster,
+    subject), keeping the best HSP's score (and its e-value: bit
+    score and e-value are monotone images of each other, so max
+    score and min evalue name the same HSP).  The reference's
+    readBlast iterates ``blast_record.descriptions`` — one entry PER
+    SUBJECT carrying the best score, however many HSPs the subject
+    produced (extendingDB_performingBlast.py:82-105, the
+    ``description.title/score/e`` loop at :97) — so a multi-HSP
+    subject must not fan out duplicate titles in
+    ``blastTitlesVirus`` (ADVICE r13)."""
+    return (
+        hits_with_bits.select(
+            F.col("query_id").alias("cluster_id"),
+            F.col("subject_id").alias("title"),
+            F.round("bit_score", 2).alias("score"),
+            "evalue",
+        )
+        .groupBy("cluster_id", "title")
+        .agg(F.max("score").alias("score"), F.min("evalue").alias("evalue"))
     )
 
 
@@ -754,6 +842,7 @@ def builtin_blast_hits_gapped(
     max_kmer_df: int = 64,
     max_diags: int = 4,
     mask_low_complexity: bool = False,
+    broadcast_seqs: bool = True,
 ) -> DataFrame:
     """Gapped variant of :func:`builtin_blast_hits`: the same
     inverted-index seeding, overrepresented-word cap, and
@@ -767,9 +856,11 @@ def builtin_blast_hits_gapped(
     ``max_diags`` seed-count cut is the documented recall limit on
     many-locus subjects — raise ``max_diags`` for repeat-rich
     corpora).  Output adds a ``gaps`` column; scores are raw
-    +1/-2/gap (the published Karlin-Altschul ungapped lambda/K do
-    not apply to gapped scores, so rank/threshold on the raw score —
-    exactly how the reference pipeline consumes hits).
+    +1/-2/gap — attach bit scores / e-values with
+    :func:`with_bitscore(..., gapped=True)` (the ``KA_GAPPED_*``
+    parameters; the UNGAPPED lambda/K do not apply to gapped scores)
+    so gapped and ungapped hits threshold on one scale as blastn
+    reports per HSP.
 
     Scale shape: identical to the ungapped path until extension (the
     join IS the work); the banded DP is O(|q| * band) per kept
@@ -784,6 +875,7 @@ def builtin_blast_hits_gapped(
         keep_positions=False,
         max_diags=max_diags,
         mask_low_complexity=mask_low_complexity,
+        broadcast_seqs=broadcast_seqs,
     )
 
     def extend(batches: Iterable) -> Iterator:

@@ -496,6 +496,7 @@ def with_so_type(
     df: DataFrame,
     src_col: str = "feature_type",
     type_map: dict | DataFrame | None = None,
+    on_conflict: str = "error",
 ) -> DataFrame:
     """Add an ``so_type`` column: the Sequence Ontology term for the
     GenBank feature key (bp_genbank2gff3.pl map_types, :1180), keys
@@ -513,23 +514,59 @@ def with_so_type(
       fallback.  The scale-correct form for an obo-derived map: a
       full ontology table runs to thousands of entries, where a
       chained CASE would blow up the expression tree, while the map
-      side stays trivially broadcastable."""
+      side stays trivially broadcastable.
+
+    ``on_conflict`` governs the table path when one ``ft_key`` maps
+    to DIFFERENT ``so_type`` values (the dict path makes such
+    conflicts impossible, so silently picking a winner would mask a
+    data error — ADVICE r13).  Exact-duplicate rows always dedup
+    harmlessly; genuine conflicts either
+
+    * ``"error"`` (default) — raise at EXECUTION time (a lazy
+      ``raise_error`` branch: building the plan stays jobless, per
+      the test_plans no-eager-actions contract) for any conflicted
+      key a feature row actually resolves through, naming the key;
+    * ``"max"`` — keep the deterministic lexicographic-max winner
+      (the pre-r14 behavior, for callers that curate the table)."""
     if type_map is None or isinstance(type_map, dict):
         literal = FT_SO_SUBSET if type_map is None else type_map
         expr = F.col(src_col)
         for k, v in sorted(literal.items()):
             expr = F.when(F.col(src_col) == k, F.lit(v)).otherwise(expr)
         return df.withColumn("so_type", expr)
+    if on_conflict not in ("error", "max"):
+        raise ValueError(f"on_conflict must be 'error' or 'max': {on_conflict}")
     # A duplicate ft_key row in a user-supplied map table would
     # silently FAN OUT feature rows through the join — impossible in
     # the dict path, so the table path must dedup (ADVICE r12).
-    # max() keeps the reduction deterministic (dropDuplicates picks
-    # an arbitrary survivor, which would float the driver hash).
-    m = type_map.groupBy(F.col("ft_key").alias("__ft_key")).agg(
-        F.max("so_type").alias("__so")
+    # distinct() first: exact re-statements of one mapping are not
+    # conflicts; max() keeps the reduction deterministic
+    # (dropDuplicates picks an arbitrary survivor, which would float
+    # the driver hash) and the distinct-value count feeds the
+    # conflict guard.
+    m = (
+        type_map.select(
+            F.col("ft_key").alias("__ft_key"), F.col("so_type").alias("__so")
+        )
+        .distinct()
+        .groupBy("__ft_key")
+        .agg(F.max("__so").alias("__so"), F.count(F.lit(1)).alias("__n"))
     )
+    so = F.coalesce(F.col("__so"), F.col(src_col))
+    if on_conflict == "error":
+        so = F.when(
+            F.col("__n") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("with_so_type: conflicting so_type values for "
+                          "ft_key '"),
+                    F.col("__ft_key"),
+                    F.lit("' in the supplied type map"),
+                )
+            ).cast("string"),
+        ).otherwise(so)
     return (
         df.join(F.broadcast(m), F.col(src_col) == F.col("__ft_key"), "left")
-        .withColumn("so_type", F.coalesce(F.col("__so"), F.col(src_col)))
-        .drop("__ft_key", "__so")
+        .withColumn("so_type", so)
+        .drop("__ft_key", "__so", "__n")
     )

@@ -776,8 +776,8 @@ def test_so_type_mapping_table_driven(spark):
 def test_so_type_map_duplicate_key_does_not_fan_out(spark):
     """ADVICE r12: a duplicate ft_key row in a user-supplied map
     table must not duplicate feature rows through the broadcast join
-    — the table path dedups deterministically (max so_type), so row
-    count is preserved and the survivor is stable."""
+    — the table path dedups deterministically, so row count is
+    preserved and (under on_conflict='max') the survivor is stable."""
     from pangenomesasgraphdatabases_spark.sources.genbank import with_so_type
 
     feats = spark.createDataFrame(
@@ -788,8 +788,51 @@ def test_so_type_map_duplicate_key_does_not_fan_out(spark):
         [("CDS", "CDS"), ("CDS", "zzz_conflicting"), ("tRNA", "tRNA")],
         ["ft_key", "so_type"],
     )
-    out = with_so_type(feats, type_map=dup_map).collect()
+    out = with_so_type(feats, type_map=dup_map, on_conflict="max").collect()
     assert len(out) == 3  # no fan-out
     got = {r.feature_id: r.so_type for r in out}
     assert got == {"f1": "zzz_conflicting", "f2": "tRNA",
                    "f3": "zzz_conflicting"}
+
+
+def test_so_type_map_conflicting_values_raise_by_default(spark):
+    """ADVICE r13: one ft_key mapping to DIFFERENT so_type values is
+    a data error the dict path cannot express — the table path must
+    not silently pick a winner.  Default on_conflict='error' raises
+    at execution (lazily — plan construction stays jobless) naming
+    the key; exact-duplicate re-statements of ONE mapping still
+    dedup harmlessly."""
+    import pyspark.errors
+    import pytest
+
+    from pangenomesasgraphdatabases_spark.sources.genbank import with_so_type
+
+    feats = spark.createDataFrame(
+        [("f1", "CDS"), ("f2", "tRNA")], ["feature_id", "feature_type"]
+    )
+    conflict_map = spark.createDataFrame(
+        [("CDS", "CDS"), ("CDS", "zzz_conflicting"), ("tRNA", "tRNA")],
+        ["ft_key", "so_type"],
+    )
+    out = with_so_type(feats, type_map=conflict_map)  # lazy: no raise yet
+    with pytest.raises(Exception, match="conflicting so_type.*CDS"):
+        out.collect()
+    # exact duplicates are NOT conflicts
+    dup_map = spark.createDataFrame(
+        [("CDS", "CDS"), ("CDS", "CDS"), ("tRNA", "tRNA")],
+        ["ft_key", "so_type"],
+    )
+    got = {
+        r.feature_id: r.so_type
+        for r in with_so_type(feats, type_map=dup_map).collect()
+    }
+    assert got == {"f1": "CDS", "f2": "tRNA"}
+    # a conflict on a key NO feature row resolves through stays quiet
+    # (the guard fires where the bad mapping is actually applied)
+    only_trna = spark.createDataFrame(
+        [("f2", "tRNA")], ["feature_id", "feature_type"]
+    )
+    got2 = with_so_type(only_trna, type_map=conflict_map).collect()
+    assert got2[0].so_type == "tRNA"
+    with pytest.raises(ValueError, match="on_conflict"):
+        with_so_type(feats, type_map=dup_map, on_conflict="nope")

@@ -668,3 +668,85 @@ def test_capped_lsh_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     spark.catalog.clearCache()
+
+
+def test_seed_align_width_pin_is_broadcast_proof(spark):
+    """VERDICT r13 #2 / ADVICE r13: the aligner's extension-width pin
+    (the round-robin repartition that stops AQE's byte-based
+    coalescing from serializing the CPU-bound mapInPandas stage —
+    the measured 88 s -> 13 s trap) must survive the sequence-attach
+    joins on BOTH sides of the auto-broadcast threshold:
+
+    * default regime: the sequence dims join under EXPLICIT
+      F.broadcast hints, so even with autoBroadcastJoinThreshold
+      DISABLED the joins are BroadcastHashJoin and the pinned
+      round-robin exchange is the mapInPandas stage's parent — no
+      silent sort-merge fallback can re-shuffle the candidates by
+      key and undo the pin;
+    * broadcast_seqs=False (big-corpus regime): the joins shuffle,
+      and the pin re-applies AFTER them — the round-robin exchange
+      sits between the mapInPandas and the joins."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits,
+    )
+
+    base = _seq_corpus(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the silent-fallback condition ADVICE r13 describes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(builtin_blast_hits(*base))
+        # treeString prints children below parents: the pin exchange
+        # must be under (after) the python extension stage, and the
+        # segment between them — the sequence-attach joins — must be
+        # two BroadcastHashJoins with NO shuffle join (the k-mer
+        # seeding join further down is legitimately sort-merge)
+        mp, rr = plan.index("MapInPandas"), plan.index(
+            "RoundRobinPartitioning"
+        )
+        assert mp < rr
+        seg = plan[mp:rr]
+        assert seg.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in seg and "ShuffledHashJoin" not in seg
+
+        plan2 = _plan(builtin_blast_hits(*base, broadcast_seqs=False))
+        # with the threshold disabled and no hints, nothing broadcasts
+        assert "BroadcastHashJoin" not in plan2
+        mp2, rr2 = plan2.index("MapInPandas"), plan2.index(
+            "RoundRobinPartitioning"
+        )
+        # pin AFTER the joins: the exchange is the stage's direct
+        # child (no join between them)...
+        assert mp2 < rr2
+        seg2 = plan2[mp2:rr2]
+        assert "SortMergeJoin" not in seg2 and "ShuffledHashJoin" not in seg2
+        # ...and the attach joins below it really did shuffle
+        # (seeding + 2 sequence attaches = 3 shuffle joins)
+        below = plan2[rr2:]
+        assert (
+            below.count("SortMergeJoin") + below.count("ShuffledHashJoin")
+            >= 3
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _seq_corpus(spark):
+    import hashlib
+
+    def seq(i):
+        out = []
+        for j in range(8):
+            h = hashlib.md5(f"pin-{i}-{j}".encode()).hexdigest()
+            out.append(
+                h.translate(str.maketrans("0123456789abcdef",
+                                          "ACGTACGTACGTACGT"))
+            )
+        return "".join(out)
+
+    subs = [(f"s{i}", seq(i)) for i in range(6)]
+    qs = [(f"q{i}", s[40:100]) for i, (_, s) in enumerate(subs)]
+    return (
+        spark.createDataFrame(qs, ["query_id", "sequence"]),
+        spark.createDataFrame(subs, ["subject_id", "sequence"]),
+    )

@@ -458,3 +458,111 @@ def test_builtin_enrich_registered_query_matches_oracle(spark):
     want = sorted(tuple(r) for r in duckdb.sql(qq.oracle).fetchall())
     assert got == want and len(got) == 24
     assert all(r[1] for r in got)  # every planted cluster has its hit
+
+
+def test_blast_table_adapter_dedups_per_subject(spark):
+    """ADVICE r13: the reference's readBlast iterates
+    blast_record.descriptions — ONE row per subject carrying the best
+    score (extendingDB_performingBlast.py:82-105) — so a query
+    hitting one subject at TWO loci (two HSPs) must collapse to one
+    (cluster, title) row with the best HSP's score and e-value, not
+    fan duplicate titles into blastTitlesVirus."""
+    from pangenomesasgraphdatabases_spark.graph.enrich import (
+        enrich_clusters_with_blast,
+    )
+
+    # subject carries the query verbatim at 41 AND a one-mismatch
+    # copy at 201 -> two HSPs against the same subject
+    core = _seq(8, 60)
+    mut = ("C" if core[30] != "C" else "G")
+    weak = core[:30] + mut + core[31:]
+    subj = _seq(9, 40) + core + _seq(10, 100) + weak + _seq(11, 40)
+    q, s = _frames(spark, [("c1", core)], [("virus1", subj)])
+    hits = with_bitscore(builtin_blast_hits(q, s), m=60, n=len(subj))
+    assert hits.count() == 2  # really multi-HSP
+    table = builtin_hits_as_blast_table(hits).collect()
+    assert len(table) == 1
+    row = table[0]
+    assert (row.cluster_id, row.title) == ("c1", "virus1")
+    # best HSP kept: the verbatim copy's score/e-value (60 > 60 - 3)
+    import pyspark.sql.functions as SF
+
+    full = (
+        with_bitscore(builtin_blast_hits(q, s), m=60, n=len(subj))
+        .agg(SF.max(SF.round("bit_score", 2)).alias("b"),
+             SF.min("evalue").alias("e"))
+        .collect()[0]
+    )
+    assert row.score == full.b and row.evalue == full.e
+    clusters = spark.createDataFrame([("c1",)], ["cluster_id"])
+    out = enrich_clusters_with_blast(
+        clusters,
+        builtin_hits_as_blast_table(
+            with_bitscore(builtin_blast_hits(q, s), m=60, n=len(subj))
+        ),
+    ).collect()[0]
+    assert out.blastTitlesVirus == ["virus1"]  # no duplicate title
+
+
+def test_gapped_bitscore_parameters(spark):
+    """with_bitscore(gapped=True) attaches the published GAPPED
+    Karlin-Altschul bracket (KA_GAPPED_* — blast_stat.c's (1,-2)
+    open-1/extend-2 row, the conservative side of the linear -3
+    regime): bit = (0.85*S - ln 0.23)/ln 2, e-value = m*n*2^-bit, so
+    gapped and ungapped hits threshold on one scale."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        KA_GAPPED_K,
+        KA_GAPPED_LAMBDA,
+        builtin_blast_hits_gapped,
+    )
+
+    subj = _seq(12, 300)
+    query = subj[100:130] + subj[131:160]  # one deletion
+    q, s = _frames(spark, [("q1", query)], [("s1", subj)])
+    hits = with_bitscore(
+        builtin_blast_hits_gapped(q, s, min_score=20),
+        m=len(query),
+        n=300,
+        gapped=True,
+    ).collect()
+    assert hits
+    h = max(hits, key=lambda r: r.score)
+    want_bit = (KA_GAPPED_LAMBDA * h.score - math.log(KA_GAPPED_K)) / math.log(2.0)
+    assert abs(h.bit_score - want_bit) < 1e-9
+    assert abs(h.evalue - len(query) * 300 * 2.0 ** (-want_bit)) < 1e-15
+    # the gapped bracket is CONSERVATIVE: for the same raw score the
+    # gapped bit score is strictly below the ungapped one
+    ungapped = with_bitscore(
+        builtin_blast_hits_gapped(q, s, min_score=20), m=len(query), n=300
+    ).collect()
+    by_key = {(r.q_start, r.s_start): r for r in ungapped}
+    assert h.bit_score < by_key[(h.q_start, h.s_start)].bit_score
+
+
+def test_dust_threshold_scales_with_word_size(spark):
+    """ADVICE r13: the DUST cutoff scales with word_size — a period-4
+    repeat (4 distinct triplets) passes the classic <=3 at the
+    default word_size=11 but IS masked at word_size=28, where the
+    cutoff grows to max(3, 26//3) = 8."""
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        _low_complexity,
+    )
+
+    rep4 = ("ACGG" * 10)[:28]
+    uniq = _seq(13, 28)
+    df = spark.createDataFrame([(rep4,), (uniq,)], ["kmer"])
+    got11 = {
+        r.kmer: r.m
+        for r in df.select(
+            "kmer",
+            _low_complexity(F.substring("kmer", 1, 11), 11).alias("m"),
+        ).collect()
+    }
+    assert got11[rep4] is False  # classic threshold lets period-4 by
+    got28 = {
+        r.kmer: r.m
+        for r in df.select(
+            "kmer", _low_complexity(F.col("kmer"), 28).alias("m")
+        ).collect()
+    }
+    assert got28[rep4] is True and got28[uniq] is False
