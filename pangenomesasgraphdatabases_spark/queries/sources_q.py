@@ -1150,3 +1150,67 @@ def blast_builtin_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("bit_x100"),
     )
+
+
+@register(
+    "blast_builtin_gapped_enrich",
+    oracle=f"""
+    SELECT 'qg_' || 's' || CAST(i AS VARCHAR) || '_' || CAST(off AS VARCHAR)
+               AS cluster_id,
+           TRUE AS has_hit,
+           CAST(1 AS INT) AS n_hits,
+           's' || CAST(i AS VARCHAR) AS titles,
+           CAST(round(round((0.85 * 20 - ln(0.23)) / ln(2.0), 2) * 100)
+                AS BIGINT) AS bit_x100,
+           CAST(round(ln({_BLAST_QLEN - 1}.0 * 2048.0
+                          * pow(2.0, -((0.85 * 20 - ln(0.23)) / ln(2.0))))
+                      * 1e6) AS BIGINT) AS e_ln_x1e6
+    FROM generate_series(0, 7) t(i),
+         (VALUES {", ".join(f"({o})" for o, _ in _BLAST_DEL)}) o(off)
+    """,
+    tags=("S11", "S14", "aligner", "banded-sw", "enrich"),
+)
+def blast_builtin_gapped_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 gapped path -> S14 writeback with GAPPED Karlin-Altschul
+    statistics under one driver hash (VERDICT r13 #4): the planted
+    single-deletion corpus (one score-20 banded-SW HSP per query, the
+    ``blast_builtin_gapped_hits`` closed form) flows through
+    ``with_bitscore(gapped=True)`` — bit = (lambda_g*S - ln K_g)/ln 2
+    with the published (1,-2) open-1/extend-2 bracket of the linear
+    -3 regime (KA_GAPPED_LAMBDA 0.85, KA_GAPPED_K 0.23) — then the
+    per-subject blast-table adapter and
+    ``enrich_clusters_with_blast`` (reference surface: readBlast's
+    per-subject description rows carry blastn's GAPPED scores and
+    e-values, extendingDB_performingBlast.py:82-105).  Every value is
+    closed-form: bit score as integer x100 via the adapter's 2-dp
+    rounding, and the e-value (m*n*2^-bit over the raw 23 x 2048
+    search space) as round(ln(e)*1e6) — float-safe integers both."""
+    from pangenomesasgraphdatabases_spark.graph.enrich import (
+        enrich_clusters_with_blast,
+    )
+    from pangenomesasgraphdatabases_spark.operators.seed_align import (
+        builtin_blast_hits_gapped,
+        builtin_hits_as_blast_table,
+        with_bitscore,
+    )
+
+    q, s = _blast_del_corpus(spark)
+    clusters = q.select(F.col("query_id").alias("cluster_id"))
+    hits = builtin_blast_hits_gapped(q, s, min_score=19)
+    table = builtin_hits_as_blast_table(
+        with_bitscore(hits, m=_BLAST_QLEN - 1, n=8 * 256, gapped=True)
+    )
+    enriched = enrich_clusters_with_blast(clusters, table)
+    return (
+        enriched.join(table.select("cluster_id", "evalue"), "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("hasBlastVirusHit").alias("has_hit"),
+            F.size("blastTitlesVirus").cast("int").alias("n_hits"),
+            F.array_join("blastTitlesVirus", ";").alias("titles"),
+            F.round(F.element_at("blastScoresVirus", 1) * 100)
+            .cast("long")
+            .alias("bit_x100"),
+            F.round(F.log("evalue") * 1e6).cast("long").alias("e_ln_x1e6"),
+        )
+    )

@@ -566,3 +566,24 @@ def test_dust_threshold_scales_with_word_size(spark):
         ).collect()
     }
     assert got28[rep4] is True and got28[uniq] is False
+
+
+def test_builtin_gapped_enrich_registered_query_matches_oracle(spark):
+    """blast_builtin_gapped_enrich (VERDICT r13 #4): the gapped path's
+    Karlin-Altschul statistics end-to-end — banded-SW hits through
+    with_bitscore(gapped=True), the per-subject adapter and the
+    enrich writeback — equal the closed-form DuckDB oracle, with the
+    GAPPED bracket's bit score and e-value pinned as integers."""
+    import duckdb
+
+    from pangenomesasgraphdatabases_spark.queries.registry import all_queries
+
+    qq = all_queries()["blast_builtin_gapped_enrich"]
+    got = sorted(
+        tuple(r) for r in qq.fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(qq.oracle).fetchall())
+    assert got == want and len(got) == 24
+    # the planted single-deletion HSP: score 20 under the gapped
+    # bracket -> bit 26.65 (x100 = 2665)
+    assert all(r[4] == 2665 for r in got)
