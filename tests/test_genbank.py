@@ -267,22 +267,34 @@ def test_genbank_fuzzy_and_remote_locations():
         _parse_location,
     )
 
-    assert _parse_location("(122.133)..204") == (122, 204, "+", False)
-    assert _parse_location("102^103") == (102, 103, "+", False)
-    assert _parse_location("one-of(1888,1901)..2200") == (
-        1888, 2200, "+", False,
+    assert _parse_location("(122.133)..204") == (
+        122, 204, "+", False, [(122, 204)],
     )
-    assert _parse_location("complement((3.9)..50)") == (3, 50, "-", False)
-    assert _parse_location("<(5.8)..>99") == (5, 99, "+", True)
-    # remote segment dropped from the envelope
+    assert _parse_location("102^103") == (102, 103, "+", False, [(102, 103)])
+    # the comma inside one-of() is NOT a sub-location split
+    assert _parse_location("one-of(1888,1901)..2200") == (
+        1888, 2200, "+", False, [(1888, 2200)],
+    )
+    assert _parse_location("complement((3.9)..50)") == (
+        3, 50, "-", False, [(3, 50)],
+    )
+    assert _parse_location("<(5.8)..>99") == (5, 99, "+", True, [(5, 99)])
+    # remote segment dropped from the envelope AND the segment list
     assert _parse_location("join(J00194.1:100..202,1..245)") == (
-        1, 245, "+", False,
+        1, 245, "+", False, [(1, 245)],
     )
     assert _parse_location("join(1..50,AB012345.2:800..900,60..70)") == (
-        1, 70, "+", False,
+        1, 70, "+", False, [(1, 50), (60, 70)],
     )
     # remote-only -> unparseable locally
     assert _parse_location("J00194.1:100..202") is None
+    # multi-interval split locations keep file-order segments
+    assert _parse_location("join(10..47,85..120)") == (
+        10, 120, "+", False, [(10, 47), (85, 120)],
+    )
+    assert _parse_location("complement(join(130..150,160..190))") == (
+        130, 190, "-", False, [(130, 150), (160, 190)],
+    )
 
 
 def test_genbank_quoted_continuation_and_escaped_quotes(spark, tmp_path):
@@ -647,11 +659,15 @@ def test_so_types_fixture_exercises_map(spark):
 
 
 def test_gff_ids_unique_and_leaf_exons_parent_only(spark):
-    """GFF3 forbids one ID on two features: across the committed
-    fixture tree no non-empty ID repeats, and linked exons (gb_id
-    deliberately empty) emit Parent= with NO ID= instead of
+    """GFF3 forbids one ID on two FEATURES — but one discontinuous
+    feature legitimately spans several rows sharing its ID (the
+    multi-segment join() convention, VERDICT r13 #8).  Across the
+    committed fixture tree a repeated ID must always be such a
+    segment group (identical type + attributes, distinct
+    coordinates), never two distinct features; and linked exons
+    (gb_id deliberately empty) emit Parent= with NO ID= instead of
     duplicating their gene's locus_tag."""
-    from collections import Counter
+    from collections import Counter, defaultdict
 
     from pangenomesasgraphdatabases_spark.sources.genbank import (
         genbank_to_gff,
@@ -659,8 +675,27 @@ def test_gff_ids_unique_and_leaf_exons_parent_only(spark):
 
     rows = genbank_to_gff(spark, f"{GBK}/*.gbk").collect()
     ids = [r.feature_id for r in rows if r.feature_id]
-    dupes = [i for i, c in Counter(ids).items() if c > 1]
-    assert not dupes, f"duplicate GFF IDs: {dupes}"
+    groups = defaultdict(list)
+    for r in rows:
+        if r.feature_id:
+            groups[r.feature_id].append(r)
+    for gid, rs in groups.items():
+        if len(rs) == 1:
+            continue
+        # a repeated ID is one discontinuous feature: same file,
+        # type and attributes, all segment rows distinct
+        assert len({(r.file, r.seqid, r.feature_type, r.attributes)
+                    for r in rs}) == 1, f"ID {gid} spans two features"
+        assert len({(r.start, r.end) for r in rs}) == len(rs), gid
+    # the fixture tree plants exactly these segment groups: strainC's
+    # two-exon mRNA and strainE's intron tRNA + complement ncRNA
+    dupes = sorted(i for i, c in Counter(ids).items() if c > 1)
+    assert dupes == ["C_0001.t01", "E_0001.r01", "E_0002"]
+    e_trna = sorted((r.start, r.end) for r in groups["E_0001.r01"])
+    assert e_trna == [(10, 47), (85, 120)]
+    e_nc = sorted((r.start, r.end) for r in groups["E_0002"])
+    assert e_nc == [(130, 150), (160, 190)]
+    assert all(r.strand == "-" for r in groups["E_0002"])
     exons = [r for r in rows if r.feature_type == "exon"]
     assert exons
     linked = [r for r in exons if "Parent=" in r.attributes]
