@@ -37,10 +37,15 @@ progressive path has a stronger pin: it transmits the SAME quantized
 coefficients as the baseline path, so progressive decode must equal
 baseline decode bit-for-bit on every image.
 
-The decoder raises NotImplementedError with an actionable message
-for the JPEG variants outside huffman-DCT (arithmetic coding,
-lossless, hierarchical, 12-bit precision, 16-bit quant tables) —
-those remain the PIL boundary.
+r14 (VERDICT r13 #6) widens the family to 12-BIT PRECISION: the
+decoder accepts precision-12 frames (level shift 2^11, samples
+reconstructed in [0, 4095] then max-value-scaled onto the uint8 RGB
+surface) and Pq=1 16-bit quantization tables, and ``encode_jpeg12``
+produces extended-sequential (SOF1) 12-bit grayscale streams with
+two-pass optimal Huffman tables — the scientific/medical-corpus
+form.  The decoder raises NotImplementedError with an actionable
+message for the JPEG variants outside huffman-DCT (arithmetic
+coding, lossless, hierarchical) — those remain the PIL boundary.
 """
 
 from __future__ import annotations
@@ -467,6 +472,123 @@ def encode_jpeg(
     )
 
 
+def _encode_block_em(block, qtab, pred, dc_em, ac_em, level=128.0) -> int:
+    """:func:`_encode_block` through the sym/bits emitter interface
+    (``_SymCounter`` for the counting pass, ``_SymWriter`` for the
+    writing pass) with a parameterized level shift — the shared body
+    of the two-pass 12-bit encoder."""
+    coefs = _M @ (block - level) @ _M.T
+    q = np.round(coefs / qtab).astype(np.int64)
+    zz = q.flatten()[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    size = int(abs(diff)).bit_length()
+    dc_em.sym(size)
+    dc_em.bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                ac_em.sym(0x00)  # EOB
+                break
+            run += 1
+            if run == 16:
+                ac_em.sym(0xF0)  # ZRL
+                run = 0
+            continue
+        size = int(abs(v)).bit_length()
+        ac_em.sym((run << 4) | size)
+        ac_em.bits(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    return dc
+
+
+def encode_jpeg12(
+    arr: np.ndarray,
+    qtab: np.ndarray | None = None,
+    quality: int = 85,
+) -> bytes:
+    """(h, w) uint16 grayscale with 12-bit samples (0..4095) ->
+    extended-sequential JFIF JPEG (SOF1, precision 12, T.81 Table
+    B.2) with a 16-bit Pq=1 quantization table — the
+    scientific/medical-corpus still-image form that was this codec's
+    last in-family stub (VERDICT r13 #6).
+
+    The standard Annex K Huffman tables only cover 8-bit magnitude
+    categories, so both tables are built OPTIMALLY for the image via
+    the two-pass Annex K.2 procedure the progressive encoder already
+    uses (count symbols, gen_optimal_table, write) — exactly what
+    real 12-bit encoders ship.  ``qtab`` (natural-order (8, 8),
+    entries 1..65535) overrides the default quality-scaled Annex K
+    luma table x16 (the x16 keeps quantization-step-per-sample-bit
+    parity with the 8-bit path and puts entries above 255, so the
+    Pq=1 wire format is value-exercised, not just parsed)."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_jpeg12 expects (h, w) uint16")
+    if arr.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    if qtab is None:
+        qtab = np.clip(
+            quality_scale(QT_LUMA, quality).astype(np.int64) * 16, 1, 65535
+        )
+    qtab = np.asarray(qtab, dtype=np.int64)
+    if qtab.shape != (8, 8) or qtab.min() < 1 or qtab.max() > 65535:
+        raise ValueError("qtab must be (8, 8) with entries in [1, 65535]")
+    h, w = arr.shape
+    plane = _pad_to(arr.astype(np.float64), 8)
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+
+    def each_block(dc_em, ac_em):
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                pred = _encode_block_em(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    qtab,
+                    pred,
+                    dc_em,
+                    ac_em,
+                    level=2048.0,
+                )
+
+    dc_cnt, ac_cnt = _SymCounter(), _SymCounter()
+    each_block(dc_cnt, ac_cnt)
+    dc_bits, dc_vals = gen_optimal_table(dc_cnt.freq)
+    ac_bits, ac_vals = gen_optimal_table(ac_cnt.freq)
+    bwr = _BitWriter()
+    each_block(
+        _SymWriter(bwr, build_huffman_codes(dc_bits, dc_vals)),
+        _SymWriter(bwr, build_huffman_codes(ac_bits, ac_vals)),
+    )
+    scan = bwr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt16 = seg(
+        0xDB,
+        bytes([0x10])  # Pq=1, tid=0
+        + b"".join(
+            struct.pack(">H", int(x)) for x in qtab.flatten()[ZIGZAG]
+        ),
+    )
+    sof1 = seg(
+        0xC1, bytes([12]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt16
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + sof1 + sos + scan + b"\xff\xd9"
+    )
+
+
 # --- Decoder -----------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
@@ -557,21 +679,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tid = seg[p] >> 4, seg[p] & 15
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables (Pq=1) not supported "
-                        "(12-bit-precision JPEG is the PIL boundary)"
+                if pq == 1:
+                    # 16-bit table entries (big-endian), the Pq=1 form
+                    # 12-bit-precision streams ship (T.81 B.2.4.1) —
+                    # r14 closes this seam (VERDICT r13 #6)
+                    zztab = np.frombuffer(seg, ">u2", 64, p + 1).astype(
+                        np.int64
                     )
-                zztab = np.frombuffer(seg, np.uint8, 64, p + 1).astype(np.int64)
+                    p += 129
+                else:
+                    zztab = np.frombuffer(seg, np.uint8, 64, p + 1).astype(
+                        np.int64
+                    )
+                    p += 65
                 nat = np.zeros(64, dtype=np.int64)
                 nat[ZIGZAG] = zztab
                 qt[tid] = nat.reshape(8, 8)
-                p += 65
         elif marker in (0xC0, 0xC1, 0xC2):
             precision = seg[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(
-                    f"{precision}-bit JPEG not supported (baseline is 8-bit)"
+                    f"{precision}-bit JPEG not supported (huffman-DCT "
+                    "precisions are 8 and 12, T.81 Table B.2)"
                 )
             progressive = marker == 0xC2
             fh, fw = struct.unpack(">HH", seg[1:5])
@@ -580,7 +709,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": precision}
             _, _, _, _, geo = _comp_geometry(frame)
             coefs = [
                 np.zeros((g["bh_pad"], g["bw_pad"], 64), dtype=np.int32)
@@ -808,9 +937,19 @@ def _decode_scan_into(data, pos, frame, scan, coefs, huff, dri, progressive):
 
 def _idct_assemble(frame, coefs, qt):
     """Dequantize + IDCT every block (vectorized per component),
-    assemble planes, upsample by sampling factor, color-convert."""
+    assemble planes, upsample by sampling factor, color-convert.
+
+    12-bit frames level-shift by 2^11 and reconstruct in [0, 4095],
+    then scale to the uint8 RGB output surface by 255/4095
+    (full-range, the same max-value scaling the PNG decoder applies
+    to sub-8-bit samples) — no .5 ties exist on the 255/4095 lattice
+    (255*v*2 = 4095*odd has no integer solution), so the scaling is
+    rounding-mode-proof."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    level = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     full = []
@@ -820,20 +959,30 @@ def _idct_assemble(frame, coefs, qt):
         nat = np.zeros((bh, bw, 64), dtype=np.float64)
         nat[..., ZIGZAG] = arr
         blocks = nat.reshape(bh, bw, 8, 8) * qt[c["tq"]]
-        spatial = np.einsum("ij,abjk,kl->abil", _M.T, blocks, _M) + 128.0
+        spatial = np.einsum("ij,abjk,kl->abil", _M.T, blocks, _M) + level
         plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         p = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         full.append(p[:h, :w])
+
+    def to8(plane: np.ndarray) -> np.ndarray:
+        v = np.clip(np.round(plane), 0, maxv)
+        if prec > 8:
+            v = np.round(v * (255.0 / maxv))
+        return v.astype(np.uint8)
+
     if len(full) == 1:
-        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        g = to8(full[0])
         return np.repeat(g[..., None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - level, full[2] - level
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=-1)
+    if prec > 8:
+        return to8(rgb)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # --- Progressive encoder (T.81 Annex G) --------------------------------------

@@ -229,11 +229,17 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
       keeps Cb=Cr=128 exactly through color conversion.  Dimensions
       ``w = 8*(1 + id % 3)``, ``h = 8*(1 + id % 2)``; block value
       ``g[b] = (id*17 + 23*b) % 256`` (blocks row-major).  Ids with
-      ``(id >> 2) & 1`` encode as PROGRESSIVE (SOF2) streams, the
-      rest baseline — both carry the same quantized coefficients, so
-      the decoded integers (and the oracle) are identical while the
-      hash path exercises both scan structures.  Exactness is pinned
-      by tests/test_multimodal.py over 120 seeds.
+      ``(id >> 3) & 1`` encode as 12-BIT extended-sequential (SOF1,
+      Pq=1 16-bit quant table) grayscale with block value
+      ``g12[b] = (id*17 + 23*b) % 4096`` — bit-exact in the 12-bit
+      domain (DC step 8 divides the DC coefficient), decoding to
+      ``round(g12 * 255/4095)`` on the uint8 surface (VERDICT r13
+      #6); of the rest, ids with ``(id >> 2) & 1`` encode as
+      PROGRESSIVE (SOF2) streams and the remainder baseline — both
+      8-bit forms carry the same quantized coefficients, so their
+      decoded integers are identical while the hash path exercises
+      both scan structures.  Exactness is pinned by
+      tests/test_multimodal.py over 120 seeds.
 
     Runs executor-side in mapInPandas — the driver never sees a
     payload; at scale this is the fixture-injection path a pipeline
@@ -244,6 +250,7 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
 
         from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
             encode_jpeg,
+            encode_jpeg12,
             encode_jpeg_progressive,
         )
         from pangenomesasgraphdatabases_spark.operators.media_codecs import (
@@ -292,24 +299,46 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
                     bw, bh = 1 + mid % 3, 1 + mid % 2
                     w, h = 8 * bw, 8 * bh
                     b = np.arange(bw * bh, dtype=np.int64)
-                    g = ((mid * 17 + 23 * b) % 256).astype(np.uint8)
-                    blocks = g.reshape(bh, bw)
-                    arr = np.repeat(
-                        np.repeat(blocks, 8, axis=0), 8, axis=1
-                    )[..., None].repeat(3, axis=2)
                     mt = "image/jpeg"
-                    # Alternate baseline / progressive per id: the
-                    # decoded pixels are identical (flat blocks at
-                    # quality 100 round-trip bit-exactly through BOTH
-                    # scan structures), so the oracle is unchanged
-                    # while the driver hash pins the progressive
-                    # decode path too.
-                    enc = (
-                        encode_jpeg_progressive
-                        if (mid >> 2) & 1
-                        else encode_jpeg
-                    )
-                    payload = enc(arr, quality=100, subsampling="444")
+                    if (mid >> 3) & 1:
+                        # 12-BIT extended-sequential form (SOF1 +
+                        # Pq=1 16-bit quant table, VERDICT r13 #6):
+                        # flat blocks of 12-bit gray; a DC step of 8
+                        # divides the DC coefficient exactly, so the
+                        # round-trip is bit-exact in the 12-bit
+                        # domain and the decoded uint8 surface is the
+                        # closed form round(g12 * 255/4095) (no .5
+                        # ties on that lattice).  AC entries 4096
+                        # value-exercise the 16-bit wire format.
+                        g12 = ((mid * 17 + 23 * b) % 4096).astype(
+                            np.uint16
+                        )
+                        arr12 = np.repeat(
+                            np.repeat(g12.reshape(bh, bw), 8, axis=0),
+                            8,
+                            axis=1,
+                        )
+                        qt12 = np.full((8, 8), 4096, dtype=np.int64)
+                        qt12[0, 0] = 8
+                        payload = encode_jpeg12(arr12, qtab=qt12)
+                    else:
+                        g = ((mid * 17 + 23 * b) % 256).astype(np.uint8)
+                        blocks = g.reshape(bh, bw)
+                        arr = np.repeat(
+                            np.repeat(blocks, 8, axis=0), 8, axis=1
+                        )[..., None].repeat(3, axis=2)
+                        # Alternate baseline / progressive per id: the
+                        # decoded pixels are identical (flat blocks at
+                        # quality 100 round-trip bit-exactly through
+                        # BOTH scan structures), so the oracle is
+                        # unchanged while the driver hash pins the
+                        # progressive decode path too.
+                        enc = (
+                            encode_jpeg_progressive
+                            if (mid >> 2) & 1
+                            else encode_jpeg
+                        )
+                        payload = enc(arr, quality=100, subsampling="444")
                     mw, mh = w, h
                 else:
                     ns = 64 + mid % 101

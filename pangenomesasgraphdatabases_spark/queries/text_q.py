@@ -1596,14 +1596,25 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     ),
     jpg AS (
-        SELECT i.media_id, 'image/jpeg' AS media_type,
-               CAST(3 * i.jw * i.jh AS INTEGER) AS n_bytes,
-               CAST(sum(192 * ((i.media_id * 17 + 23 * g.b) % 256))
-                    AS BIGINT) AS pix_sum,
-               CAST(sum(64000 * ((i.media_id * 17 + 23 * g.b) % 256))
-                    AS BIGINT) AS lum_num
-        FROM ids i, generate_series(0, 5) g(b)
-        WHERE i.kind = 4 AND g.b < (i.jw // 8) * (i.jh // 8)
+        SELECT media_id, 'image/jpeg' AS media_type,
+               CAST(3 * jw * jh AS INTEGER) AS n_bytes,
+               CAST(sum(192 * gv) AS BIGINT) AS pix_sum,
+               CAST(sum(64000 * gv) AS BIGINT) AS lum_num
+        FROM (
+            -- ids with bit 3 set carry the 12-BIT (SOF1, Pq=1) form:
+            -- the decoded uint8 value is round(g12 * 255/4095) (the
+            -- 12-bit round trip is bit-exact; no .5 ties exist on
+            -- the 255/4095 lattice, so round() is mode-proof)
+            SELECT i.media_id, i.jw, i.jh,
+                   CASE WHEN ((i.media_id >> 3) & 1) = 1
+                        THEN CAST(round(
+                                 ((i.media_id * 17 + 23 * g.b) % 4096)
+                                 * 255.0 / 4095.0) AS BIGINT)
+                        ELSE (i.media_id * 17 + 23 * g.b) % 256
+                   END AS gv
+            FROM ids i, generate_series(0, 5) g(b)
+            WHERE i.kind = 4 AND g.b < (i.jw // 8) * (i.jh // 8)
+        )
         GROUP BY 1, 2, 3
     ),
     wav AS (
@@ -1636,9 +1647,11 @@ def media_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JPEG fixture is flat 8x8 gray blocks at quality 100 where the
     round-trip is bit-exact (lone DC coefficient, all-ones quant
     tables — exactness pinned over 120 seeds in
-    tests/test_multimodal.py), alternating BASELINE and PROGRESSIVE
-    (SOF2) encodes per id so the driver hash pins both scan
-    structures.  n_bytes pins the encoded header layout
+    tests/test_multimodal.py), cycling BASELINE, PROGRESSIVE (SOF2)
+    and — r14, VERDICT r13 #6 — 12-BIT extended-sequential (SOF1,
+    Pq=1 16-bit quant tables, decoded values max-value-scaled to the
+    uint8 surface) encodes per id so the driver hash pins all three
+    scan/precision structures.  n_bytes pins the encoded header layout
     for the raw containers (BMP/PPM/WAV) and the decoded buffer size
     for the compressed ones (the DEFLATE/Huffman stream length is not
     SQL-recomputable).  Any garbled byte in either codec direction

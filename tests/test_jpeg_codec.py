@@ -20,6 +20,7 @@ from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
     dct_matrix,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg12,
     quality_scale,
 )
 
@@ -192,10 +193,10 @@ def test_grayscale_single_component_stream():
 
 
 def test_non_huffman_dct_variants_raise_documented():
-    """Arithmetic-coded (SOF9) frames and 16-bit quant tables stay
-    documented NotImplementedError seams (progressive SOF2 decodes
-    for real now — test_jpeg_progressive.py); garbage raises
-    ValueError."""
+    """Arithmetic-coded (SOF9) frames and out-of-family precisions
+    stay documented NotImplementedError seams (progressive SOF2 and
+    12-bit/Pq=1 decode for real now — test_jpeg_progressive.py and
+    the 12-bit section below); garbage raises ValueError."""
     import struct
 
     def seg(marker, payload):
@@ -209,9 +210,14 @@ def test_non_huffman_dct_variants_raise_documented():
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(arith)
 
-    pq1 = b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128)) + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="16-bit|12-bit"):
-        decode_jpeg(pq1)
+    # precision 10 is outside T.81's huffman-DCT family (8 / 12)
+    p10 = (
+        b"\xff\xd8"
+        + seg(0xC1, bytes([10]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="10-bit"):
+        decode_jpeg(p10)
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00" * 32)
@@ -243,3 +249,97 @@ def test_jpeg_roundtrip_property():
         assert _psnr(out, img) > (32 if ss == "444" else 27)
 
     prop()
+
+
+# --- 12-bit precision (VERDICT r13 #6) ---------------------------------------
+
+
+def test_jpeg12_flat_blocks_bit_exact():
+    """The 12-bit fixture contract: flat 8x8 blocks with a Pq=1 table
+    whose DC step (8) divides the DC coefficient exactly round-trip
+    BIT-EXACTLY through SOF1 encode + decode, landing on
+    round(v * 255/4095) in the uint8 output (no .5 ties exist on
+    that lattice, so the scaling is rounding-mode-proof).  AC table
+    entries are 4096 — the Pq=1 16-bit wire format is
+    value-exercised: a uint8 misparse would desync the whole table."""
+    qt = np.full((8, 8), 4096, dtype=np.int64)
+    qt[0, 0] = 8
+    for mid in range(0, 120, 7):
+        bw, bh = 1 + mid % 3, 1 + mid % 2
+        b = np.arange(bw * bh, dtype=np.int64)
+        g12 = ((mid * 17 + 23 * b) % 4096).astype(np.uint16).reshape(bh, bw)
+        arr = np.repeat(np.repeat(g12, 8, axis=0), 8, axis=1)
+        out = decode_jpeg(encode_jpeg12(arr, qtab=qt))
+        want = np.round(arr.astype(np.float64) * 255.0 / 4095.0).astype(
+            np.uint8
+        )
+        assert out.shape == (8 * bh, 8 * bw, 3)
+        for c in range(3):
+            assert (out[..., c] == want).all(), mid
+
+
+def test_jpeg12_gradient_psnr_with_16bit_table():
+    """Default x16 quality table: entries genuinely exceed 255 (the
+    Pq=1 byte-width matters) and a smooth 12-bit gradient survives
+    encode/decode within a PSNR floor on the scaled 8-bit surface."""
+    from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
+        QT_LUMA,
+        quality_scale,
+    )
+
+    assert (quality_scale(QT_LUMA, 90).astype(np.int64) * 16).max() > 255
+    h, w = 40, 56
+    y, x = np.mgrid[0:h, 0:w]
+    g = (y / (h - 1) * 2047 + x / (w - 1) * 2048).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg12(g, quality=90))
+    want = np.round(g.astype(np.float64) * 255.0 / 4095.0)
+    err = out[..., 0].astype(np.float64) - want
+    psnr = 10 * np.log10(255.0**2 / max(float((err**2).mean()), 1e-9))
+    assert psnr > 35.0, psnr
+    assert (out[..., 0] == out[..., 1]).all()
+
+
+def test_jpeg12_roundtrip_property():
+    """Property over random 12-bit images and qualities: decode never
+    crashes, output geometry/channels are right, and a COARSE check
+    that reconstruction tracks the input (mean absolute error under
+    the quant step's worst case for smooth content)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        q=st.sampled_from([70, 85, 95]),
+        h=st.integers(8, 24),
+        w=st.integers(8, 24),
+    )
+    def run(seed, q, h, w):
+        rng = np.random.RandomState(seed)
+        base = rng.randint(0, 4096)
+        # smooth field: random plane + small noise
+        y, x = np.mgrid[0:h, 0:w]
+        g = np.clip(
+            base + y * rng.randint(-20, 21) + x * rng.randint(-20, 21)
+            + rng.randint(-8, 9, (h, w)),
+            0,
+            4095,
+        ).astype(np.uint16)
+        out = decode_jpeg(encode_jpeg12(g, quality=q))
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        want = np.round(g.astype(np.float64) * 255.0 / 4095.0)
+        assert np.abs(out[..., 0] - want).mean() < 12.0
+
+    run()
+
+
+def test_jpeg12_input_validation():
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg12(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="4095"):
+        encode_jpeg12(np.full((8, 8), 5000, dtype=np.uint16))
+    with pytest.raises(ValueError, match="qtab"):
+        encode_jpeg12(
+            np.zeros((8, 8), dtype=np.uint16),
+            qtab=np.zeros((8, 8), dtype=np.int64),
+        )

@@ -196,7 +196,11 @@ def test_synthesize_and_real_decode_integer_features(spark):
         elif kind == 4:  # JPEG flat-block fixture, exact at q100
             bw, bh = 1 + mid % 3, 1 + mid % 2
             b = np.arange(bw * bh, dtype=np.int64)
-            g = (mid * 17 + 23 * b) % 256
+            if (mid >> 3) & 1:  # 12-bit SOF1 form (VERDICT r13 #6)
+                g12 = (mid * 17 + 23 * b) % 4096
+                g = np.round(g12 * 255.0 / 4095.0).astype(np.int64)
+            else:
+                g = (mid * 17 + 23 * b) % 256
             assert r.media_type == "image/jpeg"
             assert r.n_bytes == 3 * 8 * bw * 8 * bh
             assert r.pix_sum == int((192 * g).sum())
@@ -229,6 +233,12 @@ def test_jpeg_flat_block_fixture_roundtrip_is_bit_exact():
         encode_jpeg_progressive,
     )
 
+    from pangenomesasgraphdatabases_spark.operators.jpeg_codec import (
+        encode_jpeg12,
+    )
+
+    qt12 = np.full((8, 8), 4096, dtype=np.int64)
+    qt12[0, 0] = 8
     for mid in range(0, 600, 5):
         bw, bh = 1 + mid % 3, 1 + mid % 2
         b = np.arange(bw * bh, dtype=np.int64)
@@ -239,6 +249,15 @@ def test_jpeg_flat_block_fixture_roundtrip_is_bit_exact():
         for enc in (encode_jpeg, encode_jpeg_progressive):
             out = decode_jpeg(enc(arr, quality=100, subsampling="444"))
             assert np.array_equal(out, arr), f"seed {mid} {enc.__name__}"
+        # the 12-bit form (synthesize_media ids with bit 3 set): exact
+        # in the 12-bit domain, closed-form on the scaled uint8 surface
+        g12 = ((mid * 17 + 23 * b) % 4096).astype(np.uint16)
+        arr12 = np.repeat(np.repeat(g12.reshape(bh, bw), 8, 0), 8, 1)
+        out12 = decode_jpeg(encode_jpeg12(arr12, qtab=qt12))
+        want = np.round(arr12.astype(np.float64) * 255.0 / 4095.0).astype(
+            np.uint8
+        )[..., None].repeat(3, axis=2)
+        assert np.array_equal(out12, want), f"seed {mid} 12-bit"
 
 
 def test_compressed_format_seam_is_guarded():
