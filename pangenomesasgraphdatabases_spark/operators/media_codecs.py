@@ -18,9 +18,14 @@ genuinely real for these formats.  The video/audio CONTAINER layer
 operators/containers — so the remaining boundary where PIL/ffmpeg
 would plug in is the compressed elementary-stream decode inside those
 containers (H.264/AAC/Vorbis/Opus DSP) and the exotic still-image
-variants nothing in the pipeline emits (arithmetic/lossless/12-bit
-JPEG), each a documented NotImplementedError — PNG itself is now
-complete across every legal depth/color-type/interlace combination.
+variants nothing in the pipeline emits (arithmetic/lossless JPEG —
+12-bit/Pq=1 decodes for real since r14, jpeg_codec), each a
+documented NotImplementedError — PNG itself is complete across every
+legal depth/color-type/interlace combination, and WAV (r14) now also
+decodes the classic telephony/consumer compressed forms: G.711
+mu-law (format 7) and A-law (format 6) table expansion and IMA/DVI
+ADPCM (format 0x11) block decode — all three are published
+fixed-table algorithms needing no codec library.
 
 Encoders are provided too (fixture generation, resize re-encode);
 every codec round-trips bit-exactly (pytest property — PNG is
@@ -134,12 +139,227 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- G.711 mu-law / A-law (fixed-table companding, CCITT) --------------------
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    """256-entry mu-law byte -> int16 (G.711 expansion: invert, then
+    magnitude ((mant << 3) + 0x84) << exp, bias-corrected)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """256-entry A-law byte -> int16 (G.711: XOR 0x55, segment
+    expansion; sign bit SET means positive in A-law)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
+_ULAW_TABLE = _ulaw_decode_table()
+_ALAW_TABLE = _alaw_decode_table()
+
+
+def _g711_encode(samples: np.ndarray, table: np.ndarray) -> bytes:
+    """int16 -> companded bytes by NEAREST-CODEWORD quantization
+    against the decode table — optimal by construction (a forward
+    segment-search encoder can only match or do worse), so the
+    fixture encoder needs no second copy of the segment logic."""
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int32)
+    idx = np.searchsorted(sorted_vals, samples.astype(np.int32))
+    idx = np.clip(idx, 0, len(sorted_vals) - 1)
+    left = np.clip(idx - 1, 0, len(sorted_vals) - 1)
+    pick_left = np.abs(sorted_vals[left] - samples) <= np.abs(
+        sorted_vals[idx] - samples
+    )
+    final = np.where(pick_left, left, idx)
+    return order[final].astype(np.uint8).tobytes()
+
+
+# --- IMA / DVI ADPCM (format 0x11) -------------------------------------------
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def _ima_step_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM nibble through the shared reconstruction: new
+    (pred, idx).  delta = step/8 + bit0*step/4 + bit1*step/2 +
+    bit2*step, bit3 = sign (the published DVI/IMA recurrence)."""
+    step = int(_IMA_STEP[idx])
+    delta = step >> 3
+    if nib & 1:
+        delta += step >> 2
+    if nib & 2:
+        delta += step >> 1
+    if nib & 4:
+        delta += step
+    pred = pred - delta if (nib & 8) else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+    return pred, idx
+
+
+def _ima_decode_block(block: bytes, ch: int) -> np.ndarray:
+    """One IMA ADPCM block -> (n, ch) int16.  Per channel: 4-byte
+    header (predictor int16, step index uint8, reserved), then the
+    nibble data in alternating 4-byte (8-nibble) groups per channel,
+    low nibble first."""
+    preds, idxs, chans = [], [], []
+    for c in range(ch):
+        p, i = struct.unpack("<hB", block[c * 4 : c * 4 + 3])
+        preds.append(int(p))
+        idxs.append(max(0, min(88, int(i))))
+        chans.append([int(p)])  # header carries sample 0
+    pos = 4 * ch
+    while pos + 4 * ch <= len(block):
+        for c in range(ch):
+            grp = block[pos + 4 * c : pos + 4 * c + 4]
+            for byte in grp:
+                for nib in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _ima_step_nibble(
+                        nib, preds[c], idxs[c]
+                    )
+                    chans[c].append(preds[c])
+        pos += 4 * ch
+    n = min(len(x) for x in chans)
+    out = np.empty((n, ch), dtype=np.int16)
+    for c in range(ch):
+        out[:, c] = np.array(chans[c][:n], dtype=np.int16)
+    return out
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """(n,) or (n, ch<=2) int16 -> IMA ADPCM WAV (format 0x11) with
+    the standard block layout — the fixture/encode side of the r14
+    compressed-WAV decode (the forward quantizer mirrors
+    :func:`_ima_step_nibble`'s reconstruction, the published
+    encoder)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_ima_adpcm expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if ch > 2:
+        raise ValueError("IMA ADPCM fixture encoder supports <= 2 channels")
+    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block
+    blocks = []
+    for b0 in range(0, n, spb):
+        seg = samples[b0 : b0 + spb]
+        # pad the tail block to full length (decoder emits the pad;
+        # callers slice by the fact chunk length — fixture use only)
+        if len(seg) < spb:
+            seg = np.vstack([seg, np.repeat(seg[-1:], spb - len(seg), 0)])
+        hdr = b""
+        preds, idxs = [], []
+        for c in range(ch):
+            p = int(seg[0, c])
+            hdr += struct.pack("<hBB", p, 0, 0)
+            preds.append(p)
+            idxs.append(0)
+        body = bytearray()
+        si = 1
+        while si < spb:
+            for c in range(ch):
+                nibs = []
+                for k in range(8):
+                    s = int(seg[min(si + k, spb - 1), c])
+                    step = int(_IMA_STEP[idxs[c]])
+                    diff = s - preds[c]
+                    nib = 0
+                    if diff < 0:
+                        nib = 8
+                        diff = -diff
+                    if diff >= step:
+                        nib |= 4
+                        diff -= step
+                    if diff >= step >> 1:
+                        nib |= 2
+                        diff -= step >> 1
+                    if diff >= step >> 2:
+                        nib |= 1
+                    preds[c], idxs[c] = _ima_step_nibble(
+                        nib, preds[c], idxs[c]
+                    )
+                    nibs.append(nib)
+                for k in range(0, 8, 2):
+                    body.append(nibs[k] | (nibs[k + 1] << 4))
+            si += 8
+        blocks.append(hdr + bytes(body))
+    data = b"".join(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", n)
+    body2 = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body2 += b"fact" + struct.pack("<I", len(fact)) + fact
+    body2 += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body2)) + body2
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int, law: str = "mu"
+) -> bytes:
+    """(n,) or (n, ch) int16 -> G.711 mu-law (format 7) or A-law
+    (format 6) WAV via nearest-codeword companding."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_g711 expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    table = _ULAW_TABLE if law == "mu" else _ALAW_TABLE
+    tag = 7 if law == "mu" else 6
+    data = _g711_encode(samples.reshape(-1), table)
+    fmt = struct.pack("<HHIIHHH", tag, ch, sample_rate, sample_rate * ch,
+                      ch, 8, 0)
+    fact = struct.pack("<I", n)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<I", len(fact)) + fact
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF WAV -> ((n, channels) int16 array, sample_rate).  Decodes
     every uncompressed layout: integer PCM at 8 (unsigned), 16, 24,
     and 32 bits, and IEEE float32/float64 (format 3), all normalized
-    to int16 range.  Compressed codecs (ADPCM, A-law/mu-law, MP3-in-
-    WAV) remain the documented NotImplementedError boundary."""
+    to int16 range — and, since r14, the classic compressed forms:
+    G.711 mu-law (format 7) / A-law (format 6) table expansion and
+    IMA/DVI ADPCM (format 0x11) block decode, all published
+    fixed-table algorithms.  MP3-in-WAV and the vendor ADPCM variants
+    (MS ADPCM 0x02, ...) remain the documented NotImplementedError
+    boundary."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -195,11 +415,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif audio_format == 3 and bits in (32, 64):
         f = np.frombuffer(raw, "<f4" if bits == 32 else "<f8")
         arr = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif audio_format in (6, 7) and bits == 8:
+        table = _ULAW_TABLE if audio_format == 7 else _ALAW_TABLE
+        arr = table[np.frombuffer(raw, np.uint8)]
+    elif audio_format == 0x11:
+        block_align = fmt[4]
+        if block_align < 4 * ch + 4:
+            raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+        chunks = [
+            _ima_decode_block(raw[p : p + block_align], ch)
+            for p in range(0, len(raw) - (4 * ch) + 1, block_align)
+        ]
+        out = np.vstack(chunks) if chunks else np.empty((0, ch), np.int16)
+        return out, rate
     else:
         raise NotImplementedError(
-            f"only uncompressed PCM/float WAV supported (format="
-            f"{audio_format}, bits={bits}); ADPCM/A-law/mu-law need a "
-            "codec library"
+            f"only PCM/float/G.711/IMA-ADPCM WAV supported (format="
+            f"{audio_format}, bits={bits}); MP3-in-WAV and vendor ADPCM "
+            "variants need a codec library"
         )
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), rate

@@ -1030,3 +1030,97 @@ def test_png_sub8bit_grayscale_decode():
             assert (got == np.repeat(want8[..., None], 3, axis=2)).all(), (
                 depth, interlace,
             )
+
+
+def test_wav_g711_and_ima_adpcm_decode():
+    """r14: the classic compressed WAV forms decode for real — G.711
+    mu-law/A-law via the published expansion tables (spot-pinned to
+    the canonical values) and IMA/DVI ADPCM block decode (mono and
+    stereo, SNR-bounded round trip through the mirrored forward
+    quantizer); MS ADPCM (format 2) stays the documented boundary."""
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+    )
+
+    # canonical G.711 pairs: mu-law 0x00 -> -32124, 0xFF/0x7F -> 0,
+    # 0x80 -> +32124; A-law 0x55 -> -8, 0xD5 -> +8
+    assert _ULAW_TABLE[0x00] == -32124
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    # expansion tables are odd-symmetric staircases: 256 distinct
+    # codewords collapsing to 255/256 distinct linear values
+    assert len(set(_ULAW_TABLE.tolist())) >= 255
+    assert len(set(_ALAW_TABLE.tolist())) == 256
+
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32768, 2000).astype(np.int16)
+    for law, tol in (("mu", 0.04), ("a", 0.13)):
+        out, rate = decode_wav(encode_wav_g711(s, 8000, law=law))
+        assert rate == 8000 and out.shape == (2000, 1)
+        err = np.abs(out[:, 0].astype(np.int32) - s)
+        rel = err / np.maximum(np.abs(s.astype(np.int32)), 64)
+        assert rel.max() <= tol, (law, rel.max())
+
+    t = np.arange(4000)
+    sm = (8000 * np.sin(t / 30) + 3000 * np.sin(t / 7)).astype(np.int16)
+    out, rate = decode_wav(encode_wav_ima_adpcm(sm, 8000))
+    assert rate == 8000
+    o = out[: len(sm), 0].astype(np.float64)
+    snr = 10 * np.log10(
+        (sm.astype(np.float64) ** 2).mean() / ((o - sm) ** 2).mean()
+    )
+    assert snr > 25, snr
+    st = np.stack([sm, sm[::-1]], axis=1).astype(np.int16)
+    out2, _ = decode_wav(encode_wav_ima_adpcm(st, 8000))
+    o2 = out2[: len(sm)].astype(np.float64)
+    snr2 = 10 * np.log10(
+        (st.astype(np.float64) ** 2).mean() / ((o2 - st) ** 2).mean()
+    )
+    assert snr2 > 25, snr2
+
+
+def test_ima_adpcm_known_block_decode():
+    """A hand-built IMA ADPCM block decodes to the exact published
+    recurrence: header carries sample 0 (predictor 100, index 0 ->
+    step 7); nibble 0 adds step>>3, nibble 8 subtracts it, nibble 4
+    adds step and bumps the index by 2."""
+    import struct
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        _IMA_STEP,
+        decode_wav,
+    )
+
+    # mono block_align 12: header (4) + 8 nibble bytes -> 17 samples
+    nibbles = [0, 8, 4, 0] + [0] * 12  # low-first pairs
+    body = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, 16, 2)
+    )
+    block = struct.pack("<hBB", 100, 0, 0) + body
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 12, 4, 2, 17)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    out, rate = decode_wav(wav)
+    assert rate == 8000 and out.shape == (17, 1)
+    assert out[0, 0] == 100
+    # nibble 0: +7>>3 = 0, index -1 -> clamp 0
+    assert out[1, 0] == 100
+    # nibble 8: -(7>>3) = 0 (magnitude bits empty), index stays 0
+    assert out[2, 0] == 100
+    # nibble 4: +step(7), index +2 -> step becomes _IMA_STEP[2]
+    assert out[3, 0] == 107
+    # nibble 0 at index 2: +(9>>3) = 1
+    assert int(_IMA_STEP[2]) == 9
+    assert out[4, 0] == 108
