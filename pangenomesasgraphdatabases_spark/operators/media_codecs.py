@@ -328,6 +328,140 @@ def encode_wav_ima_adpcm(
     return b"RIFF" + struct.pack("<I", len(body2)) + body2
 
 
+# --- MS ADPCM (format 0x02) --------------------------------------------------
+
+# The published WAVE_FORMAT_ADPCM predictor pairs and adaptation table
+# (Microsoft multimedia standards update; the same seven coefficient
+# sets every decoder ships).
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64,
+)
+
+
+def _ms_step(code: int, s1: int, s2: int, delta: int, c1: int, c2: int):
+    """One MS ADPCM 4-bit code -> (sample, new_s1, new_s2, new_delta):
+    predict from the two prior samples, add signed_code * delta,
+    clamp, adapt delta (floor 16)."""
+    signed = code - 16 if code > 7 else code
+    pred = (s1 * c1 + s2 * c2) // 256 + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = max(16, int(_MS_ADAPT[code]) * delta // 256)
+    return pred, pred, s1, delta
+
+
+def _ms_decode_block(block: bytes, ch: int) -> np.ndarray:
+    """One MS ADPCM block -> (n, ch) int16.  Per-channel header:
+    predictor index (uint8), initial delta (int16), sample1 (int16),
+    sample2 (int16); header carries samples [s2, s1]; then one 4-bit
+    code per sample, channels interleaved high-nibble-first."""
+    preds = [block[c] for c in range(ch)]
+    if any(p > 6 for p in preds):
+        raise ValueError(f"MS ADPCM predictor index out of range: {preds}")
+    off = ch
+    deltas = [
+        struct.unpack("<h", block[off + 2 * c : off + 2 * c + 2])[0]
+        for c in range(ch)
+    ]
+    off += 2 * ch
+    s1 = [
+        struct.unpack("<h", block[off + 2 * c : off + 2 * c + 2])[0]
+        for c in range(ch)
+    ]
+    off += 2 * ch
+    s2 = [
+        struct.unpack("<h", block[off + 2 * c : off + 2 * c + 2])[0]
+        for c in range(ch)
+    ]
+    off += 2 * ch
+    chans = [[s2[c], s1[c]] for c in range(ch)]
+    c1 = [int(_MS_COEF1[p]) for p in preds]
+    c2 = [int(_MS_COEF2[p]) for p in preds]
+    ci = 0
+    for byte in block[off:]:
+        for code in (byte >> 4, byte & 0x0F):
+            c = ci % ch
+            smp, s1[c], s2[c], deltas[c] = _ms_step(
+                code, s1[c], s2[c], deltas[c], c1[c], c2[c]
+            )
+            chans[c].append(smp)
+            ci += 1
+    n = min(len(x) for x in chans)
+    out = np.empty((n, ch), dtype=np.int16)
+    for c in range(ch):
+        out[:, c] = np.array(chans[c][:n], dtype=np.int16)
+    return out
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """(n,) or (n, ch<=2) int16 -> MS ADPCM WAV (format 0x02),
+    predictor set 0 (coef 256/0 — pure first-order), the published
+    forward quantizer mirroring :func:`_ms_step`'s reconstruction."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_ms_adpcm expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if ch > 2:
+        raise ValueError("MS ADPCM fixture encoder supports <= 2 channels")
+    spb = (block_align - 7 * ch) * 2 // ch + 2
+    blocks = []
+    for b0 in range(0, n, spb):
+        seg = samples[b0 : b0 + spb]
+        if len(seg) < spb:
+            seg = np.vstack([seg, np.repeat(seg[-1:], spb - len(seg), 0)])
+        s2 = [int(seg[0, c]) for c in range(ch)]
+        s1 = [int(seg[1, c]) for c in range(ch)]
+        deltas = [
+            max(16, int(np.abs(np.diff(seg[:, c].astype(np.int32))).mean())
+                or 16)
+            for c in range(ch)
+        ]
+        hdr = bytes([0] * ch)
+        hdr += b"".join(struct.pack("<h", d) for d in deltas)
+        hdr += b"".join(struct.pack("<h", v) for v in s1)
+        hdr += b"".join(struct.pack("<h", v) for v in s2)
+        codes = []
+        for si in range(2, spb):
+            for c in range(ch):
+                pred = (s1[c] * 256 + s2[c] * 0) // 256
+                diff = int(seg[si, c]) - pred
+                code = max(-8, min(7, (diff + (deltas[c] // 2 if diff >= 0
+                                               else -deltas[c] // 2))
+                                   // max(deltas[c], 1)))
+                code &= 0x0F
+                smp, s1[c], s2[c], deltas[c] = _ms_step(
+                    code, s1[c], s2[c], deltas[c], 256, 0
+                )
+                codes.append(code)
+        if len(codes) % 2:
+            codes.append(0)
+        body = bytes(
+            (codes[i] << 4) | codes[i + 1] for i in range(0, len(codes), 2)
+        )
+        blocks.append(hdr + body)
+    data = b"".join(blocks)
+    # fmt extension: cbSize 32, samples/block, 7 coefficient pairs
+    ext = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", int(a), int(b))
+        for a, b in zip(_MS_COEF1, _MS_COEF2)
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", 0x02, ch, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, len(ext)
+    ) + ext
+    fact = struct.pack("<I", n)
+    body2 = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body2 += b"fact" + struct.pack("<I", len(fact)) + fact
+    body2 += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body2)) + body2
+
+
 def encode_wav_g711(
     samples: np.ndarray, sample_rate: int, law: str = "mu"
 ) -> bytes:
@@ -356,10 +490,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     and 32 bits, and IEEE float32/float64 (format 3), all normalized
     to int16 range — and, since r14, the classic compressed forms:
     G.711 mu-law (format 7) / A-law (format 6) table expansion and
-    IMA/DVI ADPCM (format 0x11) block decode, all published
-    fixed-table algorithms.  MP3-in-WAV and the vendor ADPCM variants
-    (MS ADPCM 0x02, ...) remain the documented NotImplementedError
-    boundary."""
+    the two standard ADPCM families, IMA/DVI (format 0x11) and MS
+    ADPCM (format 0x02, published coefficient pairs + adaptation
+    table) — all fixed-table algorithms.  MP3-in-WAV remains the
+    documented NotImplementedError boundary (a real DSP codec)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -428,11 +562,21 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         ]
         out = np.vstack(chunks) if chunks else np.empty((0, ch), np.int16)
         return out, rate
+    elif audio_format == 0x02:
+        block_align = fmt[4]
+        if block_align < 7 * ch + 1:
+            raise ValueError(f"MS ADPCM block_align {block_align} too small")
+        chunks = [
+            _ms_decode_block(raw[p : p + block_align], ch)
+            for p in range(0, len(raw) - (7 * ch) + 1, block_align)
+        ]
+        out = np.vstack(chunks) if chunks else np.empty((0, ch), np.int16)
+        return out, rate
     else:
         raise NotImplementedError(
-            f"only PCM/float/G.711/IMA-ADPCM WAV supported (format="
-            f"{audio_format}, bits={bits}); MP3-in-WAV and vendor ADPCM "
-            "variants need a codec library"
+            f"only PCM/float/G.711/IMA-ADPCM/MS-ADPCM WAV supported "
+            f"(format={audio_format}, bits={bits}); MP3-in-WAV needs a "
+            "codec library"
         )
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), rate

@@ -303,16 +303,16 @@ def test_compressed_bmp_and_nonpcm_wav_seams():
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_bmp(hdr + b"\x00" * 64)
 
-    # ADPCM WAV (format=2): valid RIFF, genuinely compressed codec —
-    # the remaining audio boundary (float/24/32-bit PCM decode for
-    # real since r7).
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
+    # MP3-in-WAV (format=0x55): valid RIFF, genuinely DSP-compressed —
+    # the remaining audio boundary (PCM/float since r7, G.711 + both
+    # ADPCM families decode for real since r14).
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 4000, 256, 0)
     wav = (
         b"RIFF" + struct.pack("<I", 36) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
     )
-    with pytest.raises(NotImplementedError, match="ADPCM|PCM"):
+    with pytest.raises(NotImplementedError, match="MP3|codec library"):
         decode_wav(wav)
 
 
@@ -1124,3 +1124,60 @@ def test_ima_adpcm_known_block_decode():
     # nibble 0 at index 2: +(9>>3) = 1
     assert int(_IMA_STEP[2]) == 9
     assert out[4, 0] == 108
+
+
+def test_wav_ms_adpcm_decode():
+    """r14: MS ADPCM (format 0x02) decodes via the published
+    coefficient pairs + adaptation table.  A hand-built block pins the
+    exact recurrence (header carries [s2, s1]; code 1 adds delta;
+    code 0xF subtracts delta; delta adapts by table/256 with floor
+    16), and a smooth round trip through the predictor-0 fixture
+    encoder is SNR-bounded, mono and stereo."""
+    import struct
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    # mono block_align 9: 7-byte header + 2 code bytes -> 6 samples
+    # header: pred 0 (coef 256/0), delta 64, s1=200, s2=100
+    block = bytes([0]) + struct.pack("<hhh", 64, 200, 100)
+    # codes: 1, 0xF, 0, 0 (high nibble first)
+    block += bytes([(1 << 4) | 0x0F, 0x00])
+    fmt = struct.pack("<HHIIHHH", 2, 1, 8000, 8000, 9, 4, 4)
+    fmt += struct.pack("<HH", 6, 0)  # cbSize payload: spb, 0 coefs
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    out, rate = decode_wav(wav)
+    assert rate == 8000 and out.shape == (6, 1)
+    assert out[0, 0] == 100 and out[1, 0] == 200  # header [s2, s1]
+    # code 1: pred = (200*256 + 100*0)/256 + 1*64 = 264; delta ->
+    # max(16, 230*64/256) = 57
+    assert out[2, 0] == 264
+    # code 0xF (signed -1): pred = 264 - 57 = 207; delta -> 57*230/256=51
+    assert out[3, 0] == 207
+    # code 0: pred = 207 (pure first-order), delta 51*230/256=45
+    assert out[4, 0] == 207
+    assert out[5, 0] == 207
+
+    t = np.arange(4000)
+    sm = (8000 * np.sin(t / 30) + 3000 * np.sin(t / 7)).astype(np.int16)
+    out, _ = decode_wav(encode_wav_ms_adpcm(sm, 8000))
+    o = out[: len(sm), 0].astype(np.float64)
+    snr = 10 * np.log10(
+        (sm.astype(np.float64) ** 2).mean() / ((o - sm) ** 2).mean()
+    )
+    assert snr > 20, snr
+    st = np.stack([sm, sm[::-1]], axis=1).astype(np.int16)
+    out2, _ = decode_wav(encode_wav_ms_adpcm(st, 8000))
+    o2 = out2[: len(sm)].astype(np.float64)
+    snr2 = 10 * np.log10(
+        (st.astype(np.float64) ** 2).mean() / ((o2 - st) ** 2).mean()
+    )
+    assert snr2 > 20, snr2
