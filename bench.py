@@ -102,6 +102,10 @@ HEADLINE = [
     # driver-shape proxies).
     "blast_builtin_exact_hits",
     "blast_builtin_scored_hits",
+    # r14 birth anchor: the gapped banded-SW path end-to-end (hits ->
+    # gapped Karlin-Altschul bits -> per-subject adapter -> enrich
+    # writeback) — the aligner family's remaining unbenched path.
+    "blast_builtin_gapped_enrich",
 ]
 
 # Bench hygiene (VERDICT r9 #8): HEADLINE grows as heavy queries are

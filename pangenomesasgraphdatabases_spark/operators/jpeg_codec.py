@@ -343,37 +343,13 @@ def _encode_block(
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
 ) -> int:
-    coefs = _M @ (block - 128.0) @ _M.T
-    q = np.round(coefs / qtab).astype(np.int64)
-    zz = q.flatten()[ZIGZAG]
-    dc = int(zz[0])
-    diff = dc - pred
-    size = int(abs(diff)).bit_length()
-    code, length = dc_codes[size]
-    bw.write(code, length)
-    if size:
-        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            if k > last_nz:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
-                break
-            run += 1
-            if run == 16:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.write(code, length)
-                run = 0
-            continue
-        size = int(abs(v)).bit_length()
-        code, length = ac_codes[(run << 4) | size]
-        bw.write(code, length)
-        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
-        run = 0
-    return dc
+    return _encode_block_em(
+        block,
+        qtab,
+        pred,
+        _SymWriter(bw, dc_codes),
+        _SymWriter(bw, ac_codes),
+    )
 
 
 def encode_jpeg(
