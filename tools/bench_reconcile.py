@@ -54,10 +54,22 @@ ANCHORS: dict[str, tuple[float, str]] = {
     # (steal <= 1 reps).
     "doc_duplicate_spans": (0.811, "r13 bench window (re-anchored)"),
     "doc_duplicate_span_clean": (1.094, "r13 bench window (re-anchored)"),
-    "media_phash_pairs": (2.41, "r11s2 'remaining new registrations'"),
+    # r14 re-anchor: consistently UNDER the r11s2 2.41 anchor for
+    # three straight rounds (r12 1.802, r13 2.045, r14 min 1.78) —
+    # the r11s2 session was the busy window (same evidence class as
+    # the r13 ExactSubstr/segment_dedup re-anchors), and the r13 PNG
+    # decoder rewrite genuinely simplified the hash path.  Anchored
+    # to the r14 min.
+    "media_phash_pairs": (1.78, "r14 bench window (re-anchored)"),
     "doc_segment_dedup": (0.451, "r13 bench window (re-anchored)"),
     "doc_ngram_jaccard_dedup": (2.52, "r11s2 docfreq window rewrite"),
     "doc_jaccard_containment": (2.23, "r11s2 two-join-backs -> window"),
+    # r14 birth anchor: the gapped banded-SW end-to-end pipe entered
+    # HEADLINE this round — in-bench reps 2.623/2.631/2.635 at steal
+    # <= 16 (remarkably stable: the md5 corpus is fixed-size, so this
+    # entry is a pure engine-drift sentinel for the gapped DP +
+    # enrich writeback path)
+    "blast_builtin_gapped_enrich": (2.623, "r14 aligner gapped-enrich birth"),
     # r12 calm 5-rep driver-shape session (hsi 1.057, steal <= 1/rep)
     # — the ann-drift adjudication table (SCALE.md r12)
     "ann_bruteforce_topk": (0.486, "r12 'ann drift pinned' calm 5-rep"),
