@@ -60,6 +60,12 @@ _FEATURE_SCHEMA = T.StructType(
                 )
             ),
         ),
+        # the FULL qualifier set (duplicates \x1f-joined, flags
+        # "true") — the GFF projection emits these as GFF3 attributes
+        # the way bp_genbank2gff3.pl carries every qualifier through
+        T.StructField(
+            "qualifiers", T.MapType(T.StringType(), T.StringType())
+        ),
     ]
 )
 
@@ -249,6 +255,15 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
             continue
         start, end, strand, partial, segments = parsed
         qd = {name: _unquote(val) for name, val in quals}
+        # The FULL qualifier set, duplicates preserved (a feature
+        # routinely carries several /db_xref): multi-values join on
+        # \x1f (an impossible byte in GenBank text) so the GFF
+        # emitter can escape each value independently before the
+        # GFF3 comma join; flag qualifiers (/pseudo) carry "true".
+        qmap: dict[str, str] = {}
+        for name, val in quals:
+            v = _unquote(val) or "true"
+            qmap[name] = qmap[name] + "\x1f" + v if name in qmap else v
         own = qd.get("locus_tag") or qd.get("gene") or ""
         linked = bool(gene_id) and (not own or own == gene_id)
         gb_id, gb_parent = own, ""
@@ -312,6 +327,7 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
             "segments": [
                 {"seg_start": s, "seg_end": e} for s, e in segments
             ],
+            "qualifiers": qmap,
         }
 
 
@@ -409,7 +425,35 @@ def clean_genbank(
     )
 
 
-def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
+# GFF3 reserved characters in attribute values (the spec's
+# percent-encoding set); '%' must escape first.
+_GFF3_ESCAPES = (
+    ("%", "%25"),
+    (";", "%3B"),
+    ("=", "%3D"),
+    ("&", "%26"),
+    (",", "%2C"),
+)
+
+# Qualifiers NOT repeated as generic attributes: locus_tag/product
+# already have dedicated emission slots, and translation is the
+# one qualifier bp_genbank2gff3.pl consumers routinely drop for
+# size (the protein is derivable; pass exclude=() to keep it).
+_ATTR_EXCLUDE = ("locus_tag", "product", "translation")
+
+
+def _gff3_escape(col):
+    for a, b in _GFF3_ESCAPES:
+        col = F.regexp_replace(col, re.escape(a), b)
+    return col
+
+
+def genbank_to_gff(
+    spark: SparkSession,
+    path: str,
+    extra_attrs: bool = True,
+    exclude: tuple[str, ...] = _ATTR_EXCLUDE,
+) -> DataFrame:
     """GFF-parity projection (the bp_genbank2gff3.pl output contract):
     exactly gff.GFF_COLS, so downstream consumers of
     parse_gff_features can run unchanged on GenBank input.  Commas are
@@ -425,7 +469,16 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
     cleanup consumes CDS extent (convert_refseq_to_prokka_gff.py),
     and the gene-model '.p0n' rows are driver-hashed on that shape —
     the documented remaining delta from BioPerl's per-exon CDS
-    rows."""
+    rows.
+
+    ``extra_attrs=True`` (default) carries EVERY remaining qualifier
+    through as a GFF3 attribute the way bp_genbank2gff3.pl does —
+    sorted by key, values percent-encoded per the GFF3 reserved set
+    (';' '=' '&' ',' '%'), repeated qualifiers (multiple /db_xref)
+    comma-joined as GFF3 multi-values, flag qualifiers (/pseudo) as
+    ``key=true``.  ``exclude`` names qualifiers to drop
+    (default: locus_tag/product, which have dedicated slots, and the
+    bulky derivable translation)."""
     feats = read_genbank_features(spark, path)
     is_multi = (F.size("segments") > 1) & (F.col("feature_type") != "CDS")
     # ID/attributes below derive from the ENVELOPE columns (so the
@@ -515,6 +568,35 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
             F.col("gb_parent"),
         ),
     ).otherwise(F.lit(""))
+    if extra_attrs:
+        entries = F.array_sort(F.map_entries("qualifiers"))
+        kept = F.filter(
+            entries, lambda e: ~e.getField("key").isin(*exclude)
+        ) if exclude else entries
+        extra = F.array_join(
+            F.transform(
+                kept,
+                lambda e: F.concat(
+                    _gff3_escape(e.getField("key")),
+                    F.lit("="),
+                    # multi-values (\x1f-joined at parse) escape each
+                    # part INDEPENDENTLY, then comma-join per GFF3
+                    F.array_join(
+                        F.transform(
+                            F.split(e.getField("value"), "\x1f"),
+                            _gff3_escape,
+                        ),
+                        ",",
+                    ),
+                ),
+            ),
+            ";",
+        )
+        extra_tail = F.when(
+            F.length(extra) > 0, F.concat(F.lit(";"), extra)
+        ).otherwise(F.lit(""))
+    else:
+        extra_tail = F.lit("")
     return feats.filter(F.col("feature_type") != "source").select(
         "file",
         "seqid",
@@ -535,6 +617,7 @@ def genbank_to_gff(spark: SparkSession, path: str) -> DataFrame:
             F.when(
                 F.length(product) > 0, F.concat(F.lit(";product="), product)
             ).otherwise(F.lit("")),
+            extra_tail,
         ).alias("attributes"),
         gff_id.alias("feature_id"),
     )

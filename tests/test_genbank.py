@@ -64,11 +64,13 @@ def test_genbank_to_gff_parity_columns(spark):
     # form so IDs stay unique (bp_genbank2gff3.pl:955-975)
     assert rows["A_0001"].feature_type == "gene"
     assert rows["A_0001"].attributes == "ID=A_0001"
+    # r14: remaining qualifiers pass through as GFF3 attributes the
+    # way bp_genbank2gff3.pl carries them (strainA's CDS has
+    # /codon_start=1 beyond the dedicated locus_tag/product slots)
     assert rows["CDS:A_0001"].attributes == (
         "ID=CDS:A_0001;locus_tag=A_0001;product=thr operon leader peptide"
+        ";codon_start=1"
     )
-    # pseudogene rows carry no product -> bare ID attribute
-    assert rows["A_0003"].attributes == "ID=A_0003"
     assert rows["CDS:A_0001"].score == "." and rows["CDS:A_0001"].phase == "."
 
 
@@ -871,3 +873,50 @@ def test_so_type_map_conflicting_values_raise_by_default(spark):
     assert got2[0].so_type == "tRNA"
     with pytest.raises(ValueError, match="on_conflict"):
         with_so_type(feats, type_map=dup_map, on_conflict="nope")
+
+
+def test_gff_qualifier_passthrough_escaping_and_multivalues(spark, tmp_path):
+    """r14 qualifier passthrough: every non-dedicated qualifier lands
+    as a sorted GFF3 attribute — repeated /db_xref comma-joins as a
+    GFF3 multi-value, flag /pseudo becomes pseudo=true, reserved
+    characters percent-encode per the GFF3 set (with %25 first so
+    escapes never double), translation is dropped by default, and
+    extra_attrs=False restores the minimal surface."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        genbank_to_gff,
+    )
+
+    gbk = textwrap.dedent(
+        """\
+        LOCUS       seqQ             200 bp    DNA     linear   BCT 01-JAN-2024
+        FEATURES             Location/Qualifiers
+             CDS             10..60
+                             /locus_tag="Q_0001"
+                             /product="widget"
+                             /db_xref="GeneID:123"
+                             /db_xref="UniProtKB/Swiss-Prot;acc=P1"
+                             /note="50% identity; a=b, c & d"
+                             /pseudo
+                             /translation="MKT"
+        ORIGIN
+                1 acgtacgtac
+        //
+        """
+    )
+    (tmp_path / "q.gbk").write_text(gbk)
+    rows = genbank_to_gff(spark, str(tmp_path / "q.gbk")).collect()
+    assert len(rows) == 1
+    attrs = rows[0].attributes
+    assert attrs == (
+        "ID=CDS:Q_0001;locus_tag=Q_0001;product=widget"
+        ";db_xref=GeneID:123,UniProtKB/Swiss-Prot%3Bacc%3DP1"
+        ";note=50%25 identity%3B a%3Db%2C c %26 d"
+        ";pseudo=true"
+    )
+    assert "translation" not in attrs
+    minimal = genbank_to_gff(
+        spark, str(tmp_path / "q.gbk"), extra_attrs=False
+    ).collect()[0]
+    assert minimal.attributes == (
+        "ID=CDS:Q_0001;locus_tag=Q_0001;product=widget"
+    )
