@@ -63,27 +63,59 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB.  Handles
-    bottom-up and top-down row order and 4-byte row padding."""
+    """Uncompressed (BI_RGB) BMP -> (h, w, 3) uint8 RGB at every
+    classic bit depth: 24-bit BGR, 32-bit BGRX (padding byte
+    dropped), and paletted 1/4/8-bit via the BITMAPINFOHEADER color
+    table (BGRX quads, MSB-first sub-byte indices — the same
+    unpacking shape as PNG palette depths).  Handles bottom-up and
+    top-down row order and 4-byte row padding.  RLE-compressed and
+    bitfield BMPs remain the documented NotImplementedError
+    boundary."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (_, _, _, offset) = struct.unpack("<IHHI", data[2:14])
     (hdr_size, w, h) = struct.unpack("<Iii", data[14:26])
     (planes, bpp, compression) = struct.unpack("<HHI", data[26:34])
-    if bpp != 24 or compression != 0:
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(
-            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
-            f"compression={compression})"
+            f"only uncompressed BI_RGB BMP at 1/4/8/24/32 bpp supported "
+            f"(bpp={bpp}, compression={compression})"
         )
     top_down = h < 0
     h = abs(h)
-    row_size = (w * 3 + 3) & ~3
+    row_size = ((w * bpp + 31) // 32) * 4
     out = np.empty((h, w, 3), dtype=np.uint8)
+    if bpp in (24, 32):
+        ch = bpp // 8
+        for i in range(h):
+            start = offset + i * row_size
+            row = np.frombuffer(data, np.uint8, w * ch, start).reshape(w, ch)
+            y = i if top_down else h - 1 - i
+            out[y] = row[:, 2::-1]  # BGR(X) -> RGB
+        return out
+    # paletted: color table of BGRX quads sits right after the info
+    # header; used-colors field (biClrUsed, offset 46) may shrink it
+    (clr_used,) = struct.unpack("<I", data[46:50])
+    n_colors = clr_used or (1 << bpp)
+    pal_off = 14 + hdr_size
+    pal = np.frombuffer(data, np.uint8, n_colors * 4, pal_off).reshape(
+        n_colors, 4
+    )[:, 2::-1]  # BGRX -> RGB
     for i in range(h):
         start = offset + i * row_size
-        row = np.frombuffer(data, np.uint8, w * 3, start).reshape(w, 3)
+        raw = np.frombuffer(data, np.uint8, row_size, start)
+        if bpp == 8:
+            idx = raw[:w]
+        else:
+            # MSB-first sub-byte indices (1 or 4 bpp)
+            per = 8 // bpp
+            shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * bpp
+            unpacked = (
+                raw[:, None] >> shifts[None, :]
+            ) & ((1 << bpp) - 1)
+            idx = unpacked.reshape(-1)[:w]
         y = i if top_down else h - 1 - i
-        out[y] = row[:, ::-1]  # BGR -> RGB
+        out[y] = pal[idx]
     return out
 
 

@@ -296,11 +296,13 @@ def test_compressed_bmp_and_nonpcm_wav_seams():
         decode_wav,
     )
 
-    # 8-bit BMP header (bpp=8): supported layout, unsupported depth.
+    # RLE8-compressed BMP (compression=1): supported depth,
+    # unsupported compression (paletted 1/4/8-bit and 32-bit BI_RGB
+    # decode for real since r14).
     hdr = b"BM" + struct.pack("<IHHI", 1078, 0, 0, 1078)
-    hdr += struct.pack("<Iii", 40, 4, 4) + struct.pack("<HHI", 1, 8, 0)
+    hdr += struct.pack("<Iii", 40, 4, 4) + struct.pack("<HHI", 1, 8, 1)
     hdr += b"\x00" * 20
-    with pytest.raises(NotImplementedError, match="24-bit"):
+    with pytest.raises(NotImplementedError, match="compression=1"):
         decode_bmp(hdr + b"\x00" * 64)
 
     # MP3-in-WAV (format=0x55): valid RIFF, genuinely DSP-compressed —
@@ -1181,3 +1183,64 @@ def test_wav_ms_adpcm_decode():
         (st.astype(np.float64) ** 2).mean() / ((o2 - st) ** 2).mean()
     )
     assert snr2 > 20, snr2
+
+
+def test_bmp_palette_and_32bit_decode():
+    """r14 BMP depth widening: paletted 1/4/8-bit (BGRX color table,
+    MSB-first sub-byte indices, biClrUsed shrink) and 32-bit BGRX all
+    decode to the exact palette/pixel colors, bottom-up and top-down,
+    odd widths exercising row padding."""
+    import struct
+
+    import numpy as np
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_bmp,
+    )
+
+    def bmp(w, h, bpp, palette, rows, top_down=False):
+        row_size = ((w * bpp + 31) // 32) * 4
+        pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+        offset = 14 + 40 + len(pal)
+        data = b"BM" + struct.pack(
+            "<IHHI", offset + row_size * h, 0, 0, offset
+        )
+        data += struct.pack("<Iii", 40, w, -h if top_down else h)
+        data += struct.pack("<HHI", 1, bpp, 0)
+        # sizeImage, XPPM, YPPM, biClrUsed, biClrImportant
+        data += struct.pack("<IiiII", 0, 0, 0, len(palette), 0)
+        data += pal
+        order = rows if top_down else rows[::-1]
+        for row in order:
+            data += bytes(row) + b"\x00" * (row_size - len(row))
+        return data
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    # 8-bit, 3x2, bottom-up
+    img = bmp(3, 2, 8, pal, [[0, 1, 2], [3, 3, 0]])
+    out = decode_bmp(img)
+    assert out.shape == (2, 3, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[1, 0]) == (7, 8, 9)
+    # 4-bit, 3 px/row -> packed nibbles MSB-first: [0,1,2] = 0x01 0x20
+    img4 = bmp(3, 2, 4, pal, [[0x01, 0x20], [0x33, 0x00]], top_down=True)
+    out4 = decode_bmp(img4)
+    assert tuple(out4[0, 1]) == (0, 255, 0) and tuple(out4[0, 2]) == (0, 0, 255)
+    assert tuple(out4[1, 0]) == (7, 8, 9) and tuple(out4[1, 1]) == (7, 8, 9)
+    # 1-bit: row [1,0,1,1,0] = 0b10110_000
+    img1 = bmp(5, 1, 1, [(0, 0, 0), (255, 255, 255)], [[0b10110000]])
+    out1 = decode_bmp(img1)
+    assert [tuple(p) for p in out1[0]] == [
+        (255, 255, 255), (0, 0, 0), (255, 255, 255),
+        (255, 255, 255), (0, 0, 0),
+    ]
+    # 32-bit BGRX: padding byte dropped
+    w, h = 2, 2
+    rows = [
+        [10, 20, 30, 0, 40, 50, 60, 0],  # (30,20,10), (60,50,40) RGB
+        [1, 2, 3, 0, 4, 5, 6, 0],
+    ]
+    img32 = bmp(w, h, 32, [], rows, top_down=True)
+    out32 = decode_bmp(img32)
+    assert tuple(out32[0, 0]) == (30, 20, 10)
+    assert tuple(out32[0, 1]) == (60, 50, 40)
+    assert tuple(out32[1, 1]) == (6, 5, 4)
