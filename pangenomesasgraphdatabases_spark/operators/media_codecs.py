@@ -1,7 +1,8 @@
 """Pure-python/numpy media codecs for library-free formats.
 
 Real decoders for the formats that need no external media library:
-uncompressed 24-bit BMP, binary PPM (P6), PCM WAV, and (since r7)
+uncompressed BMP (24/32-bit and paletted 1/4/8-bit since r14),
+binary PPM (P6), PCM WAV, and (since r7)
 8-bit PNG — PNG's DEFLATE layer is stdlib ``zlib``, so a full,
 spec-correct decoder (all five row filters, gray/RGB/RGBA color
 types, CRC-checked chunks; since r13 also palette color at bit
@@ -22,10 +23,11 @@ variants nothing in the pipeline emits (arithmetic/lossless JPEG —
 12-bit/Pq=1 decodes for real since r14, jpeg_codec), each a
 documented NotImplementedError — PNG itself is complete across every
 legal depth/color-type/interlace combination, and WAV (r14) now also
-decodes the classic telephony/consumer compressed forms: G.711
-mu-law (format 7) and A-law (format 6) table expansion and IMA/DVI
-ADPCM (format 0x11) block decode — all three are published
-fixed-table algorithms needing no codec library.
+decodes the classic compressed forms: G.711 mu-law (format 7) and
+A-law (format 6) table expansion plus BOTH standard ADPCM families —
+IMA/DVI (format 0x11) and MS ADPCM (format 0x02) — with the fact
+chunk truncating block padding to the true sample count; all are
+published fixed-table algorithms needing no codec library.
 
 Encoders are provided too (fixture generation, resize re-encode);
 every codec round-trips bit-exactly (pytest property — PNG is
@@ -532,6 +534,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     fmt = None
     fmt_chunk = b""
     raw = None
+    fact_samples = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -541,6 +544,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             fmt_chunk = chunk
         elif cid == b"data":
             raw = chunk
+        elif cid == b"fact" and size >= 4:
+            # true per-channel sample count — block-structured codecs
+            # pad their final block, and the fact chunk is how a
+            # conformant decoder knows where the real audio ends
+            (fact_samples,) = struct.unpack("<I", chunk[:4])
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -593,6 +601,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             for p in range(0, len(raw) - (4 * ch) + 1, block_align)
         ]
         out = np.vstack(chunks) if chunks else np.empty((0, ch), np.int16)
+        if fact_samples is not None:
+            out = out[:fact_samples]
         return out, rate
     elif audio_format == 0x02:
         block_align = fmt[4]
@@ -603,6 +613,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             for p in range(0, len(raw) - (7 * ch) + 1, block_align)
         ]
         out = np.vstack(chunks) if chunks else np.empty((0, ch), np.int16)
+        if fact_samples is not None:
+            out = out[:fact_samples]
         return out, rate
     else:
         raise NotImplementedError(
@@ -611,7 +623,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             "codec library"
         )
     n = len(arr) // ch
-    return arr[: n * ch].reshape(n, ch), rate
+    out = arr[: n * ch].reshape(n, ch)
+    if audio_format in (6, 7) and fact_samples is not None:
+        out = out[:fact_samples]
+    return out, rate
 
 
 # --- PNG (8-bit; color types 0/2/4/6; zlib is stdlib) ------------------------

@@ -1074,14 +1074,17 @@ def test_wav_g711_and_ima_adpcm_decode():
     sm = (8000 * np.sin(t / 30) + 3000 * np.sin(t / 7)).astype(np.int16)
     out, rate = decode_wav(encode_wav_ima_adpcm(sm, 8000))
     assert rate == 8000
-    o = out[: len(sm), 0].astype(np.float64)
+    # the fact chunk truncates the final block's padding: EXACT length
+    assert out.shape == (len(sm), 1)
+    o = out[:, 0].astype(np.float64)
     snr = 10 * np.log10(
         (sm.astype(np.float64) ** 2).mean() / ((o - sm) ** 2).mean()
     )
     assert snr > 25, snr
     st = np.stack([sm, sm[::-1]], axis=1).astype(np.int16)
     out2, _ = decode_wav(encode_wav_ima_adpcm(st, 8000))
-    o2 = out2[: len(sm)].astype(np.float64)
+    assert out2.shape == st.shape
+    o2 = out2.astype(np.float64)
     snr2 = 10 * np.log10(
         (st.astype(np.float64) ** 2).mean() / ((o2 - st) ** 2).mean()
     )
@@ -1171,14 +1174,16 @@ def test_wav_ms_adpcm_decode():
     t = np.arange(4000)
     sm = (8000 * np.sin(t / 30) + 3000 * np.sin(t / 7)).astype(np.int16)
     out, _ = decode_wav(encode_wav_ms_adpcm(sm, 8000))
-    o = out[: len(sm), 0].astype(np.float64)
+    assert out.shape == (len(sm), 1)  # fact-chunk exact length
+    o = out[:, 0].astype(np.float64)
     snr = 10 * np.log10(
         (sm.astype(np.float64) ** 2).mean() / ((o - sm) ** 2).mean()
     )
     assert snr > 20, snr
     st = np.stack([sm, sm[::-1]], axis=1).astype(np.int16)
     out2, _ = decode_wav(encode_wav_ms_adpcm(st, 8000))
-    o2 = out2[: len(sm)].astype(np.float64)
+    assert out2.shape == st.shape
+    o2 = out2.astype(np.float64)
     snr2 = 10 * np.log10(
         (st.astype(np.float64) ** 2).mean() / ((o2 - st) ** 2).mean()
     )
