@@ -593,18 +593,27 @@ def _find_marker(data: bytes, want: int) -> bool:
 
 # --- Lossless JPEG (SOF3, T.81 Annex H) --------------------------------------
 
-_LL_DEFAULT = object()
-
 
 def _ll_predict(
-    recon: np.ndarray, y: int, x: int, sel: int, p: int, pt: int
+    recon: np.ndarray,
+    y: int,
+    x: int,
+    sel: int,
+    p: int,
+    pt: int,
+    restart_y: int = 0,
+    restart_x: int = 0,
 ) -> int:
-    """T.81 H.1.2.1 prediction for sample (y, x): the first sample
-    uses 1 << (P - Pt - 1); the rest of the first line uses Ra; the
-    first column uses Rb; elsewhere the scan's selector ``sel``."""
-    if y == 0 and x == 0:
+    """T.81 H.1.2.1 prediction for sample (y, x): the first sample of
+    the scan — and of each restart interval, whose origin is
+    ``(restart_y, restart_x)`` — uses 1 << (P - Pt - 1); the rest of
+    that FIRST LINE uses Ra (the spec mandates selector 1 for the
+    first line at scan start AND after each restart — review finding
+    r14); the first column of later lines uses Rb; elsewhere the
+    scan's selector ``sel``."""
+    if y == restart_y and x == restart_x:
         return 1 << (p - pt - 1)
-    if y == 0:
+    if y == restart_y:
         return int(recon[y, x - 1])
     if x == 0:
         return int(recon[y - 1, x])
@@ -710,20 +719,21 @@ def decode_jpeg_lossless_samples(data: bytes) -> tuple[np.ndarray, int]:
             table = huff[td]
             br = _BitReader(data, i + 2 + seglen)
             recon = np.zeros((h, w), dtype=np.int64)
-            n_restart = 0
+            restart_y = restart_x = 0
             for y in range(h):
                 for x in range(w):
                     if dri and (y * w + x) and (y * w + x) % dri == 0:
+                        # restart: entropy state resets and the
+                        # prediction re-initializes as at scan start
+                        # (T.81 H.2.2) — the interval's first LINE
+                        # then uses the Ra rule via _ll_predict
                         br.restart()
-                        n_restart += 1
+                        restart_y, restart_x = y, x
                     s = br.huff(table)
                     diff = 32768 if s == 16 else br.receive_extend(s)
-                    if dri and (y * w + x) % dri == 0 and (y * w + x):
-                        # after a restart the prediction re-initializes
-                        # as at scan start (T.81 H.2.2)
-                        pred = 1 << (prec - pt - 1)
-                    else:
-                        pred = _ll_predict(recon, y, x, sel, prec, pt)
+                    pred = _ll_predict(
+                        recon, y, x, sel, prec, pt, restart_y, restart_x
+                    )
                     recon[y, x] = (pred + diff) & 0xFFFF
             sample = ((recon << pt) & 0xFFFF).astype(np.uint16)
             return sample, prec
@@ -897,11 +907,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         np.int64
                     )
                     p += 129
-                else:
+                elif pq == 0:
                     zztab = np.frombuffer(seg, np.uint8, 64, p + 1).astype(
                         np.int64
                     )
                     p += 65
+                else:
+                    # Pq is a 1-bit field in valid streams; treating
+                    # garbage as 8-bit would silently desync the
+                    # table walk (review finding r14)
+                    raise ValueError(f"invalid DQT precision Pq={pq}")
                 nat = np.zeros(64, dtype=np.int64)
                 nat[ZIGZAG] = zztab
                 qt[tid] = nat.reshape(8, 8)

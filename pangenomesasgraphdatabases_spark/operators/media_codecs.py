@@ -97,9 +97,19 @@ def decode_bmp(data: bytes) -> np.ndarray:
         return out
     # paletted: color table of BGRX quads sits right after the info
     # header; used-colors field (biClrUsed, offset 46) may shrink it
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12 bytes) lays the palette out as BGR
+        # triples and has no biClrUsed — reading offset 46 would be
+        # pixel data (review finding r14)
+        raise NotImplementedError(
+            f"paletted BMP with header size {hdr_size} (BITMAPCOREHEADER) "
+            "not supported"
+        )
     (clr_used,) = struct.unpack("<I", data[46:50])
-    n_colors = clr_used or (1 << bpp)
+    n_colors = min(clr_used or (1 << bpp), 1 << bpp)
     pal_off = 14 + hdr_size
+    if pal_off + n_colors * 4 > len(data):
+        raise ValueError("truncated BMP color table")
     pal = np.frombuffer(data, np.uint8, n_colors * 4, pal_off).reshape(
         n_colors, 4
     )[:, 2::-1]  # BGRX -> RGB
@@ -116,6 +126,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
                 raw[:, None] >> shifts[None, :]
             ) & ((1 << bpp) - 1)
             idx = unpacked.reshape(-1)[:w]
+        if int(idx.max(initial=0)) >= n_colors:
+            # a shrunk color table with out-of-range pixel indices is
+            # a malformed file — fail with the codec contract's error,
+            # not an uncontrolled IndexError (review finding r14)
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} outside the "
+                f"{n_colors}-entry color table"
+            )
         y = i if top_down else h - 1 - i
         out[y] = pal[idx]
     return out
@@ -379,9 +397,16 @@ _MS_ADAPT = np.array(
 def _ms_step(code: int, s1: int, s2: int, delta: int, c1: int, c2: int):
     """One MS ADPCM 4-bit code -> (sample, new_s1, new_s2, new_delta):
     predict from the two prior samples, add signed_code * delta,
-    clamp, adapt delta (floor 16)."""
+    clamp, adapt delta (floor 16).  The /256 is C TRUNCATION toward
+    zero, not Python floor — negative predictor numerators with the
+    signed coefficient sets (e.g. 460/-208) round differently under
+    floor and the error would compound through s1/s2 for the rest of
+    the block when decoding externally-encoded files (review finding
+    r14)."""
     signed = code - 16 if code > 7 else code
-    pred = (s1 * c1 + s2 * c2) // 256 + signed * delta
+    num = s1 * c1 + s2 * c2
+    base = -((-num) >> 8) if num < 0 else num >> 8  # trunc toward 0
+    pred = base + signed * delta
     pred = max(-32768, min(32767, pred))
     delta = max(16, int(_MS_ADAPT[code]) * delta // 256)
     return pred, pred, s1, delta

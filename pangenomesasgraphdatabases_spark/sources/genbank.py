@@ -163,13 +163,33 @@ def _parse_location(
     local = _REMOTE_SEG_RE.sub("", loc)
     partial = "<" in local or ">" in local
     # peel complement()/join()/order() wrappers, then split the body
-    # on top-level commas: one numeric envelope per local segment
+    # on top-level commas: one numeric envelope per local segment.
+    # Peel ONLY when the wrapper's '(' really closes at the END — in
+    # the older join-of-complements form
+    # ``join(complement(a..b),complement(c..d))`` the body
+    # ``complement(...),complement(...)`` superficially re-matches
+    # the wrapper regex but with unbalanced parens, and peeling it
+    # would collapse the per-segment extents to one envelope (review
+    # finding r14; the balance scan rejects it).
     body = local
     while True:
         m = _WRAPPER_RE.match(body)
         if not m:
             break
-        body = m.group(1)
+        inner = m.group(1)
+        depth = 0
+        balanced = True
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    balanced = False
+                    break
+        if not balanced:
+            break
+        body = inner
     segments: list[tuple[int, int]] = []
     for part in _split_sublocs(body):
         nums = [int(n) for n in re.findall(r"\d+", part)]
@@ -236,25 +256,31 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
             # /product="foo\n/bar baz" legitimately continues across
             # a line that starts with '/' (bp_genbank2gff3.pl:835-
             # 1180 tracks the same open-quote state).
-            in_open_quote = bool(quals) and quals[-1][1].count('"') % 2 == 1
+            in_open_quote = (
+                bool(quals)
+                and (quals[-1][1] or "").count('"') % 2 == 1
+            )
             qm = (
                 _QUAL_RE.match(raw)
                 if stripped.startswith("/") and not in_open_quote
                 else None
             )
             if qm:
-                quals.append([qm.group(1), qm.group(2) or ""])
+                # value None = FLAG qualifier (/pseudo, no '=') —
+                # distinct from an explicitly empty /note="" (review
+                # finding r14: both previously collapsed to "")
+                quals.append([qm.group(1), qm.group(2)])
             elif quals:
                 prev = quals[-1]
                 joiner = "" if prev[0] == "translation" else " "
-                prev[1] = prev[1] + joiner + stripped
+                prev[1] = (prev[1] or "") + joiner + stripped
             else:
                 loc_parts.append(stripped)
         parsed = _parse_location("".join(loc_parts))
         if parsed is None:
             continue
         start, end, strand, partial, segments = parsed
-        qd = {name: _unquote(val) for name, val in quals}
+        qd = {name: _unquote(val or "") for name, val in quals}
         # The FULL qualifier set, duplicates preserved (a feature
         # routinely carries several /db_xref): multi-values join on
         # \x1f (an impossible byte in GenBank text) so the GFF
@@ -262,7 +288,7 @@ def _iter_record_features(rec: str) -> Iterator[dict]:
         # GFF3 comma join; flag qualifiers (/pseudo) carry "true".
         qmap: dict[str, str] = {}
         for name, val in quals:
-            v = _unquote(val) or "true"
+            v = "true" if val is None else _unquote(val)
             qmap[name] = qmap[name] + "\x1f" + v if name in qmap else v
         own = qd.get("locus_tag") or qd.get("gene") or ""
         linked = bool(gene_id) and (not own or own == gene_id)

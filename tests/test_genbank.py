@@ -297,6 +297,12 @@ def test_genbank_fuzzy_and_remote_locations():
     assert _parse_location("complement(join(130..150,160..190))") == (
         130, 190, "-", False, [(130, 150), (160, 190)],
     )
+    # the older join-of-complements form: the inner complement( must
+    # NOT peel as a wrapper (its parens are unbalanced relative to
+    # the whole body) — segments stay per-sub-location (review r14)
+    assert _parse_location(
+        "join(complement(300..400),complement(100..200))"
+    ) == (100, 400, "-", False, [(300, 400), (100, 200)])
 
 
 def test_genbank_quoted_continuation_and_escaped_quotes(spark, tmp_path):
@@ -920,3 +926,30 @@ def test_gff_qualifier_passthrough_escaping_and_multivalues(spark, tmp_path):
     assert minimal.attributes == (
         "ID=CDS:Q_0001;locus_tag=Q_0001;product=widget"
     )
+
+
+def test_flag_vs_empty_qualifier_distinguished(spark, tmp_path):
+    """Review r14: a FLAG qualifier (/pseudo, no '=') emits key=true;
+    an explicitly EMPTY value (/note="") emits key= — the two must
+    not collapse."""
+    from pangenomesasgraphdatabases_spark.sources.genbank import (
+        genbank_to_gff,
+    )
+
+    gbk = textwrap.dedent(
+        """\
+        LOCUS       seqE             100 bp    DNA     linear   BCT 01-JAN-2024
+        FEATURES             Location/Qualifiers
+             CDS             10..60
+                             /locus_tag="E_1"
+                             /note=""
+                             /ribosomal_slippage
+        ORIGIN
+                1 acgtacgtac
+        //
+        """
+    )
+    (tmp_path / "e.gbk").write_text(gbk)
+    attrs = genbank_to_gff(spark, str(tmp_path / "e.gbk")).collect()[0].attributes
+    assert ";note=;" in attrs + ";"
+    assert "ribosomal_slippage=true" in attrs

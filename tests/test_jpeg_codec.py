@@ -418,3 +418,16 @@ def test_jpeg_lossless_ssss16_escape_and_validation():
     )
     with pytest.raises(NotImplementedError, match="multi-component"):
         decode_jpeg(multi)
+
+
+def test_invalid_dqt_precision_raises():
+    """Review r14: a DQT byte with Pq outside {0, 1} is a malformed
+    stream — raise instead of silently desyncing the table walk."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    bad = b"\xff\xd8" + seg(0xDB, bytes([0x20]) + bytes(64)) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="Pq=2"):
+        decode_jpeg(bad)

@@ -1249,3 +1249,39 @@ def test_bmp_palette_and_32bit_decode():
     assert tuple(out32[0, 0]) == (30, 20, 10)
     assert tuple(out32[0, 1]) == (60, 50, 40)
     assert tuple(out32[1, 1]) == (6, 5, 4)
+
+
+def test_bmp_malformed_palette_rejected():
+    """Review r14: a shrunk biClrUsed color table with out-of-range
+    pixel indices (or a truncated table) fails with the codec
+    contract's ValueError, never an uncontrolled IndexError."""
+    import struct
+
+    import pytest
+
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        decode_bmp,
+    )
+
+    # 8-bpp, 1x1, biClrUsed=2, pixel index 200
+    pal = bytes([0, 0, 0, 0, 255, 255, 255, 0])
+    offset = 14 + 40 + len(pal)
+    data = b"BM" + struct.pack("<IHHI", offset + 4, 0, 0, offset)
+    data += struct.pack("<Iii", 40, 1, 1) + struct.pack("<HHI", 1, 8, 0)
+    data += struct.pack("<IiiII", 0, 0, 0, 2, 0) + pal
+    data += bytes([200, 0, 0, 0])
+    with pytest.raises(ValueError, match="palette index 200"):
+        decode_bmp(data)
+
+
+def test_ms_adpcm_predictor_truncates_toward_zero():
+    """Review r14: the MS ADPCM predictor's /256 is C truncation, not
+    Python floor — a negative numerator with the signed coefficient
+    sets (460/-208) must base at -1, not -2."""
+    from pangenomesasgraphdatabases_spark.operators.media_codecs import (
+        _ms_step,
+    )
+
+    # num = s1*460 + s2*(-208) = -460 -> trunc(-460/256) = -1
+    smp, _, _, _ = _ms_step(0, -1, 0, 16, 460, -208)
+    assert smp == -1  # floor would give -2

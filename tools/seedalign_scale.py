@@ -78,13 +78,12 @@ def _corpus(spark, n_subj: int, n_q: int, subj_len: int, variant: str):
     return q.repartition(32), s.repartition(8)
 
 
-def _read_steal() -> int:
-    try:
-        with open("/proc/stat") as fh:
-            parts = fh.readline().split()
-        return int(parts[8]) if len(parts) > 8 else 0
-    except (OSError, ValueError):
-        return 0
+import bench  # noqa: E402  (repo root on path; shared probe helpers)
+
+# One steal reader repo-wide: bench.py owns it (graph_build_floor.py
+# reuses it the same way), so the scale tools and bench_reconcile
+# can never disagree on the metric.
+_read_steal = bench._read_steal
 
 
 def _time_point(spark, df, reps: int) -> dict:
