@@ -1149,36 +1149,47 @@ def orders_large_basket_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cksum_limb_sql(expr: str, shift: int) -> str:
+    h = (
+        f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+    )
+    return f"CAST(sum(({h} >> {shift}) & 65535) AS BIGINT)"
+
+
+def _cksum_table_sql(tbl: str, expr: str) -> str:
+    return f"""
+    SELECT '{tbl}' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {_cksum_limb_sql(expr, 32)} AS sum_hi,
+           {_cksum_limb_sql(expr, 16)} AS sum_mid,
+           {_cksum_limb_sql(expr, 0)} AS sum_lo
+    FROM {tbl}"""
+
+
 @register(
     "star_table_checksums",
-    oracle="""
-    SELECT 'orders' AS tbl,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(('0x' || substr(md5(
-                CAST(o_orderkey AS VARCHAR) || '|' ||
-                CAST(o_custkey AS VARCHAR) || '|' ||
-                CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
-           ), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
-    FROM orders
-    UNION ALL
-    SELECT 'lineitem',
-           CAST(count(*) AS BIGINT),
-           CAST(sum(CAST(('0x' || substr(md5(
-                CAST(l_orderkey AS VARCHAR) || '|' ||
-                CAST(l_linenumber AS VARCHAR) || '|' ||
-                CAST(l_partkey AS VARCHAR) || '|' ||
-                CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
-           ), 1, 12)) AS BIGINT)) AS BIGINT)
-    FROM lineitem
-    UNION ALL
-    SELECT 'customer',
-           CAST(count(*) AS BIGINT),
-           CAST(sum(CAST(('0x' || substr(md5(
-                CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
-                CAST(c_nationkey AS VARCHAR)
-           ), 1, 12)) AS BIGINT)) AS BIGINT)
-    FROM customer
-    """,
+    oracle=" UNION ALL ".join(
+        [
+            _cksum_table_sql(
+                "orders",
+                "CAST(o_orderkey AS VARCHAR) || '|' || "
+                "CAST(o_custkey AS VARCHAR) || '|' || "
+                "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+            ),
+            _cksum_table_sql(
+                "lineitem",
+                "CAST(l_orderkey AS VARCHAR) || '|' || "
+                "CAST(l_linenumber AS VARCHAR) || '|' || "
+                "CAST(l_partkey AS VARCHAR) || '|' || "
+                "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)",
+            ),
+            _cksum_table_sql(
+                "customer",
+                "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || "
+                "CAST(c_nationkey AS VARCHAR)",
+            ),
+        ]
+    ),
     tags=("ext-olap", "reconciliation", "checksum"),
 )
 def star_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,11 +1197,19 @@ def star_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration reconciliation primitive: two copies of a table match
     iff their additive row-hash sums match, no sort or row-by-row
     diff needed): per table, a 48-bit md5-derived integer per row
-    (keys + exact-cent payloads rendered canonically) summed into one
-    BIGINT — addition commutes, so partition order, file order, and
-    engine never change the result, and partial checksums merge like
-    any other partial aggregate.  48 bits per row keeps the sum of
-    even 10^12 rows inside int64.
+    (keys + exact-cent payloads rendered canonically) summed as THREE
+    16-bit LIMBS (hi/mid/lo) — addition commutes, so partition order,
+    file order, and engine never change the result, and partial
+    checksums merge like any other partial aggregate.  The limb split
+    is the scale fix the r14 full-registry sf0.1 gate forced: a
+    single sum of 48-bit values overflows int64 at ~130k rows
+    (2^48 x 2^17 > 2^63 — the r13 shape failed LOUDLY at sf0.1 under
+    ANSI mode, and sf0.01 passed only by headroom luck), while a
+    16-bit limb sum stays inside int64 to ~1.4e14 rows per partition
+    tree — genuinely 100 TB-safe with no decimal/hugeint cross-engine
+    types.  The limb-sum TRIPLE carries the same reconciliation power
+    as one sum (equal tables give equal triples; a mismatch flips at
+    least one limb with overwhelming probability).
 
     Scale shape: a narrow map + one scalar aggregation per table —
     the cheapest possible full-table pass; at 100 TB this runs as
@@ -1202,8 +1221,18 @@ def star_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(rowhash).cast("bigint").alias("checksum"),
-        ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+            F.sum(F.shiftright(rowhash, 32).bitwiseAND(F.lit(65535)))
+            .cast("bigint")
+            .alias("sum_hi"),
+            F.sum(F.shiftright(rowhash, 16).bitwiseAND(F.lit(65535)))
+            .cast("bigint")
+            .alias("sum_mid"),
+            F.sum(rowhash.bitwiseAND(F.lit(65535)))
+            .cast("bigint")
+            .alias("sum_lo"),
+        ).select(
+            F.lit(tbl).alias("tbl"), "n_rows", "sum_hi", "sum_mid", "sum_lo"
+        )
 
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")

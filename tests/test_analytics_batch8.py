@@ -19,16 +19,28 @@ def test_table_checksums_deterministic_and_match_reference(spark):
         star_table_checksums,
     )
 
-    a = {r["tbl"]: (r["n_rows"], r["checksum"]) for r in star_table_checksums(spark, SF).collect()}
-    b = {r["tbl"]: (r["n_rows"], r["checksum"]) for r in star_table_checksums(spark, SF).collect()}
+    def run():
+        return {
+            r["tbl"]: (r["n_rows"], r["sum_hi"], r["sum_mid"], r["sum_lo"])
+            for r in star_table_checksums(spark, SF).collect()
+        }
+
+    a, b = run(), run()
     assert a == b and set(a) == {"orders", "lineitem", "customer"}
 
-    total = 0
+    # r14: the 48-bit hash sums as three 16-bit LIMBS — the sf0.1
+    # full-registry gate proved a single sum overflows int64 at
+    # ~130k rows; the limb triple is 100 TB-safe and carries the
+    # same reconciliation power
+    hi = mid = lo = 0
     rows = table(spark, SF, "customer").collect()
     for r in rows:
         key = f"{r['c_custkey']}|{r['c_name']}|{r['c_nationkey']}"
-        total += int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
-    assert a["customer"] == (len(rows), total)
+        h = int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+        hi += (h >> 32) & 0xFFFF
+        mid += (h >> 16) & 0xFFFF
+        lo += h & 0xFFFF
+    assert a["customer"] == (len(rows), hi, mid, lo)
 
 
 def test_benford_shares_sum_to_one(spark):
