@@ -243,37 +243,38 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE expression tree on both engines, no rounding needed."""
     e = table(spark, sf_dir, "embeddings")
     cent = _km_centroids(e).cache()
-    from pangenomesasgraphdatabases_spark.queries.vectors_q import _km_ev
 
-    asg = _km_assign(_km_ev(e), cent)
-    sv = _scaled(e)
     dot_long = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    norms = sv.select(
-        "vec_id", dot_long(F.col("s"), F.col("s")).alias("nrm")
+    # carry=("s",): the scaled view rides the map-side assignment and the
+    # norm is a per-row fold — the pre-r15 shape joined the assignment
+    # back to `sv` and `norms` twice (four N-row sort-merge inputs); the
+    # only remaining exchange is the genuine per-cluster pair join (r15).
+    evs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * _SCALE).cast("long")
+        ).alias("s"),
     )
-    left = (
-        asg.join(sv, "vec_id")
-        .join(norms, "vec_id")
-        .select(
-            F.col("vec_id").alias("v1"),
-            "cid",
-            F.col("s").alias("s1"),
-            F.col("nrm").alias("n1"),
-        )
+    asg = _km_assign(evs, cent, carry=("s",))
+    base = asg.select(
+        "vec_id", "cid", "s", dot_long(F.col("s"), F.col("s")).alias("nrm")
     )
-    right = (
-        asg.join(sv, "vec_id")
-        .join(norms, "vec_id")
-        .select(
-            F.col("vec_id").alias("v2"),
-            "cid",
-            F.col("s").alias("s2"),
-            F.col("nrm").alias("n2"),
-        )
+    left = base.select(
+        F.col("vec_id").alias("v1"),
+        "cid",
+        F.col("s").alias("s1"),
+        F.col("nrm").alias("n1"),
+    )
+    right = base.select(
+        F.col("vec_id").alias("v2"),
+        "cid",
+        F.col("s").alias("s2"),
+        F.col("nrm").alias("n2"),
     )
     cos = dot_long(F.col("s1"), F.col("s2")).cast("double") / (
         F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double"))

@@ -581,28 +581,94 @@ def _km_ev(e: DataFrame) -> DataFrame:
     )
 
 
-def _km_assign(ev: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cid): nearest centroid by squared L2, ties to lower cid."""
-    scored = ev.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+def _km_pack(cent: DataFrame) -> DataFrame:
+    """One-row frame packing the K-row centroid dim into cid-sorted
+    parallel arrays (_cids, _cvecs) — the broadcast side of the map-side
+    argmin (r15, guide §2.4: the former crossJoin+Window shape shuffled
+    and sorted N×K scored rows to pick each vector's minimum; the K-row
+    dim never justifies an exchange on the N-row vector frame)."""
+    packed = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("_cc")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return packed.select(
+        F.transform("_cc", lambda c: c["cid"]).alias("_cids"),
+        F.transform("_cc", lambda c: c["cvec"]).alias("_cvecs"),
+    )
+
+
+def _km_dists(vcol) -> F.Column:
+    """array<double> of rounded squared distances against the packed
+    `_cvecs` column, cid order — the identical per-pair expression
+    (round(_km_sq_dist, 6)) the Window shape scored, evaluated in-row."""
+    return F.transform(
+        F.col("_cvecs"), lambda c: F.round(_km_sq_dist(vcol, c), 6)
+    )
+
+
+# The argmin over a materialized `_d` distance array: array_position
+# finds the FIRST occurrence of the minimum, and `_cids`/`_d` are in
+# ascending-cid order, so ties resolve to the lowest cid — bit-identical
+# selection to the former Window orderBy(dist asc, cid asc) rn=1.
+# `_d` is deliberately materialized by its own projection (withColumn)
+# so the transform fold evaluates once per row; array_min/array_position
+# are plain array scans.
+_KM_BEST_CID = "element_at(_cids, cast(array_position(_d, array_min(_d)) as int))"
+_KM_BEST_DIST = "array_min(_d)"
+
+
+def _km_assign(ev: DataFrame, cent: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id, cid, *carry): nearest centroid by squared L2, ties to
+    lower cid — computed map-side against the broadcast packed dim
+    (zero exchange; the pre-r15 shape paid a full N×K window shuffle).
+    `carry` names extra ev columns to keep, so consumers that used to
+    join the assignment back to the vector frame can ride one pass."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        ev.crossJoin(F.broadcast(_km_pack(cent)))
+        .withColumn("_d", _km_dists(F.col("v")))
+        .select("vec_id", F.expr(_KM_BEST_CID).alias("cid"), *carry)
     )
+
+
+def _km_probe(ev: DataFrame, cent: DataFrame, nprobe: int,
+              rank_col: str | None = None) -> DataFrame:
+    """(query_id, cid[, rank]) of the `nprobe` nearest centroids per
+    query — map-side sort+slice of the packed dim (the former shape
+    shuffled |queries|×K rows through a window to rank K per query).
+    array_sort on (dist, cid) structs is exactly the
+    orderBy(dist asc, cid asc) lexicographic order."""
+    top = F.expr(
+        "slice(array_sort(zip_with(_d, _cids,"
+        f" (d, c) -> named_struct('d', d, 'c', c))), 1, {nprobe})"
+    )
+    out = (
+        ev.crossJoin(F.broadcast(_km_pack(cent)))
+        .withColumn("_d", _km_dists(F.col("v")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(top).alias("_p", "_c"),
+        )
+    )
+    cols = [F.col("query_id"), F.col("_c")["c"].alias("cid")]
+    if rank_col is not None:
+        cols.append((F.col("_p") + 1).alias(rank_col))
+    return out.select(*cols)
 
 
 def _km_centroids(e: DataFrame) -> DataFrame:
     """(cid, cvec) after _KM_ITERS Lloyd rounds — one Catalyst DAG, no
     driver-side actions (iteration count is fixed, not convergence-
-    checked, so the whole build stays lazily composable)."""
+    checked, so the whole build stays lazily composable).
+
+    r15 shape: each round is ONE pass over a vector frame that carries
+    both the double view (assignment) and the exact-integer view
+    (means) — the assignment is a map-side fold against the broadcast
+    packed centroids and the mean update's only exchange is the partial
+    hash-agg of (cid, pos) cells (K×dim groups).  The pre-r15 round
+    paid an N×K window shuffle for the argmin plus an N×N sort-merge
+    join to re-attach `s`."""
     ev = _km_ev(e)
-    sv = e.select(
-        "vec_id",
+    evs = e.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         F.transform(
             "embedding",
             lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
@@ -617,10 +683,13 @@ def _km_centroids(e: DataFrame) -> DataFrame:
         )
     )
     for _ in range(_KM_ITERS):
-        assigned = _km_assign(ev, cent)
+        assigned = (
+            evs.crossJoin(F.broadcast(_km_pack(cent)))
+            .withColumn("_d", _km_dists(F.col("v")))
+            .select(F.expr(_KM_BEST_CID).alias("cid"), "s")
+        )
         means = (
-            assigned.join(sv, "vec_id")
-            .select("cid", F.posexplode("s"))
+            assigned.select("cid", F.posexplode("s"))
             .groupBy("cid", "pos")
             .agg(
                 (
@@ -744,21 +813,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _km_centroids(e).cache()
     lists = _km_assign(ev, cent)
 
-    qscored = (
-        ev.filter(F.col("vec_id") < 5)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cid",
-            F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
-    probe = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _KM_NPROBE)
-        .select("query_id", "cid")
-    )
+    # Map-side probe against the packed centroid dim (r15; the former
+    # crossJoin+window ranked K rows per query through an exchange).
+    probe = _km_probe(ev.filter(F.col("vec_id") < 5), cent, _KM_NPROBE)
     cand = (
         probe.join(lists, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -909,21 +966,29 @@ def _pq_sliced(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_assign(sl: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid): per-subspace argmin against the keyed
-    codebook frame — same round(dist,6)/cid tie-break as _km_assign,
-    broadcast codebooks (8x16 rows at any scale)."""
-    scored = sl.join(F.broadcast(cent), "sub").select(
-        "vec_id",
-        "sub",
-        "cid",
-        F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
+def _pq_pack(cent: DataFrame) -> DataFrame:
+    """(sub, _cids, _cvecs): per-subspace cid-sorted packed codebook —
+    the 8-row broadcast side of the map-side PQ argmin (r15; see
+    _km_pack)."""
+    packed = cent.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("_cc")
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("cid"))
+    return packed.select(
+        "sub",
+        F.transform("_cc", lambda c: c["cid"]).alias("_cids"),
+        F.transform("_cc", lambda c: c["cvec"]).alias("_cvecs"),
+    )
+
+
+def _pq_assign(sl: DataFrame, cent: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id, sub, cid, *carry): per-subspace argmin against the
+    packed codebook frame — same round(dist,6)/cid tie-break as
+    _km_assign, computed map-side after a broadcast join on `sub`
+    (the pre-r15 shape shuffled N×8×16 scored rows through a window)."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "cid")
+        sl.join(F.broadcast(_pq_pack(cent)), "sub")
+        .withColumn("_d", _km_dists(F.col("v")))
+        .select("vec_id", "sub", F.expr(_KM_BEST_CID).alias("cid"), *carry)
     )
 
 
@@ -945,10 +1010,11 @@ def _pq_codebooks(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     c0 = sl.join(F.broadcast(ids16), "vec_id").select(
         "sub", "cid", F.col("v").alias("cvec")
     )
-    a1 = _pq_assign(sl, c0)
+    # carry=("s",): the exact-integer view rides the map-side assignment,
+    # replacing the former N×8-row sort-merge join back to `sl` (r15).
+    a1 = _pq_assign(sl, c0, carry=("s",))
     means = (
-        a1.join(sl.select("vec_id", "sub", "s"), ["vec_id", "sub"])
-        .select("sub", "cid", F.posexplode("s"))
+        a1.select("sub", "cid", F.posexplode("s"))
         .groupBy("sub", "cid", "pos")
         .agg(
             (
@@ -1179,21 +1245,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _km_ev(e)
     cent = _km_centroids(e).cache()
     lists = _km_assign(ev, cent)
-    qscored = (
-        ev.filter(F.col("vec_id") < 5)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cid",
-            F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
-    probe = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _KM_NPROBE)
-        .select("query_id", "cid")
-    )
+    # Map-side probe against the packed centroid dim (r15; the former
+    # crossJoin+window ranked K rows per query through an exchange).
+    probe = _km_probe(ev.filter(F.col("vec_id") < 5), cent, _KM_NPROBE)
     cand = (
         probe.join(lists, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1955,20 +2009,10 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = _km_assign(ev, cent)
     max_probe = max(_RECALL_PROBES)
 
-    qscored = (
-        ev.filter(F.col("vec_id") < 5)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cid",
-            F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
-    probe_all = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= max_probe)
-        .select("query_id", "cid", "rn")
+    # Map-side probe ranking (r15): each query row slices its own
+    # sorted (dist, cid) array — no |queries|×K window exchange.
+    probe_all = _km_probe(
+        ev.filter(F.col("vec_id") < 5), cent, max_probe, rank_col="rn"
     )
     cand = (
         probe_all.join(lists, "cid")
@@ -2100,11 +2144,16 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-centroid pass; the contingency rollup is bounded by
     k x |labels| and the argmax window runs on that bounded frame."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    ev = _km_ev(e.select("vec_id", "embedding"))
+    # carry=("label",): the label rides the map-side assignment instead
+    # of joining the N-row label frame back to the assignment (r15).
+    evl = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
     cent = _km_centroids(e.select("vec_id", "embedding")).cache()
-    assign = _km_assign(ev, cent).select("vec_id", "cid")
     lab = (
-        assign.join(e.select("vec_id", "label"), "vec_id")
+        _km_assign(evl, cent, carry=("label",))
         .groupBy("cid", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
@@ -2344,19 +2393,18 @@ def emb_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sl, cb = _pq_codebooks(e)
     cb = cb.cache()
-    scored = sl.join(F.broadcast(cb), "sub").select(
-        "vec_id",
-        "sub",
-        "cid",
-        F.round(_km_sq_dist(F.col("v"), F.col("cvec")), 6).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("cid"))
+    # Map-side per-(vector, subspace) argmin (r15): the minimum distance
+    # is array_min of the materialized distance array — the identical
+    # rounded fold the former N×8×16 window shape ranked through an
+    # exchange.
     mind = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        sl.join(F.broadcast(_pq_pack(cb)), "sub")
+        .withColumn("_d", _km_dists(F.col("v")))
         .select(
             "sub",
-            F.round(F.col("dist") * 1000000).cast("bigint").alias("dist_micro"),
+            F.round(F.expr(_KM_BEST_DIST) * 1000000)
+            .cast("bigint")
+            .alias("dist_micro"),
         )
     )
     return mind.groupBy("sub").agg(
