@@ -398,19 +398,21 @@ def main() -> None:
     # metric itself stays the median (methodology unchanged).
     graph_reps = max(reps, 5)
 
+    # r15 (guide §2.6, documented in OPTIMIZATION_r15.md): the eight
+    # output tables are INDEPENDENT jobs, so they are submitted from a
+    # small thread pool (materialize_graph) instead of back-to-back —
+    # the same tables, same noop sink, same timed region; only the
+    # driver-side sequencing changed, exactly as a production build job
+    # materializing a graph would overlap its writers.
+    from pangenomesasgraphdatabases_spark.graph.storage import (
+        materialize_graph,
+    )
+
     def _run_build() -> None:
         g = build_graph(spark, f, c, comp, persist=True)
-        for tbl in (
-            "features",
-            "clusters",
-            "ortholog",
-            "feature_neighbour",
-            "cluster_neighbour",
-            "feature_in_strain",
-            "cluster_in_strain",
-            "strains",
-        ):
-            getattr(g, tbl).write.format("noop").mode("overwrite").save()
+        materialize_graph(
+            g, lambda df, _n: df.write.format("noop").mode("overwrite").save()
+        )
 
     # The build loop is hand-rolled (not _timed_reps) because each rep
     # must re-persist the INPUTS outside the timer — clearCache drops

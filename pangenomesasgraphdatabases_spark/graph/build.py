@@ -418,7 +418,48 @@ def build_graph(
         )
     )
     clusters = base_clusters.unionByName(lonely).join(prio, "cluster_id", "left")
-    clusters = backfill_reference_sequences(clusters, features)
+    # Reference-sequence backfill, need-first (r15, guide §2.4/§3.2):
+    # `backfill_reference_sequences(clusters, features)` is correct but
+    # its `ref` side is the DERIVED features frame — a 4.6M×4.6M
+    # left join whose need-filter cannot push below the join, so the
+    # whole features lineage re-executed inside the clusters table
+    # (measured: the clusters noop paid seconds re-running a join that
+    # produces a handful of need rows).  Inlined here with the need
+    # semi-filter applied to the RAW scan first (broadcast at runtime),
+    # and the lonely null-rewrite (cypher:88) applied from the cached
+    # slim hub — same effective sequence per locus by construction.
+    need = (
+        clusters.filter(F.col("reference_sequence").isNull())
+        .select("reference_locus")
+        .distinct()
+    )
+    ref = (
+        features0.select(
+            F.col("feature_id").alias("reference_locus"), "full_sequence"
+        )
+        .join(need, "reference_locus")
+        .join(
+            fc.select(
+                F.col("feature_id").alias("reference_locus"), "_is_lonely"
+            ),
+            "reference_locus",
+            "left",
+        )
+        .select(
+            "reference_locus",
+            F.when(F.col("_is_lonely"), F.lit(None).cast("string"))
+            .otherwise(F.col("full_sequence"))
+            .alias("_ref_full_seq"),
+        )
+    )
+    clusters = (
+        clusters.join(ref, "reference_locus", "left")
+        .withColumn(
+            "reference_sequence",
+            F.coalesce("reference_sequence", "_ref_full_seq"),
+        )
+        .drop("_ref_full_seq")
+    )
     w = Window.partitionBy("strain").orderBy("feature_start", "feature_id")
     adj = (
         fc.select(

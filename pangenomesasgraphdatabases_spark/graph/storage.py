@@ -33,29 +33,68 @@ _TABLES = (
 )
 
 
+def materialize_graph(
+    graph: PangenomeGraph,
+    write,
+    max_workers: int = 4,
+) -> None:
+    """Materialize every graph table by submitting the independent
+    output jobs from a small thread pool (r15, guide §2.6: actions are
+    only sequential because driver code calls them sequentially — the
+    eight table jobs share no dependency, so the scheduler back-fills
+    cores idled by one job's stage tails with the next job's tasks).
+
+    ``write(df, name)`` performs one table's output action (noop sink,
+    parquet write, ...).  ``ortholog`` runs FIRST and alone: it is the
+    cheapest full scan of the shared slim hub (`fc`, persisted by
+    build_graph), so when the graph is built with persist=True the
+    cache populates exactly once instead of racing across concurrent
+    jobs; with persist=False it is simply the cheapest table.  Stage
+    reuse makes this safe regardless: concurrent jobs referencing the
+    same lineage share shuffle map stages, so no table's work runs
+    twice.  Job descriptions are thread-local, so each table labels
+    its own jobs in the UI."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = graph.ortholog.sparkSession
+
+    def _one(name: str) -> None:
+        spark.sparkContext.setJobDescription(f"materialize {name}")
+        try:
+            write(getattr(graph, name), name)
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    _one("ortholog")
+    rest = [n for n in _TABLES if n != "ortholog"]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        # list() drains the iterator so the first failure re-raises.
+        list(pool.map(_one, rest))
+
+
 def save_graph(graph: PangenomeGraph, path: str, strain_buckets: int = 64) -> None:
     """Write every vertex/edge table as parquet under <path>/<table>.
 
     features/feature_in_strain gain a `strain_bucket` partition column
     (stable hash mod strain_buckets) so a 770-strain — or 770k-strain —
     dataset neither creates one tiny partition per strain nor loses
-    strain pruning entirely."""
-    bucketed = graph.features.withColumn(
-        "strain_bucket", F.pmod(F.xxhash64("strain"), F.lit(strain_buckets))
-    )
-    bucketed.write.mode("overwrite").partitionBy("strain_bucket").parquet(
-        f"{path}/features"
-    )
-    fis = graph.feature_in_strain.withColumn(
-        "strain_bucket", F.pmod(F.xxhash64("strain"), F.lit(strain_buckets))
-    )
-    fis.write.mode("overwrite").partitionBy("strain_bucket").parquet(
-        f"{path}/feature_in_strain"
-    )
-    for name in _TABLES:
+    strain pruning entirely.  Table writes go through materialize_graph
+    (r15): eight independent parquet jobs overlap instead of running
+    back-to-back."""
+
+    def _write(df, name: str) -> None:
         if name in ("features", "feature_in_strain"):
-            continue
-        getattr(graph, name).write.mode("overwrite").parquet(f"{path}/{name}")
+            df = df.withColumn(
+                "strain_bucket",
+                F.pmod(F.xxhash64("strain"), F.lit(strain_buckets)),
+            )
+            df.write.mode("overwrite").partitionBy("strain_bucket").parquet(
+                f"{path}/{name}"
+            )
+        else:
+            df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+    materialize_graph(graph, _write)
 
 
 def load_graph(spark: SparkSession, path: str) -> PangenomeGraph:
