@@ -207,31 +207,48 @@ def order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lift in exact fixed-point micros (integer multiply before
     integer divide), so no float ratio ever crosses engines.
 
-    Scale shape: pair expansion is a SELF-JOIN WITHIN the basket key
-    (l_orderkey) — cost sum over baskets of |basket|^2, bounded by the
-    max basket (13 parts here; a pathological mega-basket is the skew
-    watch item, capped in production by a basket-size filter).  The
-    pair aggregation shuffles on (part_a, part_b); frequency tables
-    shuffle on part; the order count is one scalar broadcast.  The
-    support >= 2 floor prunes the singleton long tail before the
-    frequency joins — the same docfreq-pruning idea as the n-gram
-    dedup index."""
-    d = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    Scale shape (r15, guide §2.4 — the canonical_pair_dedup r5 lesson
+    applied here): pair expansion is per-row ARRAY SURGERY over each
+    order's sorted distinct part set (one groupBy(l_orderkey) with
+    collect_set replaces the former distinct + two-sided self-join —
+    four executions of the distinct exchange plus a sort-merge join
+    became three executions of one basket groupBy).  Cost is sum over
+    baskets of |basket|^2 as before, bounded by the max basket
+    (13 parts here; a pathological mega-basket is the skew watch item,
+    capped in production by a basket-size filter).  The pair
+    aggregation shuffles on (part_a, part_b); the frequency table is
+    an explode of the same basket arrays; the order count is one
+    scalar broadcast.  The support >= 2 floor prunes the singleton
+    long tail before the frequency joins — the same docfreq-pruning
+    idea as the n-gram dedup index.  Sorted positions i<j over the
+    DISTINCT set replicate the a.part < b.part self-join over
+    distinct rows exactly."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.size("ps") - i - 1),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        ps.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.lo").alias("part_a"), F.col("p.hi").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
-    freq = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders_part"))
-    n = d.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = (
+        ps.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders_part"))
+    )
+    n = ps.agg(F.count(F.lit(1)).alias("n_orders"))
     fa = freq.select(
         F.col("l_partkey").alias("part_a"), F.col("n_orders_part").alias("freq_a")
     )

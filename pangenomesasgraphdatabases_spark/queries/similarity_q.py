@@ -43,12 +43,35 @@ def _element_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_counts(sets: DataFrame):
+    """Intersection counts for every set pair sharing an element.
+
+    r15 shape (guide §2.4, the canonical_pair_dedup array-surgery
+    lesson applied to the posting list): one groupBy(pk) collects each
+    element's sorted set-id posting list and the pair expansion is
+    per-row array surgery — the former two-sided self-equi-join on pk
+    executed the `sets` lineage twice and paid two exchanges plus a
+    sort-merge join for the identical pair multiset (per pk the ids
+    are distinct, so i<j over the sorted array IS a.ok < b.ok).  Skew
+    note: a hot element's posting pairs landed in one task under the
+    join shape too — the hazard class is unchanged, the constant
+    factor is ~half (one pass over the postings instead of stream ×
+    build)."""
     sizes = sets.groupBy("ok").agg(F.count(F.lit(1)).alias("sz"))
-    a = sets.alias("a")
-    b = sets.alias("b")
+    posts = sets.groupBy("pk").agg(
+        F.sort_array(F.collect_list("ok")).alias("oks")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "oks",
+            lambda x, i: F.transform(
+                F.slice("oks", i + 2, F.size("oks") - i - 1),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.ok") < F.col("b.ok")))
-        .groupBy(F.col("a.ok").alias("ok1"), F.col("b.ok").alias("ok2"))
+        posts.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.lo").alias("ok1"), F.col("p.hi").alias("ok2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     s1 = sizes.select(F.col("ok").alias("ok1"), F.col("sz").alias("sz1"))
