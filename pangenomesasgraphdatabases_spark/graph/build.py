@@ -214,6 +214,12 @@ def backfill_reference_sequences(clusters: DataFrame, features: DataFrame) -> Da
     """Backfill NULL reference_sequence from the reference-locus
     feature's full_sequence (01_creatingDatabase.cypher:129-133).
 
+    Standalone operator form (generic over any features frame).
+    build_graph inlines a need-first variant instead (r15): when
+    `features` is itself a join lineage, the need-filter here sits
+    ABOVE that join and cannot push below it, so the whole lineage
+    would re-execute to produce a handful of ref rows.
+
     Need-driven: only clusters with a NULL reference_sequence look up a
     feature, so the feature table is first semi-filtered to exactly
     those loci (a map-side broadcast filter at runtime — AQE sizes the

@@ -316,9 +316,18 @@ def test_sweep_and_basket_single_partition_is_tiny_only(spark):
     # The only nested-loop join allowed is against the one-row
     # distinct-order count (scalar broadcast).
     assert basket.count("BroadcastNestedLoopJoin") <= 1
-    assert basket.count("SortMergeJoin") + basket.count("ShuffledHashJoin") + basket.count(
-        "BroadcastHashJoin"
-    ) >= 3
+    # r15: pair expansion is per-basket array surgery (explode of the
+    # collected sorted part set — no self-join), so the only equi-joins
+    # left are the two frequency attachments; a regression back to the
+    # self-join shape would add a third join and a second basket-key
+    # exchange.
+    assert basket.count("Generate explode") >= 2  # pairs + freq explode
+    njoins = (
+        basket.count("SortMergeJoin")
+        + basket.count("ShuffledHashJoin")
+        + basket.count("BroadcastHashJoin")
+    )
+    assert 2 <= njoins <= 3
 
 
 def test_new_join_ops_stay_equi_joined(spark):
