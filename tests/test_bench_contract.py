@@ -59,6 +59,7 @@ def test_compact_line_stays_parseable():
             "queries": queries,
             "build_min_sec": 9999.999,
             "fixed_total_sec": 9999.999,
+            "clean_min_total_sec": 99999.999,
             "host_speed_index": 9.999,
             "host_bw_index": 9.999,
             "sf": 0.1,
@@ -96,3 +97,48 @@ def test_steal_retry_rule():
     # hard cap at 2x planned even if never clean
     assert _reps_done([1] * 6, [999] * 6, 3)
     assert not _reps_done([1] * 5, [999] * 5, 3)
+
+
+def test_bandwidth_gate_rule():
+    """The r16 second gate (VERDICT r15 #1): a rep whose DRAM probe
+    bracket reads below 70% of the reference is dirty even at zero
+    steal — the r15 doc_jaccard_containment failure mode (reps
+    [26.2, 49.9, 37.4, 3.75] at steal [4216, 96, 66, 6]: only the
+    3.75 s rep ran on a healthy bus)."""
+    from bench import (
+        BW_CLEAN_FRACTION,
+        BW_REF_GIBS,
+        _clean_median,
+        _clean_min,
+        _reps_done,
+    )
+
+    times = [26.2, 49.9, 37.4, 3.75]
+    steals = [4216, 96, 66, 6]
+    bw = [1.4, 1.5, 1.6, 9.8]  # the bus during each rep, GiB/s
+    # both gates: only the last rep is clean -> median == min == 3.75
+    assert _clean_median(times, steals, bw_gibs=bw) == 3.75
+    assert _clean_min(times, steals, bw_gibs=bw) == 3.75
+    # old steal-only gate (bw omitted) reproduces the r15 defect
+    assert _clean_median(times, steals) == 37.4
+    # all reps bw-dirty: fall back to the steal-clean sample, not the
+    # plain all-reps median
+    assert _clean_median(times, steals, bw_gibs=[1.0] * 4) == 37.4
+    # steal-clean but bw-dirty reps do NOT satisfy the stop rule
+    assert not _reps_done([1, 1, 1], [0, 0, 0], 3, bw_gibs=[1.0, 9.0, 9.0])
+    assert _reps_done([1, 1, 1], [0, 0, 0], 3, bw_gibs=[9.0, 9.0, 9.0])
+    # threshold sanity: the calm-host floor clears the gate
+    assert 9.8 >= BW_CLEAN_FRACTION * BW_REF_GIBS
+    assert 1.6 < BW_CLEAN_FRACTION * BW_REF_GIBS
+
+
+def test_bw_quick_probe_contract():
+    """The per-rep quick probe returns a positive GiB/s and reuses its
+    buffer (allocation must not bill every probe)."""
+    import bench
+
+    r1 = bench._bw_quick()
+    arr_id = id(bench._bw_quick_arr)
+    r2 = bench._bw_quick()
+    assert r1 > 0 and r2 > 0
+    assert id(bench._bw_quick_arr) == arr_id
