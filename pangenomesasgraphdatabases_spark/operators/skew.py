@@ -66,6 +66,88 @@ def salted_broadcast_join(
     return out.drop("_salt")
 
 
+# In-row pair expansion builds its pair batch as ONE flatten() value
+# before the explode streams it out, so the chunk width caps that
+# value's memory: 1024 -> at most ~1M structs (~32 MB) per batch, the
+# largest single allocation the expansion may make, regardless of how
+# hot the list is.
+PAIR_EXPANSION_CAP = 1024
+
+
+def capped_pair_rows(
+    posts: DataFrame,
+    list_col: str,
+    cap: int = PAIR_EXPANSION_CAP,
+) -> DataFrame:
+    """(lo, hi) rows — one per i<j position pair of each row's SORTED
+    DISTINCT id array — with the quadratic hot-list memory hazard
+    capped (VERDICT r15 #3, guide §2.5).
+
+    The uncapped r15 array surgery built the whole |L|(|L|-1)/2 struct
+    array as one flatten() value, so a hot posting list risked executor
+    OOM (the pre-r15 self-join streamed the same pairs through a join
+    iterator: slow task, never OOM).  Here the sorted array is cut into
+    ceil(L/cap) chunks and the chunk-pair index space is exploded FIRST:
+
+      gen1  posexplode(chunks)                 -> (ci, a) carrying chunks
+      gen2  posexplode(slice(chunks, ci+1, ..))-> (k, b); k=0 means b==a
+      gen3  explode(pair batch)                -> (lo, hi)
+
+    where the pair batch is the i<j intra-chunk surgery when k=0 and
+    the full a x b cross product otherwise (sorted disjoint ranges:
+    every a value < every b value).  Each flatten is <= cap^2 structs
+    and the carried columns stay linear in L, so per-row memory is
+    bounded; a hot key still streams its pairs in one task — the
+    pre-r15 hazard class — but can no longer OOM.  Lists that fit one
+    chunk (every list on skew-free data) take gen1/gen2 as single-row
+    pass-throughs and the pair batch is EXACTLY the r15 expression: one
+    lineage, no joins, no cache, no second execution of ``posts``.
+    Output multiset is identical to the uncapped expansion by
+    construction (each unordered pair lands in exactly one chunk cell;
+    ids are distinct and the array sorted, so i<j == lo < hi)."""
+    size = F.size(list_col)
+    # greatest(…, 1): an all-null group collects an EMPTY array, and
+    # sequence(0, -1) would raise rather than return [].
+    n_chunks = F.greatest(F.ceil(size / F.lit(cap)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(list_col, k * cap + 1, cap),
+    )
+    g1 = posts.select(
+        F.col(list_col).alias("_l"),  # only for the chunks expr below
+        F.posexplode(chunks).alias("_ci", "_a"),
+    )
+    # Re-derive the remaining chunks from _l (carrying the full chunk
+    # array through gen1 would be a second linear copy per chunk row).
+    n1 = F.greatest(F.ceil(F.size("_l") / F.lit(cap)).cast("int"), F.lit(1))
+    rest = F.transform(
+        F.sequence(F.col("_ci"), n1 - 1),
+        lambda k: F.slice("_l", k * cap + 1, cap),
+    )
+    g2 = g1.select("_a", F.posexplode(rest).alias("_k", "_b"))
+    intra = F.flatten(
+        F.transform(
+            "_a",
+            lambda x, i: F.transform(
+                F.slice("_a", i + 2, F.size("_a") - i - 1),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            "_a",
+            lambda x: F.transform(
+                "_b", lambda y: F.struct(x.alias("lo"), y.alias("hi"))
+            ),
+        )
+    )
+    batch = F.when(F.col("_k") == 0, intra).otherwise(cross)
+    return g2.select(F.explode(batch).alias("p")).select(
+        F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi")
+    )
+
+
 def hot_key_salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -51,27 +51,25 @@ def _pair_counts(sets: DataFrame):
     per-row array surgery — the former two-sided self-equi-join on pk
     executed the `sets` lineage twice and paid two exchanges plus a
     sort-merge join for the identical pair multiset (per pk the ids
-    are distinct, so i<j over the sorted array IS a.ok < b.ok).  Skew
-    note: a hot element's posting pairs landed in one task under the
-    join shape too — the hazard class is unchanged, the constant
-    factor is ~half (one pass over the postings instead of stream ×
-    build)."""
+    are distinct, so i<j over the sorted array IS a.ok < b.ok).
+
+    r16 skew guard (VERDICT r15 #3, guide §2.5): the in-row expansion
+    built the |L|^2/2 pair array as ONE flatten value, so a hot
+    element's posting list risked executor OOM; the expansion now goes
+    through operators.skew.capped_pair_rows, whose chunked form bounds
+    every in-row pair batch at cap^2 while keeping the single-lineage
+    no-join shape (and the exact pair multiset) unchanged."""
+    from pangenomesasgraphdatabases_spark.operators.skew import (
+        capped_pair_rows,
+    )
+
     sizes = sets.groupBy("ok").agg(F.count(F.lit(1)).alias("sz"))
     posts = sets.groupBy("pk").agg(
         F.sort_array(F.collect_list("ok")).alias("oks")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "oks",
-            lambda x, i: F.transform(
-                F.slice("oks", i + 2, F.size("oks") - i - 1),
-                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
-            ),
-        )
-    )
     inter = (
-        posts.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.lo").alias("ok1"), F.col("p.hi").alias("ok2"))
+        capped_pair_rows(posts, "oks")
+        .groupBy(F.col("lo").alias("ok1"), F.col("hi").alias("ok2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     s1 = sizes.select(F.col("ok").alias("ok1"), F.col("sz").alias("sz1"))

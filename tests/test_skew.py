@@ -71,3 +71,88 @@ def test_hot_key_salted_join_matches_plain(spark):
         }
         assert got == plain, f"hot_min={hot_min}"
     spark.catalog.clearCache()
+
+
+def test_capped_pair_rows_hot_list_fallback(spark):
+    """VERDICT r15 #3: a posting list longer than the cap must take the
+    chunked expansion (bounded in-row pair batches) and still produce
+    the identical pair multiset — planted hot element (60 ids > cap=16,
+    4 chunks incl. a ragged tail) beside normal lists and a singleton,
+    compared against the exact combination set."""
+    from itertools import combinations
+
+    from pangenomesasgraphdatabases_spark.operators.skew import (
+        capped_pair_rows,
+    )
+
+    rows = (
+        # hot element: 60 distinct ids -> ceil(60/16) = 4 chunks
+        [("hot", i) for i in range(60)]
+        # cold elements: small lists, incl. a singleton (no pairs)
+        + [("c1", i) for i in (3, 7, 11)]
+        + [("c2", i) for i in (5, 9)]
+        + [("c3", 42)]
+    )
+    sets = spark.createDataFrame(rows, ["pk", "ok"])
+    posts = sets.groupBy("pk").agg(
+        F.sort_array(F.collect_list("ok")).alias("oks")
+    )
+    got = sorted(
+        (r.lo, r.hi)
+        for r in capped_pair_rows(posts, "oks", cap=16).collect()
+    )
+    want = sorted(
+        list(combinations(range(60), 2))
+        + list(combinations((3, 7, 11), 2))
+        + list(combinations((5, 9), 2))
+    )
+    assert got == want
+    # plan evidence: single lineage — chunking adds generates, never a
+    # join or a second aggregation of the posting frame
+    plan = capped_pair_rows(posts, "oks", cap=16)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 3  # chunk, chunk-pair, pair batch
+    for node in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan
+    spark.catalog.clearCache()
+
+
+def test_capped_pair_rows_empty_and_exact_boundary(spark):
+    """Cap-boundary lists (size == cap) stay single-chunk; an all-null
+    group collects an empty array and yields no pairs (the
+    greatest(n_chunks, 1) guard, not a sequence(0,-1) error)."""
+    from itertools import combinations
+
+    from pangenomesasgraphdatabases_spark.operators.skew import (
+        capped_pair_rows,
+    )
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("pk", StringType()),
+            StructField("ok", IntegerType(), nullable=True),
+        ]
+    )
+    rows = [("b", i) for i in range(8)] + [("nulls", None)]
+    sets = spark.createDataFrame(rows, schema)
+    posts = sets.groupBy("pk").agg(
+        F.sort_array(F.collect_list("ok")).alias("oks")
+    )
+    got = sorted(
+        (r.lo, r.hi)
+        for r in capped_pair_rows(posts, "oks", cap=8).collect()
+    )
+    assert got == sorted(combinations(range(8), 2))
+    spark.catalog.clearCache()
