@@ -231,44 +231,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     01_creatingDatabase.cypher:188-198; triangles are the smallest
     structural-variation motif).
 
-    Degree-ordered orientation (each edge directed toward the larger
-    (deg, id) endpoint) bounds the wedge join by sum over nodes of
-    (out-deg choose 2) with out-deg <= sqrt(2m) — on a power-law
-    graph this is the difference between feasible and a hub blowup.
-    Entirely joins + aggregations: no UDFs, shuffles on node keys."""
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"),
-        F.col("l_partkey").alias("p"),
-        "l_linenumber",
-    )
-    # (o, l_linenumber) is not unique; the (l_linenumber, p) sort key
-    # makes the part sequence deterministic (see oracle note).
-    pos = li.select(
-        "o",
-        "p",
-        F.row_number()
-        .over(Window.partitionBy("o").orderBy("l_linenumber", "p"))
-        .alias("rn"),
-    )
-    a, b = pos.alias("a"), pos.alias("b")
-    adj = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("b.rn") == F.col("a.rn") + 1),
-        )
-        .filter(F.col("a.p") != F.col("b.p"))
-        .select(
-            F.least("a.p", "b.p").alias("u"),
-            F.greatest("a.p", "b.p").alias("v"),
-        )
-        .distinct()
-    )
-    vdeg = (
+    r16 shape (VERDICT r15 #3 next-round item, guide §2.4): sorted
+    adjacency arrays + array_intersect instead of the wedge-enumeration
+    self-join.  Each oriented edge (x→y) joins to BOTH endpoints'
+    out-neighbor arrays and the closing corners are
+    array_intersect(outN(x), outN(y)) computed in-row — the wedge rows
+    (sum over nodes of out-deg², the r15 plan's 100-Window/12-SMJ
+    chain's bulk) never materialize or shuffle; what shuffles is the
+    edge list plus |V| adjacency arrays whose length the degree-ordered
+    orientation bounds at sqrt(2m).  Each triangle {x,y,w} with
+    orientation x→y→w is found exactly once, at its (x→y) edge."""
+    adj = _synteny_adj(spark, sf_dir).cache()
+    vdeg = _vdeg(adj)
+    return _triangle_counts(adj, vdeg)
+
+
+def _vdeg(adj: DataFrame) -> DataFrame:
+    return (
         adj.select(F.col("u").alias("node"))
         .unionAll(adj.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _triangle_counts(adj: DataFrame, vdeg: DataFrame) -> DataFrame:
+    """(node, n_triangles) for every node in >= 1 triangle, via
+    degree-ordered orientation + per-edge sorted-array intersection.
+    ``adj`` should be cached by the caller (read by vdeg and the
+    oriented-edge frame)."""
     du = vdeg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = vdeg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     # (deg, id) compared as a struct — lexicographic, safe for any
@@ -277,36 +268,56 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_u = F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i"))
     ok_v = F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i"))
     # vdeg is |V|-sized — broadcast both degree joins (no shuffle of
-    # the edge set); cache oe partitioned on src so the wedge
-    # self-join below is co-partitioned with itself (zero exchange).
+    # the edge set); cache oe partitioned on src so the adjacency-array
+    # aggregation below reuses the partitioning (zero extra exchange)
+    # and the edge-side join reads the cache.
     oe = (
         adj.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
         .select(
             F.when(ok_u <= ok_v, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(ok_u <= ok_v, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(ok_u <= ok_v, ok_v).otherwise(ok_u).alias("dst_ok"),
         )
         .repartition("src")
         .cache()
     )
-    e1 = oe.select(
-        F.col("src").alias("w_src"), F.col("dst").alias("b"), F.col("dst_ok").alias("ok_b")
+    # Out-neighbor arrays, sorted: orientation bounds their length at
+    # sqrt(2m), so no collect_list hot-key hazard by construction.
+    # Cached: read once per endpoint side of the edge join below.
+    nb = oe.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    ).cache()
+    n1 = nb.select(F.col("src"), F.col("nbrs").alias("nb_src"))
+    n2 = nb.select(F.col("src").alias("dst"), F.col("nbrs").alias("nb_dst"))
+    ew = (
+        oe.join(n1, "src")
+        .join(n2, "dst")
+        .select(
+            "src",
+            "dst",
+            F.array_intersect("nb_src", "nb_dst").alias("ws"),
+        )
+        .filter(F.size("ws") > 0)
     )
-    e2 = oe.select(
-        F.col("src").alias("w_src"), F.col("dst").alias("c"), F.col("dst_ok").alias("ok_c")
+    # Triangle {x,y,w} found at edge (x→y): +|ws| to x and y, +1 to
+    # each closing corner w — emitted as ONE in-row contribution array
+    # per edge (a 3-way union would re-execute the nb joins per branch
+    # and triple the printed lineage).
+    sz = F.size("ws").cast("long")
+    contribs = F.concat(
+        F.array(
+            F.struct(F.col("src").alias("node"), sz.alias("c")),
+            F.struct(F.col("dst").alias("node"), sz.alias("c")),
+        ),
+        F.transform(
+            "ws",
+            lambda w: F.struct(w.alias("node"), F.lit(1).cast("long").alias("c")),
+        ),
     )
-    wedges = e1.join(e2, "w_src").filter(F.col("ok_b") < F.col("ok_c"))
-    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select(
-        F.col("w_src").alias("a"), "b", "c"
+    corners = ew.select(F.explode(contribs).alias("x")).select(
+        F.col("x.node").alias("node"), F.col("x.c").alias("c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return corners.groupBy("node").agg(F.sum("c").alias("n_triangles"))
 
 
 # Shared adjacency for components/SSSP: the same synteny edge set as
@@ -344,29 +355,26 @@ def _bidir_edges(adj: DataFrame) -> DataFrame:
 
 def _synteny_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct canonical (u < v) part synteny edges — the triangle
-    query's adjacency, shared by components and SSSP."""
+    query's adjacency, shared by components and SSSP.
+
+    r16 (guide §2.4): consecutive rows come from lag() over the same
+    (l_linenumber, p) window that used to assign row_number for an
+    rn = rn+1 SELF-JOIN — one window pass replaces two executions of
+    the position lineage plus a sort-merge join; the pair set is
+    identical (lag pairs each row with its predecessor in the same
+    deterministic order)."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"),
         F.col("l_partkey").alias("p"),
         "l_linenumber",
     )
-    pos = li.select(
-        "o",
-        "p",
-        F.row_number()
-        .over(Window.partitionBy("o").orderBy("l_linenumber", "p"))
-        .alias("rn"),
-    )
-    a, b = pos.alias("a"), pos.alias("b")
+    w = Window.partitionBy("o").orderBy("l_linenumber", "p")
     return (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("b.rn") == F.col("a.rn") + 1),
-        )
-        .filter(F.col("a.p") != F.col("b.p"))
+        li.select("o", "p", F.lag("p").over(w).alias("q"))
+        .filter(F.col("q").isNotNull() & (F.col("q") != F.col("p")))
         .select(
-            F.least("a.p", "b.p").alias("u"),
-            F.greatest("a.p", "b.p").alias("v"),
+            F.least("p", "q").alias("u"),
+            F.greatest("p", "q").alias("v"),
         )
         .distinct()
     )
@@ -802,41 +810,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one exact integer division, zero-triangle nodes included via
     the left join.
 
-    Scale shape: everything downstream of the wedge join is keyed on
-    node; vdeg is |V|-sized.  No new shuffle class beyond the
-    triangle query itself."""
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"),
-        F.col("l_partkey").alias("p"),
-        "l_linenumber",
-    )
-    pos = li.select(
-        "o",
-        "p",
-        F.row_number()
-        .over(Window.partitionBy("o").orderBy("l_linenumber", "p"))
-        .alias("rn"),
-    )
-    a, b = pos.alias("a"), pos.alias("b")
-    adj = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("b.rn") == F.col("a.rn") + 1),
-        )
-        .filter(F.col("a.p") != F.col("b.p"))
-        .select(
-            F.least("a.p", "b.p").alias("u"),
-            F.greatest("a.p", "b.p").alias("v"),
-        )
-        .distinct()
-    )
-    vdeg = (
-        adj.select(F.col("u").alias("node"))
-        .unionAll(adj.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tcount = graph_triangle_count(spark, sf_dir)
+    Scale shape: everything downstream of the per-edge intersection is
+    keyed on node; vdeg is |V|-sized.  No new shuffle class beyond the
+    triangle query itself.  r16: shares ONE cached adjacency and one
+    vdeg with the triangle counts (the pre-r16 shape re-derived both
+    from scratch — two extra executions of the window lineage)."""
+    adj = _synteny_adj(spark, sf_dir).cache()
+    vdeg = _vdeg(adj)
+    tcount = _triangle_counts(adj, vdeg)
     return (
         vdeg.filter(F.col("deg") >= 2)
         .join(tcount, "node", "left")

@@ -992,12 +992,40 @@ def _pq_assign(sl: DataFrame, cent: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
-def _pq_codebooks(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+# Footer-gated persist of the sliced frame (r16, VERDICT r15 #6): the
+# PQ chain reads `sl` four times (init join, Lloyd assign, final codes,
+# query distance table), each re-running the N×8 explode+transform.
+# Persist only while the corpus provably fits comfortably (N rows from
+# the parquet footer — jobless); at 100 TB the N×8 slice frame must
+# NOT be pinned to executor memory, recompute is the scale-safe
+# default.  _SL_PERSIST_OVERRIDE exists for alternating A/B harnesses.
+_SL_PERSIST_MAX_ROWS = 10_000_000
+_SL_PERSIST_OVERRIDE: bool | None = None
+
+
+def _should_persist_sl(sf_dir: str | None) -> bool:
+    if _SL_PERSIST_OVERRIDE is not None:
+        return _SL_PERSIST_OVERRIDE
+    if sf_dir is None:
+        return False
+    from pangenomesasgraphdatabases_spark.operators.sizing import (
+        parquet_rows,
+    )
+
+    n = parquet_rows(sf_dir, "embeddings")
+    return n is not None and n <= _SL_PERSIST_MAX_ROWS
+
+
+def _pq_codebooks(
+    e: DataFrame, sf_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(sliced frame, trained codebooks (sub, cid, cvec)): init = the
     _PQ_K lowest vec_ids' slices per subspace (deterministic, the IVF
     init discipline), one Lloyd round with exact-integer means —
     identical arithmetic to the per-subspace form, one DAG."""
     sl = _pq_sliced(e)
+    if _should_persist_sl(sf_dir):
+        sl = sl.cache()
     ids16 = (
         e.select("vec_id")
         .orderBy("vec_id")
@@ -1063,7 +1091,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspaces ride one keyed lineage (not 8 DAG branches).  The
     driver hash pins all 8 codebooks end-to-end through the codes."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sl, cb = _pq_codebooks(e)
+    sl, cb = _pq_codebooks(e, sf_dir)
     codes = _pq_assign(sl, cb)
     return codes.groupBy("vec_id").agg(
         F.array_join(
@@ -1130,7 +1158,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break discipline as ann_bruteforce_topk, so recall is
     directly measurable (pytest)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sl, cb = _pq_codebooks(e)
+    sl, cb = _pq_codebooks(e, sf_dir)
     cb = cb.cache()  # consumed by codes assignment AND query tables
     codes = _pq_assign(sl, cb)
     dtab = (
@@ -1255,7 +1283,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sl, cb = _pq_codebooks(e)
+    sl, cb = _pq_codebooks(e, sf_dir)
     cb = cb.cache()
     codes = _pq_assign(sl, cb).select(
         F.col("vec_id").alias("neighbor_id"), "sub", "cid"
@@ -2391,7 +2419,7 @@ def emb_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace frame (the PQ build's own plan), per-(vector, subspace)
     windows, then an 8-row rollup with exact integer sums."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sl, cb = _pq_codebooks(e)
+    sl, cb = _pq_codebooks(e, sf_dir)
     cb = cb.cache()
     # Map-side per-(vector, subspace) argmin (r15): the minimum distance
     # is array_min of the materialized distance array — the identical
