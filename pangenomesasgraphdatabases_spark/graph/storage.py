@@ -49,11 +49,14 @@ def materialize_graph(
     cheapest full scan of the shared slim hub (`fc`, persisted by
     build_graph), so when the graph is built with persist=True the
     cache populates exactly once instead of racing across concurrent
-    jobs; with persist=False it is simply the cheapest table.  Stage
-    reuse makes this safe regardless: concurrent jobs referencing the
-    same lineage share shuffle map stages, so no table's work runs
-    twice.  Job descriptions are thread-local, so each table labels
-    its own jobs in the UI."""
+    jobs.  That persist IS the no-duplicate-work guarantee (ADVICE
+    r15): Spark SQL reuses exchanges only WITHIN one compiled plan —
+    separately submitted DataFrame actions get fresh shuffle IDs, so
+    with persist=False the concurrent jobs each recompute the shared
+    fc lineage (correct, and no slower than the old sequential loop,
+    but duplicated).  Do not drop persist=True in the build job
+    expecting cross-job stage sharing to cover it.  Job descriptions
+    are thread-local, so each table labels its own jobs in the UI."""
     from concurrent.futures import ThreadPoolExecutor
 
     spark = graph.ortholog.sparkSession

@@ -612,6 +612,12 @@ def _km_dists(vcol) -> F.Column:
 # `_d` is deliberately materialized by its own projection (withColumn)
 # so the transform fold evaluates once per row; array_min/array_position
 # are plain array scans.
+# PRECONDITION (ADVICE r15): embeddings must be NaN-free — an all-NaN
+# distance row makes array_min return NaN, array_position return 0,
+# and element_at(_cids, 0) raise.  The embedding fixtures are finite
+# by construction (TESTDATA.md) and the pre-r15 window shape would
+# have emitted an arbitrary row for such input anyway; a production
+# ingest should drop/repair NaN vectors upstream.
 _KM_BEST_CID = "element_at(_cids, cast(array_position(_d, array_min(_d)) as int))"
 _KM_BEST_DIST = "array_min(_d)"
 

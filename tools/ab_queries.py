@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import re
 import sys
 import time
 
@@ -30,7 +31,9 @@ def main() -> None:
     names = sys.argv[3:]
     spark = get_spark("ab-queries")
     registry = all_queries()
-    warm = _warmup_dir(sf_dir, 0.0999 if "0.1" in sf_dir else -1.0)
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0  # ADVICE r15: parse numerically
+    warm = _warmup_dir(sf_dir, sf)
     for name in names:
         q = registry[name]
         if warm:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 import urllib.request
@@ -47,16 +48,20 @@ def _get_spark():
     )
 
 
-def _rest(app: str, path: str):
-    url = f"http://localhost:{PORT}/api/v1/applications/{app}/{path}"
+def _rest(spark, path: str):
+    # Read the ACTUAL UI address (ADVICE r15: if PORT is already bound
+    # Spark silently retries onto PORT+1.., and a hardcoded URL would
+    # 404 or hit another app's UI).
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/{path}"
     with urllib.request.urlopen(url, timeout=20) as r:
         return json.load(r)
 
 
 def _totals(spark) -> dict:
-    app = spark.sparkContext.applicationId
-    stages = _rest(app, "stages?status=complete")
-    jobs = _rest(app, "jobs")
+    stages = _rest(spark, "stages?status=complete")
+    jobs = _rest(spark, "jobs")
     return {
         "jobs": len(jobs),
         "stages": len(stages),
@@ -74,7 +79,9 @@ def main() -> None:
     spark = _get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
-    warm = _warmup_dir(sf_dir, 0.0999 if "0.1" in sf_dir else -1.0)
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0  # ADVICE r15: parse numerically
+    warm = _warmup_dir(sf_dir, sf)
     for name in names:
         q = registry[name]
         if warm:
