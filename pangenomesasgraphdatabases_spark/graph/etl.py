@@ -42,14 +42,30 @@ class EtlOutput:
 def aligned_with_reference(aligned: DataFrame, repr_df: DataFrame) -> DataFrame:
     """J2 + J3: attach each cluster's representative locus, then
     self-join so every member row carries the cluster's reference
-    sequence (pirateToDatabase.py:128-132)."""
+    sequence (pirateToDatabase.py:128-132).
+
+    r16 (VERDICT r15 #8, guide §3.1/§3.2): both right sides are
+    CLUSTER-level dimensions — bounded by the pan-genome's gene-family
+    vocabulary, which does not grow with strain count — so they are
+    explicit broadcasts: repr_df is one row per cluster, and the
+    reference-sequence side is pre-filtered to the rows that can ever
+    match (reference_locus is cluster-constant, so within a cluster
+    {r: r.Feature == a.reference_locus} == {r: r.Feature ==
+    r.reference_locus} — one row per cluster, multiplicity preserved).
+    The pre-filter also stops the feature-level aligned side from
+    shuffling for this join at all (the pre-r16 shape sort-merge-joined
+    feature×feature)."""
     with_locus = aligned.join(
-        repr_df, aligned.Cluster == repr_df.cluster_name, "inner"
+        F.broadcast(repr_df), aligned.Cluster == repr_df.cluster_name, "inner"
     ).drop("cluster_name")
-    refs = with_locus.select("Cluster", "Feature", "Seq").alias("r")
+    refs = (
+        with_locus.filter(F.col("Feature") == F.col("reference_locus"))
+        .select("Cluster", "Feature", "Seq")
+        .alias("r")
+    )
     a = with_locus.alias("a")
     return a.join(
-        refs,
+        F.broadcast(refs),
         (F.col("a.reference_locus") == F.col("r.Feature"))
         & (F.col("a.Cluster") == F.col("r.Cluster")),
         "left",
@@ -119,8 +135,13 @@ def cluster_table(
     reference loads min/max/average_length precomputed by PIRATE —
     recomputed here from member features for self-containedness
     (SURVEY.md A15)."""
+    # Cluster-level dimension joins (r16): repr_df and the reference-
+    # sequence projection are one row per cluster — broadcast both
+    # (same bounded-vocabulary argument as aligned_with_reference).
     j = gene_families.join(
-        repr_df, gene_families.gene_family == repr_df.cluster_name, "inner"
+        F.broadcast(repr_df),
+        gene_families.gene_family == repr_df.cluster_name,
+        "inner",
     )
     member = gene_families.select(
         "allele_name", F.explode("feature_ids").alias("Name")
@@ -135,7 +156,7 @@ def cluster_table(
     ).select(F.col("Cluster").alias("gene_family_key"), F.col("Seq").alias("Seq_out"))
     return (
         j.join(lengths, "allele_name", "left")
-        .join(ref_seq, j.gene_family == F.col("gene_family_key"), "left")
+        .join(F.broadcast(ref_seq), j.gene_family == F.col("gene_family_key"), "left")
         .select(
             "allele_name",
             "gene_family",
