@@ -612,13 +612,17 @@ EAGER_BUILD_ALLOWED = {
 }
 
 
-def test_plan_construction_runs_no_eager_actions(spark):
-    """Building a registered query's DataFrame must not execute eager
-    Spark actions (collect/count/toPandas/localCheckpoint/...) —
-    enumerating plans is free (VERDICT r10 #6; the r9
-    doc_jaccard_containment width probe and the tfidf/unigram corpus
-    counts are now footer stats or in-plan scalar subqueries).
-    Exceptions are the documented EAGER_BUILD_ALLOWED set above."""
+@pytest.fixture(scope="module")
+def registry_sweep(spark):
+    """ONE walk of every registered query (r16, VERDICT r15 #2: the
+    driver's pytest budget cut the suite at ~90%, and the two
+    full-registry contract tests each re-built all 283 plans — the two
+    most expensive tests in the suite doing the same walk twice).  The
+    walk builds each DataFrame once with eager-action recording hooks
+    installed AND compiles its physical plan once; the two tests below
+    assert their own contract over the shared result.  Built at
+    sf0.001 (plan enumeration is jobless; the eager contract is
+    SF-independent by definition)."""
     from pyspark.sql.classic.dataframe import DataFrame as CDF
 
     from pangenomesasgraphdatabases_spark.queries.registry import (
@@ -647,20 +651,37 @@ def test_plan_construction_runs_no_eager_actions(spark):
 
     for m, of in originals.items():
         setattr(CDF, m, make(m, of))
-    offenders: dict[str, list[str]] = {}
+    eager: dict[str, list[str]] = {}
+    nodes: dict[str, list[str]] = {}
     try:
         for name, q in all_queries().items():
-            if name in EAGER_BUILD_ALLOWED:
-                continue
             recorded.clear()
-            q.fn(spark, SF)
-            if recorded:
-                offenders[name] = sorted(set(recorded))
+            df = q.fn(spark, "/root/testdata/sf0.001")
+            if recorded and name not in EAGER_BUILD_ALLOWED:
+                eager[name] = sorted(set(recorded))
+            plan = _plan(df)
+            bad = [
+                n
+                for n in ("CartesianProduct", "BatchEvalPython")
+                if n in plan
+            ]
+            if bad:
+                nodes[name] = bad
             spark.catalog.clearCache()
     finally:
         for m, of in originals.items():
             setattr(CDF, m, of)
-    assert not offenders, offenders
+    return {"eager": eager, "nodes": nodes}
+
+
+def test_plan_construction_runs_no_eager_actions(registry_sweep):
+    """Building a registered query's DataFrame must not execute eager
+    Spark actions (collect/count/toPandas/localCheckpoint/...) —
+    enumerating plans is free (VERDICT r10 #6; the r9
+    doc_jaccard_containment width probe and the tfidf/unigram corpus
+    counts are now footer stats or in-plan scalar subqueries).
+    Exceptions are the documented EAGER_BUILD_ALLOWED set above."""
+    assert not registry_sweep["eager"], registry_sweep["eager"]
 
 
 def test_capped_lsh_plan_shape(spark):
@@ -761,27 +782,13 @@ def _seq_corpus(spark):
     )
 
 
-def test_registry_wide_plan_contract_no_cartesian_no_row_udf(spark):
+def test_registry_wide_plan_contract_no_cartesian_no_row_udf(registry_sweep):
     """VERDICT r13 #7: two judge-grep disciplines as a regression
-    gate — walk EVERY registered query's physical plan (built at
-    sf0.001: plan enumeration is jobless) and assert no
-    CartesianProduct (pair spaces must be bucketed/blocked — the one
-    sanctioned 1-row audit cross join lowers to
-    BroadcastNestedLoopJoin, a different node) and no BatchEvalPython
-    (row-at-a-time Python UDFs; Arrow-batched ArrowEvalPython /
-    MapInPandas / FlatMapGroupsInPandas are the allowed Python
-    boundaries)."""
-    from pangenomesasgraphdatabases_spark.queries.registry import (
-        all_queries,
-    )
-
-    offenders: dict[str, list[str]] = {}
-    for name, q in all_queries().items():
-        plan = _plan(q.fn(spark, "/root/testdata/sf0.001"))
-        bad = [
-            n for n in ("CartesianProduct", "BatchEvalPython") if n in plan
-        ]
-        if bad:
-            offenders[name] = bad
-        spark.catalog.clearCache()
-    assert not offenders, offenders
+    gate — EVERY registered query's physical plan (from the shared
+    one-pass registry_sweep walk) must contain no CartesianProduct
+    (pair spaces must be bucketed/blocked — the one sanctioned 1-row
+    audit cross join lowers to BroadcastNestedLoopJoin, a different
+    node) and no BatchEvalPython (row-at-a-time Python UDFs;
+    Arrow-batched ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas are the allowed Python boundaries)."""
+    assert not registry_sweep["nodes"], registry_sweep["nodes"]

@@ -7,9 +7,14 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# derandomize: fixed example sequence run-to-run — the suite is a
+# regression gate, so reproducibility beats fresh randomness, and it
+# skips the example-database bookkeeping (r16 suite-budget work,
+# VERDICT r15 #2; example COUNT is unchanged).
 SLOW = settings(
     max_examples=5,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -46,24 +51,32 @@ def test_hll_registers_merge_invariant(spark, keys, split):
     from pangenomesasgraphdatabases_spark.queries.events_q import hll_registers
 
     df = spark.createDataFrame([(k, "g") for k in keys], "k long, grp string")
-    whole = sorted(
-        map(tuple, hll_registers(df, "k", ["grp"], p=4).collect())
-    )
+    whole_df = hll_registers(df, "k", ["grp"], p=4)
     sh1 = hll_registers(
         df.filter(F.col("k") % 8 <= split), "k", ["grp"], p=4
     )
     sh2 = hll_registers(
         df.filter(F.col("k") % 8 > split), "k", ["grp"], p=4
     )
-    merged = sorted(
-        map(
-            tuple,
-            sh1.unionByName(sh2)
-            .groupBy("grp", "reg")
-            .agg(F.max("max_rho").alias("max_rho"))
-            .collect(),
-        )
+    merged_df = (
+        sh1.unionByName(sh2)
+        .groupBy("grp", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
     )
+    # ONE collect for both sides (r16 suite budget): per-example wall
+    # here is Spark job latency on 60 rows, not data — the tagged
+    # union halves it without touching what is asserted.
+    rows = (
+        whole_df.select(F.lit("w").alias("side"), "grp", "reg", "max_rho")
+        .unionByName(
+            merged_df.select(
+                F.lit("m").alias("side"), "grp", "reg", "max_rho"
+            )
+        )
+        .collect()
+    )
+    whole = sorted((r.grp, r.reg, r.max_rho) for r in rows if r.side == "w")
+    merged = sorted((r.grp, r.reg, r.max_rho) for r in rows if r.side == "m")
     assert whole == merged
 
 
