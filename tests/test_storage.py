@@ -13,7 +13,20 @@ def test_save_load_roundtrip(spark, pangenome, tmp_path_factory):
     save_graph(pangenome, path, strain_buckets=4)
     g2 = load_graph(spark, path)
 
-    assert g2.features.count() == pangenome.features.count()
+    # Multiset comparison on feature_id, not bare counts: one r16 full-suite
+    # run read 342 rows back for a 332-row frame (unreproducible in 20
+    # isolated roundtrips + cache churn); if that race ever recurs, the
+    # failure must name the duplicated/missing ids, not just the delta.
+    before_ids = sorted(r.feature_id for r in pangenome.features.select("feature_id").collect())
+    after_ids = sorted(r.feature_id for r in g2.features.select("feature_id").collect())
+    if before_ids != after_ids:
+        from collections import Counter
+
+        b, a = Counter(before_ids), Counter(after_ids)
+        raise AssertionError(
+            f"roundtrip id multiset mismatch: extra={sorted((a - b).elements())} "
+            f"missing={sorted((b - a).elements())}"
+        )
     assert sorted(g2.features.columns) == sorted(pangenome.features.columns)
     assert g2.cluster_neighbour.count() == pangenome.cluster_neighbour.count()
 
